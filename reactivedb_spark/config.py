@@ -1,0 +1,169 @@
+"""YAML config front-end, shape-compatible with the reference
+(reactive_db/src/config/config_reader.rs:8-85; example test_cfg.yaml).
+
+A config is::
+
+    tables:
+      - Source:
+          name: users
+          columns: {name: Str, age: Integer}
+      - Derived:
+          name: derived
+          transform_definition:
+            FunctionTransform:
+              source_table: users
+              functions: ["newColumn ~ age + 2"]
+    storage_destination: db/          # optional here
+    action_config:                    # optional; Inline only
+      Inline:
+        actions: [{name: A, file: mod, function: fn}]
+
+We additionally accept Python callables registered programmatically for
+actions (the reference embeds CPython; we use Arrow-vectorized
+``mapInPandas`` — SURVEY.md §2.1 ActionTransform row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from reactivedb_spark.errors import ConfigError
+from reactivedb_spark.expr.parser import Assignment, Comparison, parse_statement
+
+
+@dataclass(frozen=True)
+class SourceTableConfig:
+    name: str
+    columns: dict  # name -> type spec (str or nested dict)
+
+
+@dataclass(frozen=True)
+class FunctionTransformConfig:
+    source_table: str
+    functions: tuple  # tuple[Assignment, ...]
+
+
+@dataclass(frozen=True)
+class FilterTransformConfig:
+    source_table: str
+    filter: object  # Comparison statement
+
+
+@dataclass(frozen=True)
+class UnionTransformConfig:
+    tables_and_foreign_keys: tuple  # tuple[(table, fk_col), ...]
+
+
+@dataclass(frozen=True)
+class AggregationTransformConfig:
+    source_table: str
+    aggregated_column: str
+    functions: tuple  # tuple[Assignment, ...]
+
+
+@dataclass(frozen=True)
+class ActionTransformConfig:
+    name: str
+    source_table: str
+
+
+@dataclass(frozen=True)
+class DerivedTableConfig:
+    name: str
+    transform: object
+
+
+@dataclass(frozen=True)
+class ActionConfig:
+    name: str
+    file: str
+    function: str
+
+
+@dataclass(frozen=True)
+class DbConfig:
+    sources: tuple = ()
+    derived: tuple = ()
+    actions: dict = field(default_factory=dict)  # name -> ActionConfig
+    storage_destination: str | None = None
+
+    @property
+    def table_names(self):
+        return [t.name for t in self.sources] + [t.name for t in self.derived]
+
+
+def _parse_assignments(exprs, ctx: str):
+    out = []
+    for e in exprs:
+        st = parse_statement(e)
+        if not isinstance(st, Assignment):
+            raise ConfigError(f"{ctx}: expected 'dest ~ expr' assignment, got {e!r}")
+        out.append(st)
+    return tuple(out)
+
+
+def _one_variant(d, ctx: str):
+    if not isinstance(d, dict) or len(d) != 1:
+        raise ConfigError(f"{ctx}: expected a single-variant mapping, got {d!r}")
+    return next(iter(d.items()))
+
+
+def parse_transform(spec, name: str):
+    kind, body = _one_variant(spec, f"table {name} transform_definition")
+    if kind == "FunctionTransform":
+        return FunctionTransformConfig(
+            body["source_table"], _parse_assignments(body["functions"], name)
+        )
+    if kind == "FilterTransform":
+        st = parse_statement(body["filter"])
+        if isinstance(st, Assignment):
+            raise ConfigError(f"table {name}: filter must be a boolean expression")
+        assert isinstance(st, Comparison)
+        return FilterTransformConfig(body["source_table"], st)
+    if kind == "UnionTransform":
+        pairs = tuple((t, fk) for t, fk in body["tables_and_foreign_keys"])
+        if len(pairs) < 1:
+            raise ConfigError(f"table {name}: UnionTransform needs >=1 parent")
+        return UnionTransformConfig(pairs)
+    if kind == "AggregationTransform":
+        return AggregationTransformConfig(
+            body["source_table"],
+            body["aggregated_column"],
+            _parse_assignments(body["functions"], name),
+        )
+    if kind == "ActionTransform":
+        return ActionTransformConfig(body["name"], body["source_table"])
+    raise ConfigError(f"table {name}: unknown transform type {kind!r}")
+
+
+def parse_config(doc: dict) -> DbConfig:
+    sources, derived = [], []
+    for entry in doc.get("tables", []):
+        kind, body = _one_variant(entry, "tables[]")
+        if kind == "Source":
+            sources.append(SourceTableConfig(body["name"], dict(body["columns"])))
+        elif kind == "Derived":
+            derived.append(
+                DerivedTableConfig(body["name"], parse_transform(body["transform_definition"], body["name"]))
+            )
+        else:
+            raise ConfigError(f"unknown table kind {kind!r}")
+    actions = {}
+    ac = doc.get("action_config")
+    if ac:
+        kind, body = _one_variant(ac, "action_config")
+        if kind != "Inline":
+            raise ConfigError("only Inline action_config is supported (Import: declared out of scope)")
+        for a in body.get("actions", []):
+            actions[a["name"]] = ActionConfig(a["name"], a["file"], a["function"])
+    names = [s.name for s in sources] + [d.name for d in derived]
+    if len(set(names)) != len(names):
+        raise ConfigError(f"duplicate table names in config: {names}")
+    return DbConfig(tuple(sources), tuple(derived), actions, doc.get("storage_destination"))
+
+
+def load_config(path: str) -> DbConfig:
+    import yaml
+
+    with open(path) as f:
+        return parse_config(yaml.safe_load(f))

@@ -1,0 +1,15 @@
+"""System column names (reference: reactive_db/src/constants.rs:1-5).
+
+``_seq`` is ours: a monotonically increasing engine-internal sequence that
+makes "arrival order" explicit. The reference gets arrival order implicitly
+from its single-threaded write path; a distributed engine must carry it as
+data (SURVEY.md §7 "what's hard" #1 — Union last-writer-wins needs it).
+"""
+
+ENTRY_ID = "_entryId"
+SOURCE_ENTRY_ID = "_sourceEntryId"
+MATCHING_KEY = "matchingKey"
+AGGREGATED_COLUMN = "aggregatedColumn"
+SEQ = "_seq"
+
+SYSTEM_COLUMNS = {ENTRY_ID, SOURCE_ENTRY_ID, MATCHING_KEY, AGGREGATED_COLUMN, SEQ}

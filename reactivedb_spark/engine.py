@@ -1,0 +1,423 @@
+"""The reactive Engine: source tables + derived-table DAG + query verbs.
+
+Write path (reference lifecycle at SURVEY.md §3.2, database.rs:125-195):
+an insert/delete seeds a per-commit delta map; the engine walks the
+derived-table DAG in topological order, computing each child's delta as a
+distributed DataFrame plan and applying it to versioned parquet state —
+the batch-oriented equivalent of the reference's per-row hook recursion
+(transform_hook.rs:27-64). Listeners are notified per table per commit
+(= the reference's ListenerHook pushes, listener_hook.rs:56-84).
+
+Read path: the six query verbs (SURVEY.md §2.2, db_thread.rs:52-113) as
+DataFrame filters with the reference's declared semantics — ``less_than``
+strict ``<``, ``greater_than`` inclusive ``>=``, results in ascending key
+order (B+tree leaf order).
+
+Scale notes: every per-table step is one or two narrow/shuffle stages;
+affected-key semi-joins are broadcast; no driver-side row loops anywhere.
+At cluster scale the store becomes Delta (MERGE instead of
+version-flipping) and propagation runs inside ``foreachBatch``
+(streaming/listen.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid as _uuid
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from reactivedb_spark import constants as C
+from reactivedb_spark.config import (
+    ActionTransformConfig,
+    AggregationTransformConfig,
+    DbConfig,
+    FilterTransformConfig,
+    FunctionTransformConfig,
+    UnionTransformConfig,
+    load_config,
+    parse_config,
+)
+from reactivedb_spark.errors import (
+    ConfigError,
+    SchemaMismatchError,
+    UnknownColumnError,
+    UnknownTableError,
+)
+from reactivedb_spark.operators import action as action_op
+from reactivedb_spark.operators import aggregation as agg_op
+from reactivedb_spark.operators import filter as filter_op
+from reactivedb_spark.operators import function as function_op
+from reactivedb_spark.operators import union as union_op
+from reactivedb_spark.plans.dag import topo_order
+from reactivedb_spark.store import ParquetSnapshotStore
+from reactivedb_spark.types import parse_type
+
+
+@dataclass
+class Delta:
+    """Per-table committed changes in one commit (the batch analogue of the
+    reference's ``Vec<CommitedEdit>`` insert response, database.rs:189-194)."""
+
+    inserts: Optional[DataFrame] = None
+    deletes: Optional[DataFrame] = None
+
+    @property
+    def num_inserted(self) -> int:
+        return self.inserts.count() if self.inserts is not None else 0
+
+    @property
+    def num_deleted(self) -> int:
+        return self.deletes.count() if self.deletes is not None else 0
+
+    def merged_with(self, other: "Delta") -> "Delta":
+        def u(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return a.unionByName(b)
+
+        return Delta(u(self.inserts, other.inserts), u(self.deletes, other.deletes))
+
+
+@dataclass
+class TableState:
+    name: str
+    kind: str  # "source" | "derived"
+    schema: T.StructType
+    transform: object = None
+    parents: tuple = ()
+    children: tuple = ()
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config,
+        workspace: str | None = None,
+        actions: dict[str, Callable] | None = None,
+    ):
+        self.spark = spark
+        if isinstance(config, str):
+            config = load_config(config)
+        elif isinstance(config, dict):
+            config = parse_config(config)
+        assert isinstance(config, DbConfig)
+        self.config = config
+        self._actions: dict[str, action_op.Action] = {}
+        for name, cfg in config.actions.items():
+            self._actions[name] = action_op.load_from_config(cfg)
+        if actions:
+            for name, fn in actions.items():
+                self.register_action(name, fn)
+        self._seq = 1
+        self._listeners: dict[str, list] = {}
+        self.tables: dict[str, TableState] = {}
+        self._build_states()
+        workspace = workspace or tempfile.mkdtemp(prefix="reactivedb_spark_")
+        self.store = ParquetSnapshotStore(spark, os.path.join(workspace, "tables"))
+        for st in self.tables.values():
+            self.store.init_table(st.name, st.schema)
+
+    # -- setup -------------------------------------------------------------
+    def register_action(self, name: str, fn: Callable, output_columns=None,
+                        rowwise: bool = False) -> None:
+        """Register a Python action (batch ``pd.DataFrame -> pd.DataFrame``
+        by default; ``rowwise=True`` wraps a reference-style dict->dict fn)."""
+        batch = action_op.wrap_row_fn(name, fn) if rowwise else fn
+        self._actions[name] = action_op.Action(name, batch, output_columns)
+
+    def _parents_of(self, tr) -> tuple:
+        if isinstance(tr, UnionTransformConfig):
+            return tuple(t for t, _ in tr.tables_and_foreign_keys)
+        return (tr.source_table,)
+
+    def _build_states(self) -> None:
+        cfg = self.config
+        for s in cfg.sources:
+            fields = [
+                T.StructField(C.ENTRY_ID, T.StringType(), False),
+                T.StructField(C.SEQ, T.LongType(), False),
+            ] + [T.StructField(n, parse_type(t), True) for n, t in s.columns.items()]
+            self.tables[s.name] = TableState(s.name, "source", T.StructType(fields))
+        edges = {name: [] for name in self.tables}
+        derived_cfg = {d.name: d for d in cfg.derived}
+        for d in cfg.derived:
+            edges.setdefault(d.name, [])
+            for p in self._parents_of(d.transform):
+                if p not in edges and p not in derived_cfg:
+                    raise ConfigError(f"table {d.name}: unknown parent table {p!r}")
+                edges.setdefault(p, []).append(d.name)
+        self._topo = topo_order(edges)
+        for name in self._topo:
+            if name in self.tables:
+                continue
+            d = derived_cfg[name]
+            tr = d.transform
+            parents = self._parents_of(tr)
+            pschemas = {p: self.tables[p].schema for p in parents}
+            if isinstance(tr, FunctionTransformConfig):
+                schema = function_op.output_schema(tr, pschemas[tr.source_table])
+            elif isinstance(tr, FilterTransformConfig):
+                schema = filter_op.output_schema(tr, pschemas[tr.source_table])
+            elif isinstance(tr, UnionTransformConfig):
+                schema = union_op.output_schema(tr, pschemas)
+            elif isinstance(tr, AggregationTransformConfig):
+                schema = agg_op.output_schema(tr, pschemas[tr.source_table])
+            elif isinstance(tr, ActionTransformConfig):
+                if tr.name not in self._actions:
+                    raise ConfigError(f"action {tr.name!r} not registered")
+                schema = action_op.output_schema(
+                    tr, self._actions[tr.name], pschemas[tr.source_table]
+                )
+            else:
+                raise ConfigError(f"unknown transform {tr!r}")
+            self.tables[name] = TableState(name, "derived", schema, tr, parents)
+        for name, st in self.tables.items():
+            st.children = tuple(c for c in edges.get(name, []))
+
+    # -- helpers -----------------------------------------------------------
+    def _state(self, table: str) -> TableState:
+        if table not in self.tables:
+            raise UnknownTableError(table)
+        return self.tables[table]
+
+    def _with_entry_id(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(C.ENTRY_ID, F.expr("uuid()"))
+
+    def _stage_nonempty(self, table: str, df: DataFrame) -> Optional[DataFrame]:
+        staged = self.store.stage(table, df.select(*self.tables[table].schema.fieldNames()))
+        if staged.isEmpty():
+            return None
+        return staged
+
+    # -- write path --------------------------------------------------------
+    def insert(self, table: str, rows: list[dict]) -> dict[str, Delta]:
+        """Insert rows into a source table; returns committed deltas for
+        every table the cascade touched (reference returns all committed
+        edits the same way, database.rs:189-194)."""
+        st = self._state(table)
+        if st.kind != "source":
+            raise ConfigError(f"cannot insert into derived table {table!r}")
+        business = [f.name for f in st.schema.fields if f.name not in C.SYSTEM_COLUMNS]
+        prepared = []
+        for row in rows:
+            unknown = set(row) - set(business)
+            if unknown:
+                # reference: "Missmatched Input" (storage_manager_table.rs:56)
+                raise SchemaMismatchError(f"columns {sorted(unknown)} not in {table!r}")
+            r = {b: row.get(b) for b in business}
+            r[C.ENTRY_ID] = str(_uuid.uuid4())
+            r[C.SEQ] = self._seq
+            self._seq += 1
+            prepared.append(r)
+        df = self.spark.createDataFrame(prepared, st.schema) if prepared else None
+        if df is None:
+            return {}
+        staged = self._stage_nonempty(table, df)
+        if staged is None:
+            return {}
+        self.store.append(table, staged)
+        return self._propagate({table: Delta(inserts=staged)})
+
+    def insert_df(self, table: str, df: DataFrame) -> dict[str, Delta]:
+        """Bulk insert from a DataFrame (no driver round-trip). Intra-batch
+        arrival order is partition order — documented deviation from the
+        reference's per-row TCP ordering."""
+        st = self._state(table)
+        if st.kind != "source":
+            raise ConfigError(f"cannot insert into derived table {table!r}")
+        business = [f.name for f in st.schema.fields if f.name not in C.SYSTEM_COLUMNS]
+        unknown = set(df.columns) - set(business)
+        if unknown:
+            raise SchemaMismatchError(f"columns {sorted(unknown)} not in {table!r}")
+        base = self._seq
+        out = df
+        for b in business:
+            if b not in df.columns:
+                out = out.withColumn(b, F.lit(None).cast(st.schema[b].dataType))
+        out = out.withColumn(C.SEQ, F.lit(base) + F.monotonically_increasing_id())
+        out = self._with_entry_id(out)
+        staged = self._stage_nonempty(table, out)
+        if staged is None:
+            return {}
+        self._seq = (staged.agg(F.max(C.SEQ)).collect()[0][0] or base) + 1
+        self.store.append(table, staged)
+        return self._propagate({table: Delta(inserts=staged)})
+
+    def delete(self, table: str, column: str, key) -> dict[str, Delta]:
+        """Delete all rows with ``column == key``; cascades downstream by
+        ``_sourceEntryId`` provenance (transform_hook.rs:56-64)."""
+        st = self._state(table)
+        if column not in st.schema.fieldNames():
+            raise UnknownColumnError(f"{table}.{column}")
+        state = self.store.read(table)
+        cond = F.col(column) == F.lit(key)
+        deleted = self._stage_nonempty(table, state.filter(cond))
+        if deleted is None:
+            return {}
+        self.store.replace(table, state.filter(~cond | F.col(column).isNull()))
+        return self._propagate({table: Delta(deletes=deleted)})
+
+    # -- propagation -------------------------------------------------------
+    def _propagate(self, seed: dict[str, Delta]) -> dict[str, Delta]:
+        incoming: dict[str, Delta] = dict(seed)
+        report: dict[str, Delta] = {}
+        for name in self._topo:
+            d = incoming.pop(name, None)
+            if d is None:
+                continue
+            report[name] = d
+            self._notify(name, d)
+            st = self.tables[name]
+            for child in st.children:
+                cd = self._apply_child(child, name, d)
+                if cd is not None:
+                    incoming[child] = (
+                        incoming[child].merged_with(cd) if child in incoming else cd
+                    )
+        return report
+
+    def _apply_child(self, child: str, parent: str, d: Delta) -> Optional[Delta]:
+        tr = self.tables[child].transform
+        if isinstance(tr, (FunctionTransformConfig, FilterTransformConfig, ActionTransformConfig)):
+            return self._apply_rowwise(child, tr, d)
+        if isinstance(tr, UnionTransformConfig):
+            return self._apply_union(child, tr, parent, d)
+        if isinstance(tr, AggregationTransformConfig):
+            return self._apply_aggregation(child, tr, parent, d)
+        raise ConfigError(f"unknown transform on {child!r}")
+
+    def _apply_rowwise(self, child: str, tr, d: Delta) -> Optional[Delta]:
+        """Function / Filter / Action: per-row derivation appends; deletes
+        cascade by provenance."""
+        out = Delta()
+        if d.inserts is not None:
+            if isinstance(tr, FunctionTransformConfig):
+                derived = function_op.apply_delta(tr, d.inserts)
+            elif isinstance(tr, FilterTransformConfig):
+                derived = filter_op.apply_delta(tr, d.inserts)
+            else:
+                act = self._actions[tr.name]
+                derived = action_op.apply_delta(tr, act, d.inserts, self.tables[child].schema)
+            staged = self._stage_nonempty(child, self._with_entry_id(derived))
+            if staged is not None:
+                self.store.append(child, staged)
+                out.inserts = staged
+        if d.deletes is not None:
+            out.deletes = self._delete_by_provenance(child, d.deletes)
+        return out if (out.inserts is not None or out.deletes is not None) else None
+
+    def _delete_by_provenance(self, child: str, parent_deleted: DataFrame) -> Optional[DataFrame]:
+        ids = parent_deleted.select(F.col(C.ENTRY_ID).alias("_pid"))
+        state = self.store.read(child)
+        cond = state[C.SOURCE_ENTRY_ID] == F.col("_pid")
+        child_del = self._stage_nonempty(child, state.join(F.broadcast(ids), cond, "left_semi"))
+        if child_del is None:
+            return None
+        self.store.replace(child, state.join(F.broadcast(ids), cond, "left_anti"))
+        return child_del
+
+    def _apply_union(self, child: str, tr: UnionTransformConfig, parent: str, d: Delta) -> Optional[Delta]:
+        out = Delta()
+        schema = self.tables[child].schema
+        if d.inserts is not None:
+            normalized = union_op.normalize_delta(tr, parent, d.inserts, schema)
+            keys = normalized.select(C.MATCHING_KEY).filter(
+                F.col(C.MATCHING_KEY).isNotNull()
+            ).distinct()
+            state = self.store.read(child)
+            affected_old = state.join(F.broadcast(keys), C.MATCHING_KEY, "left_semi")
+            merged = union_op.merge(
+                affected_old.drop(C.ENTRY_ID), normalized, schema
+            )
+            staged = self._stage_nonempty(child, self._with_entry_id(merged))
+            if staged is not None:
+                rest = state.join(F.broadcast(keys), C.MATCHING_KEY, "left_anti")
+                self.store.replace(child, rest.unionByName(staged))
+                out.inserts = staged
+                old = self._stage_nonempty(child, affected_old)
+                out.deletes = old  # replaced rows (reference Update = delete+insert)
+        if d.deletes is not None:
+            dd = self._delete_by_provenance(child, d.deletes)
+            out.deletes = out.deletes.unionByName(dd) if (out.deletes is not None and dd is not None) else (out.deletes or dd)
+        return out if (out.inserts is not None or out.deletes is not None) else None
+
+    def _apply_aggregation(self, child: str, tr: AggregationTransformConfig, parent: str, d: Delta) -> Optional[Delta]:
+        """Re-aggregate only the affected keys (batched version of the
+        reference's per-insert group re-scan, transform.rs:239).
+
+        Declared deviation (SURVEY.md Appendix A follow-on): on parent
+        deletes the affected groups are re-aggregated from the remaining
+        rows (groups left empty disappear) — the reference only dropped
+        group rows whose last writer happened to be deleted, leaving stale
+        aggregates otherwise."""
+        parts = [x.select(F.col(tr.aggregated_column).alias(C.AGGREGATED_COLUMN))
+                 for x in (d.inserts, d.deletes) if x is not None]
+        keys = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        keys = keys.filter(F.col(C.AGGREGATED_COLUMN).isNotNull()).distinct()
+        parent_rows = self.store.read(parent)
+        affected = parent_rows.join(
+            F.broadcast(keys),
+            parent_rows[tr.aggregated_column] == keys[C.AGGREGATED_COLUMN],
+            "left_semi",
+        )
+        new_groups = agg_op.compute_groups(tr, affected)
+        staged = self._stage_nonempty(child, self._with_entry_id(new_groups))
+        state = self.store.read(child)
+        old = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
+        old_staged = self._stage_nonempty(child, old)
+        rest = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_anti")
+        self.store.replace(child, rest.unionByName(staged) if staged is not None else rest)
+        if staged is None and old_staged is None:
+            return None
+        return Delta(inserts=staged, deletes=old_staged)
+
+    # -- read path (query verbs, SURVEY.md §2.2) ---------------------------
+    def table(self, name: str) -> DataFrame:
+        """Current committed state (system ``_seq`` hidden)."""
+        return self.store.read(self._state(name).name).drop(C.SEQ)
+
+    def _verb(self, table: str, column: str):
+        st = self._state(table)
+        if column not in st.schema.fieldNames():
+            raise UnknownColumnError(f"{table}.{column}")
+        return self.table(table)
+
+    def find_one(self, table: str, column: str, key) -> Optional[dict]:
+        """First row with ``column == key`` (any match — declared contract,
+        SURVEY.md Appendix A #10)."""
+        rows = self._verb(table, column).filter(F.col(column) == F.lit(key)).limit(1).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def get_all(self, table: str, column: str, key) -> DataFrame:
+        return self._verb(table, column).filter(F.col(column) == F.lit(key)).orderBy(column)
+
+    def less_than(self, table: str, column: str, key) -> DataFrame:
+        """Strict ``<`` (database.rs:70; tests at database_test.rs:110)."""
+        return self._verb(table, column).filter(F.col(column) < F.lit(key)).orderBy(column)
+
+    def greater_than(self, table: str, column: str, key) -> DataFrame:
+        """Inclusive ``>=`` (btree.rs:200-223; tests at database_test.rs:148)."""
+        return self._verb(table, column).filter(F.col(column) >= F.lit(key)).orderBy(column)
+
+    # -- listen ------------------------------------------------------------
+    def listen(self, table: str, event: str, callback: Callable[[DataFrame], None]) -> None:
+        """Subscribe to committed Insert/Delete events on a table
+        (StartListen, network_types.rs:52-66). No backfill, like the
+        reference (late subscription sees only future commits)."""
+        if event not in ("Insert", "Delete"):
+            raise ConfigError(f"unknown listen event {event!r}")
+        self._state(table)
+        self._listeners.setdefault(table, []).append((event, callback))
+
+    def _notify(self, table: str, d: Delta) -> None:
+        for event, cb in self._listeners.get(table, []):
+            df = d.inserts if event == "Insert" else d.deletes
+            if df is not None:
+                cb(df.drop(C.SEQ))

@@ -1,0 +1,221 @@
+"""Compile DSL ASTs to typed pyspark Columns.
+
+Static type inference replaces the reference's insert-time dynamic typing
+(storage_manager_table.rs:334-350): because every derived table is produced
+by a statically-known transform over a statically-known parent schema, the
+output schema is derivable at config-parse time (SURVEY.md §1.3).
+
+Declared semantic contract (SURVEY.md Appendix A):
+- integer `/` truncates (Rust isize semantics, config/types.rs:75);
+  divide-by-zero yields NULL (declared, the reference panics)
+- string `+` really concatenates (reference bug at config/types.rs:89-96
+  returned the left operand; we fix it)
+- `^` is standard pow returning double (reference used abs(exponent),
+  config/types.rs:78; we declare standard semantics)
+- comparisons work on Decimal (reference errored, config/types.rs:37-40)
+- mixed Integer/Decimal coerces to Decimal (config/types.rs:87-88)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, functions as F, types as T
+
+from reactivedb_spark.errors import ExpressionError
+from reactivedb_spark.expr.ast import (
+    ARITH_OPS, BOOL_OPS, CMP_OPS, BinOp, ColumnRef, Expr, FuncCall, Literal, MemoRef,
+)
+from reactivedb_spark.types import DECIMAL, is_integral, is_numeric, promote
+
+
+@dataclass
+class TypedColumn:
+    col: Column
+    dtype: T.DataType
+
+
+# memo_resolver: MemoRef -> TypedColumn (aggregation folds supply this;
+# outside aggregations a memo reference is an error, as in the reference
+# where `memo.` only exists inside AggregationTransform, transform.rs:248-266)
+MemoResolver = Callable[[MemoRef], TypedColumn]
+
+# column_resolver: (name, dtype) -> Column; defaults to F.col. The
+# aggregation fold uses it to bind column refs to higher-order-function
+# lambda variables instead of top-level columns.
+ColumnResolver = Callable[[str, T.DataType], Column]
+
+
+def field_type(schema: T.StructType, name: str) -> T.DataType:
+    parts = name.split(".")
+    cur: T.DataType = schema
+    for p in parts:
+        if not isinstance(cur, T.StructType) or p not in cur.fieldNames():
+            raise ExpressionError(f"unknown column {name!r} in schema {schema.simpleString()}")
+        cur = cur[p].dataType
+    return cur
+
+
+def _lit(value) -> TypedColumn:
+    if isinstance(value, bool):
+        return TypedColumn(F.lit(value), T.BooleanType())
+    if isinstance(value, int):
+        return TypedColumn(F.lit(value).cast("long"), T.LongType())
+    if isinstance(value, str):
+        return TypedColumn(F.lit(value), T.StringType())
+    # decimal.Decimal
+    return TypedColumn(F.lit(value).cast(DECIMAL), DECIMAL)
+
+
+def _trunc_div(left: Column, right: Column) -> Column:
+    """Truncating integer division with NULL on zero divisor.
+
+    Computed via exact decimal arithmetic (no double rounding for large
+    longs); Spark's Divide returns NULL on zero divisor with ANSI off.
+    """
+    ld = F.abs(left).cast(T.DecimalType(38, 0))
+    rd = F.abs(right).cast(T.DecimalType(38, 0))
+    sign = (F.signum(left) * F.signum(right)).cast("long")
+    return (F.floor(F.try_divide(ld, rd)).cast("long") * sign).cast("long")
+
+
+def _arith(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
+    ldt, rdt = lt.dtype, rt.dtype
+    if op == "+" and isinstance(ldt, T.StringType) and isinstance(rdt, T.StringType):
+        return TypedColumn(F.concat(lt.col, rt.col), T.StringType())
+    if not (is_numeric(ldt) and is_numeric(rdt)):
+        raise ExpressionError(f"operator {op!r} not defined for {ldt} and {rdt}")
+    if op == "^":
+        return TypedColumn(F.pow(lt.col.cast("double"), rt.col.cast("double")), T.DoubleType())
+    out = promote(ldt, rdt)
+    if op == "/":
+        if is_integral(out):
+            return TypedColumn(_trunc_div(lt.col.cast("long"), rt.col.cast("long")), T.LongType())
+        if isinstance(out, T.DecimalType):
+            return TypedColumn(
+                F.try_divide(lt.col.cast(DECIMAL), rt.col.cast(DECIMAL)).cast(DECIMAL), DECIMAL
+            )
+        return TypedColumn(
+            F.try_divide(lt.col.cast("double"), rt.col.cast("double")), T.DoubleType()
+        )
+    pairs = {"+": lambda a, b: a + b, "-": lambda a, b: a - b, "*": lambda a, b: a * b}
+    fn = pairs[op]
+    if isinstance(out, T.DecimalType):
+        return TypedColumn(fn(lt.col.cast(DECIMAL), rt.col.cast(DECIMAL)).cast(DECIMAL), DECIMAL)
+    if is_integral(out):
+        return TypedColumn(fn(lt.col.cast("long"), rt.col.cast("long")), T.LongType())
+    return TypedColumn(fn(lt.col.cast("double"), rt.col.cast("double")), T.DoubleType())
+
+
+_CMP = {
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+
+def _compare(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
+    # Reference defines comparisons for Integer, Str, Array (lexicographic)
+    # and ==/!= for Bool (config/types.rs:8-42); we additionally allow
+    # Decimal (Appendix A #3) and mixed numerics via promotion.
+    lc, rc = lt.col, rt.col
+    if is_numeric(lt.dtype) and is_numeric(rt.dtype):
+        out = promote(lt.dtype, rt.dtype)
+        if isinstance(out, T.DecimalType):
+            lc, rc = lc.cast(DECIMAL), rc.cast(DECIMAL)
+        elif is_integral(out):
+            lc, rc = lc.cast("long"), rc.cast("long")
+        else:
+            lc, rc = lc.cast("double"), rc.cast("double")
+    return TypedColumn(_CMP[op](lc, rc), T.BooleanType())
+
+
+# Scalar function library — a declared extension (the reference parses
+# calls but errors at execution, transform.rs:291; its abandoned Python
+# prototype shipped ABS, PythonMVP/transforms.py:25,188).
+def _fn_specs():
+    return {
+        "abs": (1, lambda a: TypedColumn(F.abs(a[0].col), a[0].dtype)),
+        "floor": (1, lambda a: TypedColumn(F.floor(a[0].col).cast("long"), T.LongType())),
+        "ceil": (1, lambda a: TypedColumn(F.ceil(a[0].col).cast("long"), T.LongType())),
+        "sqrt": (1, lambda a: TypedColumn(F.sqrt(a[0].col.cast("double")), T.DoubleType())),
+        "length": (1, lambda a: TypedColumn(F.length(a[0].col).cast("long"), T.LongType())),
+        "upper": (1, lambda a: TypedColumn(F.upper(a[0].col), T.StringType())),
+        "lower": (1, lambda a: TypedColumn(F.lower(a[0].col), T.StringType())),
+        "concat": (None, lambda a: TypedColumn(F.concat(*[x.col for x in a]), T.StringType())),
+        "coalesce": (None, lambda a: TypedColumn(F.coalesce(*[x.col for x in a]), a[0].dtype)),
+    }
+
+
+def compile_expr(
+    expr: Expr,
+    schema: T.StructType,
+    memo_resolver: Optional[MemoResolver] = None,
+    column_resolver: Optional[ColumnResolver] = None,
+) -> TypedColumn:
+    if isinstance(expr, Literal):
+        return _lit(expr.value)
+    if isinstance(expr, ColumnRef):
+        dtype = field_type(schema, expr.name)
+        if column_resolver is not None:
+            return TypedColumn(column_resolver(expr.name, dtype), dtype)
+        return TypedColumn(F.col(expr.name), dtype)
+    if isinstance(expr, MemoRef):
+        if memo_resolver is None:
+            raise ExpressionError(
+                f"memo.{expr.name} only valid inside an Aggregation transform"
+            )
+        return memo_resolver(expr)
+    if isinstance(expr, BinOp):
+        lt = compile_expr(expr.left, schema, memo_resolver, column_resolver)
+        rt = compile_expr(expr.right, schema, memo_resolver, column_resolver)
+        if expr.op in ARITH_OPS:
+            return _arith(expr.op, lt, rt)
+        if expr.op in CMP_OPS:
+            return _compare(expr.op, lt, rt)
+        if expr.op in BOOL_OPS:
+            if not (isinstance(lt.dtype, T.BooleanType) and isinstance(rt.dtype, T.BooleanType)):
+                raise ExpressionError(f"{expr.op!r} requires boolean operands")
+            col = (lt.col & rt.col) if expr.op == "&&" else (lt.col | rt.col)
+            return TypedColumn(col, T.BooleanType())
+        raise ExpressionError(f"unknown operator {expr.op!r}")
+    if isinstance(expr, FuncCall):
+        if expr.name == "round":
+            if len(expr.args) not in (1, 2):
+                raise ExpressionError("round() takes 1 or 2 args")
+            a0 = compile_expr(expr.args[0], schema, memo_resolver, column_resolver)
+            scale = 0
+            if len(expr.args) == 2:
+                s = expr.args[1]
+                if not (isinstance(s, Literal) and isinstance(s.value, int)):
+                    raise ExpressionError("round() scale must be an integer literal")
+                scale = s.value
+            return TypedColumn(F.round(a0.col, scale), a0.dtype)
+        specs = _fn_specs()
+        if expr.name not in specs:
+            raise ExpressionError(f"unknown function {expr.name!r}")
+        arity, build = specs[expr.name]
+        if arity is not None and len(expr.args) != arity:
+            raise ExpressionError(f"{expr.name}() takes {arity} args, got {len(expr.args)}")
+        if arity is None and not expr.args:
+            raise ExpressionError(f"{expr.name}() needs at least one arg")
+        args = [compile_expr(a, schema, memo_resolver, column_resolver) for a in expr.args]
+        return build(args)
+    raise ExpressionError(f"cannot compile {expr!r}")
+
+
+def infer_type(expr: Expr, schema: T.StructType,
+               memo_types: Optional[dict[str, T.DataType]] = None) -> T.DataType:
+    """Static output type of an expression — used for derived-table schema
+    derivation without touching Spark execution."""
+
+    def resolver(m: MemoRef) -> TypedColumn:
+        if memo_types is None or m.name not in memo_types:
+            raise ExpressionError(f"unresolved memo.{m.name}")
+        return TypedColumn(F.lit(None).cast(memo_types[m.name]), memo_types[m.name])
+
+    return compile_expr(expr, schema, resolver if memo_types is not None else None).dtype

@@ -1,0 +1,182 @@
+"""AggregationTransform — per-key fold with a `memo.*` accumulator.
+
+Reference semantics (transform.rs:83-102,229-275): on each parent insert,
+re-scan the whole group (``get_all(source, agg_col, value)``,
+transform.rs:239) and fold the assignment expressions left-to-right over
+the group's rows; the accumulator ``memo.<dest>`` starts at ``Integer(0)``
+(transform.rs:250,255 — quirk kept, SURVEY.md Appendix A #9). The result
+row replaces the previous group row (Update on ``aggregatedColumn``).
+Canonical configs: ``count ~ memo.count + 1``, ``sum ~ memo.sum + x``,
+``average ~ memo.sum / memo.count`` (README.md:60-71).
+
+Spark expression — two compilation strategies, chosen statically:
+
+- **Decomposable** (every dest is sum-like ``memo.d + E``, post-only
+  (memo refs only), or memo-free): native ``groupBy(...).agg(sum/…)``
+  with map-side partial aggregation — one shuffle, whole-stage codegen,
+  scales to any group size.
+- **General fold**: ``aggregate(array_sort(collect_list(struct(_seq, …))),
+  init, step)`` — an ordered left fold per group, exactly the reference's
+  sequential semantics. Groups must fit in executor memory; documented
+  limitation of non-decomposable folds (the reference has the same O(group)
+  behavior per insert, only worse).
+
+The engine re-aggregates only *affected* keys per batch (semi-join on the
+delta's keys), mirroring the reference's per-key re-scan but batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from reactivedb_spark import constants as C
+from reactivedb_spark.config import AggregationTransformConfig
+from reactivedb_spark.errors import ConfigError
+from reactivedb_spark.expr.ast import BinOp, ColumnRef, Expr, MemoRef, has_column, has_memo
+from reactivedb_spark.expr.compiler import TypedColumn, compile_expr, field_type, infer_type
+
+
+def memo_types(cfg: AggregationTransformConfig, parent: T.StructType) -> dict[str, T.DataType]:
+    """Fixpoint memo typing: init Integer(0) ⇒ LongType, then widen through
+    the assignment expressions until stable (e.g. ``memo.count + 1.0``
+    widens count to Decimal)."""
+    types: dict[str, T.DataType] = {st.dest: T.LongType() for st in cfg.functions}
+    for _ in range(5):
+        changed = False
+        for st in cfg.functions:
+            t = infer_type(st.expr, parent, memo_types=types)
+            if types[st.dest] != t:
+                types[st.dest] = t
+                changed = True
+        if not changed:
+            return types
+    raise ConfigError(f"memo types did not converge for {list(types)}")
+
+
+def _sum_term(st) -> Expr | None:
+    """``dest ~ memo.dest + E`` (either side) with E memo-free → E."""
+    e = st.expr
+    if isinstance(e, BinOp) and e.op == "+":
+        if isinstance(e.left, MemoRef) and e.left.name == st.dest and not has_memo(e.right):
+            return e.right
+        if isinstance(e.right, MemoRef) and e.right.name == st.dest and not has_memo(e.left):
+            return e.left
+    return None
+
+
+def classify(cfg: AggregationTransformConfig):
+    """Return {dest: ("sum", term) | ("post", expr) | ("last", expr)} if the
+    whole transform is decomposable, else None (→ general fold)."""
+    plan = {}
+    sum_or_last = set()
+    for st in cfg.functions:
+        term = _sum_term(st)
+        if term is not None:
+            plan[st.dest] = ("sum", term)
+            sum_or_last.add(st.dest)
+            continue
+        if not has_memo(st.expr):
+            plan[st.dest] = ("last", st.expr)
+            sum_or_last.add(st.dest)
+            continue
+        if not has_column(st.expr):
+            refs = {n.name for n in st.expr.walk() if isinstance(n, MemoRef)}
+            if refs <= sum_or_last:
+                plan[st.dest] = ("post", st.expr)
+                continue
+        return None
+    return plan
+
+
+def output_schema(cfg: AggregationTransformConfig, parent: T.StructType) -> T.StructType:
+    mtypes = memo_types(cfg, parent)
+    fields = [
+        T.StructField(C.ENTRY_ID, T.StringType(), False),
+        T.StructField(C.SOURCE_ENTRY_ID, T.StringType(), True),
+        T.StructField(C.SEQ, T.LongType(), False),
+        T.StructField(C.AGGREGATED_COLUMN, field_type(parent, cfg.aggregated_column), True),
+    ]
+    fields += [T.StructField(st.dest, mtypes[st.dest], True) for st in cfg.functions]
+    return T.StructType(fields)
+
+
+def _last_agg(value: Column) -> Column:
+    """Value carried by the group's highest ``_seq``."""
+    return F.max(F.struct(F.col(C.SEQ).alias("s"), value.alias("v")))["v"]
+
+
+def compute_groups(cfg: AggregationTransformConfig, parent_rows: DataFrame) -> DataFrame:
+    """Aggregate ``parent_rows`` (already filtered to affected keys by the
+    engine) into one output row per key."""
+    schema = parent_rows.schema
+    mtypes = memo_types(cfg, schema)
+    plan = classify(cfg)
+    base = [
+        _last_agg(F.col(C.ENTRY_ID)).alias(C.SOURCE_ENTRY_ID),
+        F.max(C.SEQ).alias(C.SEQ),
+    ]
+    if plan is not None:
+        aggs, posts = list(base), []
+        for st in cfg.functions:
+            kind, term = plan[st.dest]
+            if kind == "sum":
+                tc = compile_expr(term, schema)
+                aggs.append(F.sum(tc.col).cast(mtypes[st.dest]).alias(st.dest))
+            elif kind == "last":
+                tc = compile_expr(term, schema)
+                aggs.append(_last_agg(tc.col).cast(mtypes[st.dest]).alias(st.dest))
+            else:
+                posts.append(st)
+        out = parent_rows.groupBy(
+            F.col(cfg.aggregated_column).alias(C.AGGREGATED_COLUMN)
+        ).agg(*aggs)
+        for st in posts:
+            def resolver(m: MemoRef) -> TypedColumn:
+                return TypedColumn(F.col(m.name).cast(mtypes[m.name]), mtypes[m.name])
+
+            tc = compile_expr(st.expr, schema, memo_resolver=resolver)
+            out = out.withColumn(st.dest, tc.col.cast(mtypes[st.dest]))
+        ordered = [C.SOURCE_ENTRY_ID, C.SEQ, C.AGGREGATED_COLUMN] + [st.dest for st in cfg.functions]
+        return out.select(*ordered)
+
+    # General ordered fold (reference-exact sequential semantics).
+    needed = sorted(
+        {n.name for st in cfg.functions for n in st.expr.walk() if isinstance(n, ColumnRef)}
+    )
+    row_struct = F.struct(
+        F.col(C.SEQ).alias("_s"), *[F.col(c).alias(c) for c in needed]
+    )
+    arr = F.array_sort(F.collect_list(row_struct))
+    init = F.struct(
+        *[F.lit(0).cast(mtypes[st.dest]).alias(st.dest) for st in cfg.functions]
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        # Left-to-right per-row assignment updates, each seeing the memo
+        # values already updated by earlier assignments on the same row
+        # (transform.rs:250-266).
+        cur: dict[str, Column] = {st.dest: acc[st.dest] for st in cfg.functions}
+
+        def resolver(m: MemoRef) -> TypedColumn:
+            if m.name not in cur:
+                raise ConfigError(f"unknown memo.{m.name}")
+            return TypedColumn(cur[m.name], mtypes[m.name])
+
+        for st in cfg.functions:
+            tc = compile_expr(
+                st.expr,
+                parent_rows.schema,
+                memo_resolver=resolver,
+                column_resolver=lambda name, _dt: x[name],
+            )
+            cur[st.dest] = tc.col.cast(mtypes[st.dest])
+        return F.struct(*[cur[st.dest].alias(st.dest) for st in cfg.functions])
+
+    folded = F.aggregate(arr, init, step).alias("_m")
+    out = parent_rows.groupBy(
+        F.col(cfg.aggregated_column).alias(C.AGGREGATED_COLUMN)
+    ).agg(*base, folded)
+    cols = [C.SOURCE_ENTRY_ID, C.SEQ, C.AGGREGATED_COLUMN] + [
+        F.col("_m")[st.dest].alias(st.dest) for st in cfg.functions
+    ]
+    return out.select(*cols)

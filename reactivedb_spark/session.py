@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the test/bench environment.
+
+local[N] single-JVM testing, but every config here is also the right
+default on a real cluster (AQE, skew-join handling, UTC timestamps,
+Arrow for the Pandas-UDF paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "reactivedb_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism; shuffle partitions
+    are sized to cores for local mode (on a cluster you'd size them to
+    data volume / target ~128MB per partition instead).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Declared contract (SURVEY.md Appendix A #6): non-ANSI arithmetic —
+        # div-by-zero yields NULL, integer overflow wraps like the
+        # reference's Rust isize ops.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,13 @@
+import pytest
+
+from reactivedb_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    return get_spark("reactivedb_spark_tests", cpus=4)
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    return str(tmp_path / "ws")

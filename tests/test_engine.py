@@ -1,0 +1,178 @@
+"""Engine tests replicating the reference's golden scenarios
+(reactive_db/src/tests/database_test.rs; usage_example.rs; SURVEY.md §5 /
+FIXTURES.md Part 1)."""
+
+import random
+from decimal import Decimal
+
+import pytest
+
+from reactivedb_spark import Engine
+
+TEST_CFG = {
+    "tables": [
+        {"Source": {"name": "testTable",
+                    "columns": {"testForIndex": "Integer", "testForIteration": "Integer"}}},
+        {"Derived": {"name": "derived",
+                     "transform_definition": {"FunctionTransform": {
+                         "source_table": "testTable",
+                         "functions": ["newColumn ~ testForIteration + 2"]}}}},
+        {"Derived": {"name": "filterTest",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "testTable",
+                         "filter": "(testForIndex < 11) && (testForIteration > 14)"}}}},
+    ]
+}
+
+USERS_CFG = {
+    "tables": [
+        {"Source": {"name": "users", "columns": {"name": "Str", "age": "Integer"}}},
+        {"Source": {"name": "grades", "columns": {"name": "Str", "grade": "Integer"}}},
+        {"Derived": {"name": "unionTest",
+                     "transform_definition": {"UnionTransform": {
+                         "tables_and_foreign_keys": [["users", "name"], ["grades", "name"]]}}}},
+        {"Derived": {"name": "aggregationTest",
+                     "transform_definition": {"AggregationTransform": {
+                         "source_table": "grades",
+                         "aggregated_column": "name",
+                         "functions": ["count ~ memo.count + 1.0",
+                                       "sum ~ memo.sum + grade",
+                                       "average ~ memo.sum/memo.count"]}}}},
+    ]
+}
+
+
+class TestReferenceScenarios:
+    """database_test.rs:18-173, run batched."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark, tmp_path_factory):
+        eng = Engine(spark, TEST_CFG, workspace=str(tmp_path_factory.mktemp("ws")))
+        rng = random.Random(42)
+        rows = [{"testForIndex": rng.randint(0, 9), "testForIteration": i}
+                for i in range(29)]
+        eng.insert("testTable", rows)
+        return eng
+
+    def test_insert_many_fetch_one(self, engine):
+        row = engine.find_one("testTable", "testForIteration", 15)
+        assert row is not None and row["testForIteration"] == 15
+        # derived FunctionTransform row via _sourceEntryId provenance
+        # (database_test.rs:60-80)
+        drow = engine.find_one("derived", "_sourceEntryId", row["_entryId"])
+        assert drow is not None and drow["newColumn"] == 17
+
+    def test_less_than_strict(self, engine):
+        got = [r["testForIteration"]
+               for r in engine.less_than("testTable", "testForIteration", 5).collect()]
+        assert got == [0, 1, 2, 3, 4]  # strict <, ascending index order
+
+    def test_greater_than_inclusive(self, engine):
+        got = [r["testForIteration"]
+               for r in engine.greater_than("testTable", "testForIteration", 10).collect()]
+        assert got == list(range(10, 29))  # inclusive >=
+
+    def test_filter_transform(self, engine):
+        rows = engine.table("filterTest").collect()
+        assert all(r["testForIndex"] < 11 and r["testForIteration"] > 14 for r in rows)
+        assert len(rows) == 14  # iterations 15..28 (all indexes are < 11)
+
+    def test_derived_projection_only_assigned_columns(self, engine):
+        # FunctionTransform is a projection, not an extend (transform.rs:128-148)
+        cols = set(engine.table("derived").columns)
+        assert cols == {"_entryId", "_sourceEntryId", "newColumn"}
+
+
+class TestUsageExample:
+    """usage_example.rs:7-52 / examples/sample.py:8-26."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark, tmp_path_factory):
+        eng = Engine(spark, USERS_CFG, workspace=str(tmp_path_factory.mktemp("ws")))
+        eng.insert("users", [{"name": "Alex", "age": 22}])
+        eng.insert("grades", [{"name": "Alex", "grade": 95}])
+        return eng
+
+    def test_union_merges_on_matching_key(self, engine):
+        rows = engine.table("unionTest").collect()
+        assert len(rows) == 1
+        r = rows[0].asDict()
+        assert r["matchingKey"] == "Alex" and r["age"] == 22 and r["grade"] == 95
+        assert "name" not in r  # fk column renamed away (transform.rs:209-215)
+
+    def test_aggregation(self, engine):
+        r = engine.find_one("aggregationTest", "aggregatedColumn", "Alex")
+        assert r["count"] == Decimal("1")
+        assert r["sum"] == 95
+        assert r["average"] == Decimal("95")
+
+    def test_aggregation_updates_in_place(self, spark, tmp_path_factory):
+        eng = Engine(spark, USERS_CFG, workspace=str(tmp_path_factory.mktemp("ws2")))
+        eng.insert("grades", [{"name": "B", "grade": 10}])
+        eng.insert("grades", [{"name": "B", "grade": 20}])
+        rows = eng.table("aggregationTest").filter("aggregatedColumn = 'B'").collect()
+        assert len(rows) == 1  # group row replaced, not duplicated
+        r = rows[0].asDict()
+        assert r["count"] == Decimal("2") and r["sum"] == 30 and r["average"] == Decimal("15")
+
+    def test_union_last_writer_wins_per_column(self, spark, tmp_path_factory):
+        eng = Engine(spark, USERS_CFG, workspace=str(tmp_path_factory.mktemp("ws3")))
+        eng.insert("users", [{"name": "C", "age": 30}])
+        eng.insert("grades", [{"name": "C", "grade": 50}])
+        eng.insert("users", [{"name": "C", "age": 31}])  # later write wins for age
+        rows = eng.table("unionTest").filter("matchingKey = 'C'").collect()
+        assert len(rows) == 1
+        r = rows[0].asDict()
+        assert r["age"] == 31 and r["grade"] == 50  # grade survives (per-column LWW)
+
+
+class TestDeleteCascadeAndListen:
+    def test_cascading_delete(self, spark, workspace):
+        eng = Engine(spark, USERS_CFG, workspace=workspace)
+        eng.insert("users", [{"name": "D", "age": 40}])
+        eng.insert("grades", [{"name": "D", "grade": 70}, {"name": "E", "grade": 80}])
+        assert eng.table("unionTest").count() == 2
+        report = eng.delete("grades", "name", "D")
+        assert report["grades"].num_deleted == 1
+        # aggregation group for D vanishes; E survives
+        aggs = {r["aggregatedColumn"] for r in eng.table("aggregationTest").collect()}
+        assert aggs == {"E"}
+
+    def test_listen_events(self, spark, workspace):
+        eng = Engine(spark, TEST_CFG, workspace=workspace)
+        seen = []
+        eng.listen("derived", "Insert", lambda df: seen.append(df.count()))
+        eng.insert("testTable", [{"testForIndex": 1, "testForIteration": 10},
+                                 {"testForIndex": 2, "testForIteration": 20}])
+        assert seen == [2]  # one batch event with both derived rows
+
+    def test_schema_mismatch_rejected(self, spark, workspace):
+        from reactivedb_spark.errors import SchemaMismatchError
+
+        eng = Engine(spark, TEST_CFG, workspace=workspace)
+        with pytest.raises(SchemaMismatchError):
+            eng.insert("testTable", [{"nope": 1}])
+
+
+class TestActionTransform:
+    def test_action_grade_minus_10(self, spark, workspace):
+        # mirrors workspace/test_action.py:5-8 (grade -= 10)
+        cfg = {
+            "tables": [
+                {"Source": {"name": "grades", "columns": {"name": "Str", "grade": "Integer"}}},
+                {"Derived": {"name": "actionTest",
+                             "transform_definition": {"ActionTransform": {
+                                 "name": "TestAction", "source_table": "grades"}}}},
+            ]
+        }
+
+        def batch_minus_10(pdf):
+            out = pdf.copy()
+            out["grade"] = out["grade"] - 10
+            return out
+
+        eng = Engine(spark, cfg, workspace=workspace,
+                     actions={"TestAction": batch_minus_10})
+        eng.insert("grades", [{"name": "A", "grade": 95}])
+        r = eng.find_one("actionTest", "name", "A")
+        assert r["grade"] == 85
