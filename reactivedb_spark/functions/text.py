@@ -1,0 +1,91 @@
+"""Text-analysis column functions for large-scale corpus processing.
+
+All of these are pure ``pyspark.sql.functions`` column expressions — JVM
+whole-stage-codegen, no Python in the hot path — and each has an exact
+ANSI-SQL twin used by the DuckDB oracle (see suite/scale.py). Determinism
+across engines is part of the design: counting is done with
+length/replace arithmetic and single-division doubles, never
+locale/regex-dialect-sensitive constructs (except explicitly portable
+character classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Marker-word sets per language for the n-gram/stopword language-ID
+# heuristic. Scoring = total characters removed when deleting the padded
+# markers — portable to any SQL engine via length/replace.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " a ", " and ", " of "],
+    "de": [" der ", " die ", " und ", " das "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " los ", " y ", " una "],
+    "zh": [" de ", " shi ", " le ", " zai "],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def _padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), col, F.lit(" "))
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Marker mass for one language: chars removed by deleting markers."""
+    padded = _padded(col)
+    stripped = padded
+    for marker in LANG_MARKERS[lang]:
+        stripped = F.replace(stripped, F.lit(marker), F.lit(" "))
+    return (F.length(padded) - F.length(stripped)).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language with deterministic tie-break order (LANG_ORDER);
+    'und' when no marker hits at all."""
+    scores = {lang: lang_score(col, lang) for lang in LANG_ORDER}
+    total = None
+    for s in scores.values():
+        total = s if total is None else total + s
+    result = F.lit("und")
+    # build reversed CASE chain: first lang in LANG_ORDER wins ties
+    for lang in reversed(LANG_ORDER):
+        cond = F.lit(True)
+        for other in LANG_ORDER:
+            if other != lang:
+                # >= for langs later in order, > for earlier → first-wins
+                earlier = LANG_ORDER.index(other) < LANG_ORDER.index(lang)
+                cond = cond & (
+                    (scores[lang] > scores[other]) if earlier else (scores[lang] >= scores[other])
+                )
+        result = F.when((total > 0) & cond, F.lit(lang)).otherwise(result)
+    return result
+
+
+def token_count(col: Column) -> Column:
+    """Token count for single-space-separated text: separators + 1."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(" "), F.lit(""))) + 1).cast("long")
+
+
+def avg_token_len(col: Column) -> Column:
+    return F.length(F.replace(col, F.lit(" "), F.lit(""))).cast("double") / token_count(
+        col
+    ).cast("double")
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Share of [a-z ] characters (portable regex class)."""
+    kept = F.length(F.regexp_replace(col, "[^a-z ]", ""))
+    return kept.cast("double") / F.length(col).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Toy quality heuristic: saturating length term + alpha purity —
+    the shape of a Gopher/C4-style quality filter, kept deterministic."""
+    n = token_count(col).cast("double")
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    return len_term * F.lit(0.5) + alpha_ratio(col) * F.lit(0.5)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of case/whitespace-normalized text."""
+    return F.md5(F.lower(F.trim(col)))

@@ -83,19 +83,27 @@ def apply_delta(
     out_fields = [f for f in out_schema.fields if f.name != C.ENTRY_ID]
     result_schema = T.StructType(out_fields)
     business = [f.name for f in out_fields if f.name not in C.SYSTEM_COLUMNS]
+    # Capture only plain values/functions in the worker closure — no
+    # package classes/exceptions, so workers never need to import
+    # reactivedb_spark (it may not be on their sys.path).
     batch_fn = action.batch_fn
+    action_name = action.name
+    src_col, seq_col = C.SOURCE_ENTRY_ID, C.SEQ
+    ordered = [f.name for f in out_fields]
 
     def run(batches):
+        import pandas as _pd
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = batch_fn(pdf.drop(columns=[C.SOURCE_ENTRY_ID, C.SEQ], errors="ignore"))
-            if not isinstance(out, pd.DataFrame):
-                raise ConfigError(f"action {action.name!r} must return a DataFrame")
+            out = batch_fn(pdf.drop(columns=[src_col, seq_col], errors="ignore"))
+            if not isinstance(out, _pd.DataFrame):
+                raise ValueError(f"action {action_name!r} must return a DataFrame")
             out = out.reindex(columns=business)
-            out[C.SOURCE_ENTRY_ID] = pdf[C.SOURCE_ENTRY_ID].values
-            out[C.SEQ] = pdf[C.SEQ].values
-            yield out[[f.name for f in out_fields]]
+            out[src_col] = pdf[src_col].values
+            out[seq_col] = pdf[seq_col].values
+            yield out[ordered]
 
     prepared = delta.withColumn(C.SOURCE_ENTRY_ID, F.col(C.ENTRY_ID)).drop(C.ENTRY_ID)
     return prepared.mapInPandas(run, schema=result_schema)

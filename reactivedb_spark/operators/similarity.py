@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Engine-portable determinism is the design constraint (results must
+hash-match a DuckDB oracle): element values go float → double →
+``DECIMAL(12,8)`` once, and every reduction (dot products, norms) is a
+**decimal sum — exact and order-independent** — so partition order can
+never change a result bit. Only the final cosine is computed in doubles
+(single deterministic expression). The float→decimal path deliberately
+routes through double: DuckDB's float→decimal cast multiplies in float
+precision and loses digits.
+
+Two search paths:
+
+- ``cosine_topk``: brute-force scan against one query vector — a narrow
+  map + one broadcast join; linear in corpus size, the right baseline at
+  any scale.
+- ``lsh_buckets`` / ``cosine_pairs``: random-hyperplane LSH (signs derived
+  from md5, so any SQL engine can reproduce them) buckets vectors by the
+  sign pattern of 8 projections; near-dup search only pairs bucket-mates —
+  the scale path (shuffle on bucket key instead of O(n²)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+
+N_PLANES = 8
+_ELEM_DEC = "decimal(12,8)"
+
+
+def plane_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from md5("p{i}_{j}") first hex char high bit —
+    reproducible in any engine with md5()."""
+    return 1 if hashlib.md5(f"p{i}_{j}".encode()).hexdigest()[0] in "89abcdef" else -1
+
+
+def exploded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, j [1-based], xd decimal) element rows."""
+    return df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        F.col(id_col),
+        (F.col("pos") + 1).cast("int").alias("j"),
+        F.col("x").cast("double").cast(_ELEM_DEC).alias("xd"),
+    )
+
+
+def norms2(elem: DataFrame, id_col: str) -> DataFrame:
+    return elem.groupBy(id_col).agg(F.sum(F.col("xd") * F.col("xd")).alias("n2"))
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10) -> DataFrame:
+    """Top-k rows by cosine similarity to the row with ``id == query_id``
+    (query row excluded); ties broken by id ascending."""
+    elem = exploded(df, id_col, vec_col)
+    q = elem.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col("j"), F.col("xd").alias("qd")
+    )
+    dots = (
+        elem.filter(F.col(id_col) != F.lit(query_id))
+        .join(F.broadcast(q), "j")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("xd") * F.col("qd")).alias("dot"),
+            F.sum(F.col("xd") * F.col("xd")).alias("n2"),
+        )
+    )
+    qn = norms2(elem.filter(F.col(id_col) == F.lit(query_id)), id_col).select(
+        F.col("n2").alias("qn2")
+    )
+    out = dots.crossJoin(F.broadcast(qn)).select(
+        F.col(id_col),
+        # round(9): decimal→double conversion may differ by 1 ulp between
+        # engines; 9 decimals is far above the ulp and far below any
+        # meaningful similarity difference
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double"))),
+            9,
+        ).alias("cos_sim"),
+    )
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane bucket signature per vector: one narrow explode,
+    one broadcast join with the (plane, dim, sign) constants, one hash
+    aggregation."""
+    spark = df.sparkSession
+    dims = len(df.select(vec_col).first()[0])
+    signs = spark.createDataFrame(
+        [(i, j, plane_sign(i, j)) for i in range(1, planes + 1) for j in range(1, dims + 1)],
+        "i int, j int, sign int",
+    )
+    elem = exploded(df, id_col, vec_col)
+    joined = elem.join(F.broadcast(signs), "j")
+    aggs = [
+        F.sum(F.when(F.col("i") == i, F.col("sign") * F.col("xd"))).alias(f"d{i}")
+        for i in range(1, planes + 1)
+    ]
+    dots = joined.groupBy(id_col).agg(*aggs)
+    bucket = F.concat(
+        *[F.when(F.col(f"d{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(1, planes + 1)]
+    )
+    return dots.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(doc_a, doc_b, cos_sim) for pairs sharing an LSH bucket (a < b)."""
+    buckets = lsh_buckets(df, id_col, vec_col)
+    a = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    elem = exploded(df, id_col, vec_col)
+    n2 = norms2(elem, id_col)
+    ea = elem.select(F.col(id_col).alias("doc_a"), "j", F.col("xd").alias("xa"))
+    eb = elem.select(F.col(id_col).alias("doc_b"), "j", F.col("xd").alias("xb"))
+    dots = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = n2.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("na2"))
+    nb = n2.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+                9,
+            ).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,345 @@
+"""Parity queries: the reference's operator inventory (SURVEY.md §2)
+exercised over the TPC-H-ish fixtures, each with a DuckDB oracle.
+
+Determinism across engines (what makes the value hashes match):
+- per-row double arithmetic uses the same operation order on both sides
+  (IEEE doubles → bit-identical);
+- every aggregate over fractional values sums **decimals** (exact,
+  order-independent) — never raw doubles;
+- timestamps are NTZ → DATE casts are timezone-independent; nothing
+  finer than DATE is emitted;
+- uuid system columns never appear in compared output.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reactivedb_spark.config import AggregationTransformConfig, UnionTransformConfig
+from reactivedb_spark.engine import Engine
+from reactivedb_spark.expr import compile_expr, parse_statement
+from reactivedb_spark.operators import action as action_op
+from reactivedb_spark.operators import aggregation as agg_op
+from reactivedb_spark.operators import union as union_op
+from reactivedb_spark.suite._common import load
+from reactivedb_spark import constants as C
+
+
+def _dsl_select(df: DataFrame, keys: list[str], statements: list[str]) -> DataFrame:
+    """FunctionTransform core: compile DSL assignments against the input
+    schema (transform.rs:128-148 semantics, minus system columns)."""
+    cols = [F.col(k) for k in keys]
+    for s in statements:
+        st = parse_statement(s)
+        cols.append(compile_expr(st.expr, df.schema).col.alias(st.dest))
+    return df.select(*cols)
+
+
+# -- FunctionTransform --------------------------------------------------------
+
+def q_function_transform(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return _dsl_select(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        [
+            "gross ~ l_extendedprice * (1 + l_tax)",
+            "disc_price ~ l_extendedprice * (1 - l_discount)",
+            "qty_bucket ~ l_quantity / 10",
+            "half_line ~ l_linenumber / 2",
+        ],
+    )
+
+
+SQL_FUNCTION_TRANSFORM = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 + l_tax) AS gross,
+       l_extendedprice * (1 - l_discount) AS disc_price,
+       l_quantity / 10 AS qty_bucket,
+       CAST(l_linenumber // 2 AS BIGINT) AS half_line
+FROM lineitem
+"""
+
+
+# -- FilterTransform ----------------------------------------------------------
+
+def q_filter_transform(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    st = parse_statement('(o_totalprice > 150000.0) && (o_orderstatus == "O")')
+    pred = compile_expr(st.expr, o.schema).col
+    return o.filter(pred).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+SQL_FILTER_TRANSFORM = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+"""
+
+
+# -- UnionTransform -----------------------------------------------------------
+
+def q_union_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """customer ∪ orders merged by custkey with per-column last-writer-wins;
+    sequencing makes "last" = highest orderkey, so the oracle is a full
+    outer join against each customer's latest order."""
+    from pyspark.sql import types as T
+
+    cust = load(spark, sf, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias(C.ENTRY_ID),
+        F.lit(0).cast("long").alias(C.SEQ),
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    orders = load(spark, sf, "orders").select(
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias(C.ENTRY_ID),
+        (F.col("o_orderkey") + 1).cast("long").alias(C.SEQ),
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+    )
+    cfg = UnionTransformConfig((("customer", "c_custkey"), ("orders", "o_custkey")))
+    out_schema = union_op.output_schema(
+        cfg, {"customer": cust.schema, "orders": orders.schema}
+    )
+    nc = union_op.normalize_delta(cfg, "customer", cust, out_schema)
+    no = union_op.normalize_delta(cfg, "orders", orders, out_schema)
+    merged = union_op.merge(nc, no, out_schema)
+    return merged.select(
+        F.col(C.MATCHING_KEY).alias("matchingKey"),
+        "c_name", "c_acctbal", "c_mktsegment",
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+    )
+
+
+SQL_UNION_TRANSFORM = """
+WITH latest AS (
+  SELECT * FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+)
+SELECT COALESCE(c.c_custkey, l.o_custkey) AS "matchingKey",
+       c.c_name, c.c_acctbal, c.c_mktsegment,
+       l.o_orderkey, l.o_totalprice, l.o_orderstatus
+FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.o_custkey
+"""
+
+
+# -- AggregationTransform -----------------------------------------------------
+
+def q_aggregation_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """memo-fold aggregation over lineitem by orderkey, compiled through
+    the engine's decomposable-aggregate path (sum/count map to native
+    partial aggregates)."""
+    li = load(spark, sf, "lineitem").select(
+        F.concat(F.lit("l"), F.col("l_orderkey"), F.lit("_"), F.col("l_linenumber")).alias(C.ENTRY_ID),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias(C.SEQ),
+        "l_orderkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty_dec"),
+    )
+    cfg = AggregationTransformConfig(
+        "lineitem",
+        "l_orderkey",
+        tuple(parse_statement(s) for s in
+              ["n_rows ~ memo.n_rows + 1", "sum_qty ~ memo.sum_qty + qty_dec"]),
+    )
+    out = agg_op.compute_groups(cfg, li)
+    return out.select(
+        F.col(C.AGGREGATED_COLUMN).alias("l_orderkey"),
+        "n_rows",
+        "sum_qty",
+        (F.col("sum_qty").cast("double") / F.col("n_rows")).alias("avg_qty"),
+    )
+
+
+SQL_AGGREGATION_TRANSFORM = """
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,18)) AS sum_qty,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,18)) AS DOUBLE)
+         / CAST(count(*) AS BIGINT) AS avg_qty
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# -- query verbs --------------------------------------------------------------
+
+def q_find_one(spark: SparkSession, sf: str) -> DataFrame:
+    # unique key → limit(1) is deterministic (Appendix A #10 caveat avoided)
+    return (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(1)
+    )
+
+
+SQL_FIND_ONE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey = 42
+"""
+
+
+def q_get_all(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") == 42)
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_linestatus",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+    )
+
+
+SQL_GET_ALL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+       l_extendedprice, l_returnflag, l_linestatus,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem WHERE l_orderkey = 42
+"""
+
+
+def q_less_than(spark: SparkSession, sf: str) -> DataFrame:
+    # strict < (database.rs:70)
+    return (
+        load(spark, sf, "orders")
+        .filter(F.col("o_totalprice") < 50000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_LESS_THAN = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 50000.0"
+
+
+def q_greater_than(spark: SparkSession, sf: str) -> DataFrame:
+    # inclusive >= (btree.rs:200-223)
+    return (
+        load(spark, sf, "orders")
+        .filter(F.col("o_totalprice") >= 400000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_GREATER_THAN = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 400000.0"
+
+
+# -- delete cascade (full engine end-to-end) ----------------------------------
+
+CUSTOMER_ENGINE_CFG = {
+    "tables": [
+        {"Source": {"name": "customer", "columns": {
+            "c_custkey": "Integer", "c_name": "Str", "c_nationkey": "Integer",
+            "c_acctbal": "Float", "c_mktsegment": "Str"}}},
+        {"Derived": {"name": "positive_bal",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "customer",
+                         "filter": "c_acctbal > 0.0"}}}},
+    ]
+}
+
+
+def q_delete_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Full engine: bulk-insert customers, delete nation 5, read the
+    derived filter table — cascade by provenance (transform_hook.rs:56-64)."""
+    eng = Engine(spark, CUSTOMER_ENGINE_CFG,
+                 workspace=tempfile.mkdtemp(prefix="rdb_cascade_"))
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long"),
+        "c_name",
+        F.col("c_nationkey").cast("long"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    eng.insert_df("customer", cust)
+    eng.delete("customer", "c_nationkey", 5)
+    return eng.table("positive_bal").select("c_custkey", "c_name", "c_acctbal")
+
+
+SQL_DELETE_CASCADE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_acctbal > 0.0 AND c_nationkey <> 5
+"""
+
+
+# -- ActionTransform (Arrow-batched Python UDF path) --------------------------
+
+def q_action_transform(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias(C.ENTRY_ID),
+        F.col("event_id").alias(C.SEQ),
+        "event_id", "user_id", "value",
+    )
+
+    def penalize(pdf):
+        out = pdf.copy()
+        out["value"] = out["value"] - 10.0
+        return out
+
+    act = action_op.Action("penalize", penalize)
+    from reactivedb_spark.config import ActionTransformConfig
+
+    cfg = ActionTransformConfig("penalize", "events")
+    out_schema = action_op.output_schema(cfg, act, ev.schema)
+    out = action_op.apply_delta(cfg, act, ev, out_schema)
+    return out.select("event_id", "user_id", F.col("value").alias("value_adj"))
+
+
+SQL_ACTION_TRANSFORM = """
+SELECT event_id, user_id, "value" - 10.0 AS value_adj FROM events
+"""
+
+
+# -- expression DSL surface ---------------------------------------------------
+
+def q_expr_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    return _dsl_select(
+        p,
+        ["p_partkey"],
+        [
+            "half_size ~ p_size / 2",
+            'label ~ p_brand + "#" + p_type',
+            "pw ~ p_size ^ 2",
+            "is_big ~ (p_size >= 25) && (p_retailprice > 1500.0)",
+        ],
+    )
+
+
+SQL_EXPR_ARITHMETIC = """
+SELECT p_partkey,
+       CAST(p_size // 2 AS BIGINT) AS half_size,
+       p_brand || '#' || p_type AS label,
+       power(p_size, 2) AS pw,
+       (p_size >= 25) AND (p_retailprice > 1500.0) AS is_big
+FROM part
+"""
+
+
+QUERIES = {
+    "function_transform": q_function_transform,
+    "filter_transform": q_filter_transform,
+    "union_transform": q_union_transform,
+    "aggregation_transform": q_aggregation_transform,
+    "find_one": q_find_one,
+    "get_all": q_get_all,
+    "less_than": q_less_than,
+    "greater_than": q_greater_than,
+    "delete_cascade": q_delete_cascade,
+    "action_transform": q_action_transform,
+    "expr_arithmetic": q_expr_arithmetic,
+}
+
+ORACLES = {
+    "function_transform": SQL_FUNCTION_TRANSFORM,
+    "filter_transform": SQL_FILTER_TRANSFORM,
+    "union_transform": SQL_UNION_TRANSFORM,
+    "aggregation_transform": SQL_AGGREGATION_TRANSFORM,
+    "find_one": SQL_FIND_ONE,
+    "get_all": SQL_GET_ALL,
+    "less_than": SQL_LESS_THAN,
+    "greater_than": SQL_GREATER_THAN,
+    "delete_cascade": SQL_DELETE_CASCADE,
+    "action_transform": SQL_ACTION_TRANSFORM,
+    "expr_arithmetic": SQL_EXPR_ARITHMETIC,
+}

@@ -1,0 +1,454 @@
+"""Training-data-pipeline queries (dedup / similarity / text / multimodal /
+windows / streaming-ish event analytics) with DuckDB oracles.
+
+The oracle SQL for the hash-heavy operators (minhash, simhash, LSH planes,
+language scores) is **generated from the same Python constants** the Spark
+operators use, so both engines compute literally the same formula; md5-hex
+strings are the only hash primitive (portable everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from reactivedb_spark.functions import multimodal, text as textfns
+from reactivedb_spark.functions.text import LANG_MARKERS, LANG_ORDER
+from reactivedb_spark.operators import dedup, similarity
+from reactivedb_spark.suite._common import load
+
+EMB_DIM = 64
+HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id,
+       md5(lower(trim(text))) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(lower(trim(text)))
+"""
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+)
+"""
+
+_SIG_CTE = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('s{i}_' || token)) AS mh{i}" for i in range(1, dedup.MINHASH_K + 1))
+    + " FROM tok GROUP BY doc_id)"
+)
+
+_ROWS_PER_BAND = dedup.MINHASH_K // dedup.LSH_BANDS
+_BANDED_CTE = (
+    "banded AS (SELECT doc_id, "
+    + ", ".join(
+        "md5("
+        + " || ".join(f"mh{b * _ROWS_PER_BAND + r + 1}" for r in range(_ROWS_PER_BAND))
+        + f") AS band{b + 1}"
+        for b in range(dedup.LSH_BANDS)
+    )
+    + " FROM sig)"
+)
+
+_PAIRS_CTE = (
+    "pairs AS ("
+    + " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a "
+        f"JOIN banded b ON a.band{b + 1} = b.band{b + 1} AND a.doc_id < b.doc_id"
+        for b in range(dedup.LSH_BANDS)
+    )
+    + ")"
+)
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_signatures(load(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_MINHASH = (
+    "WITH " + _TOK_CTE + ", " + _SIG_CTE + " SELECT * FROM sig"
+)
+
+
+def q_dedup_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.lsh_candidates(load(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_LSH_CANDIDATES = (
+    "WITH " + _TOK_CTE + ", " + _SIG_CTE + ", " + _BANDED_CTE + ", " + _PAIRS_CTE
+    + " SELECT doc_a, doc_b FROM pairs"
+)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.jaccard_pairs(load(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_JACCARD = (
+    "WITH " + _TOK_CTE + ", " + _SIG_CTE + ", " + _BANDED_CTE + ", " + _PAIRS_CTE + """,
+tokd AS (SELECT DISTINCT doc_id, token FROM tok),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tokd GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN tokd ta ON ta.doc_id = p.doc_a
+  JOIN tokd tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_SIMHASH = (
+    "WITH " + _TOK_CTE + f""",
+tokd AS (SELECT DISTINCT doc_id, token FROM tok),
+votes AS (
+  SELECT doc_id, g.j,
+         SUM(CASE WHEN substr(md5(token), g.j, 1) IN {HEX_HIGH_SQL} THEN 1 ELSE -1 END) AS s
+  FROM tokd, generate_series(1, {dedup.SIMHASH_BITS}) g(j)
+  GROUP BY doc_id, g.j)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+)
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ELEM_CTE = f"""
+elem AS (
+  SELECT vec_id, g.j, CAST(CAST(embedding[g.j] AS DOUBLE) AS DECIMAL(12,8)) AS xd
+  FROM embeddings, generate_series(1, {EMB_DIM}) g(j)
+)
+"""
+
+_PLANE_SUMS = ", ".join(
+    f"SUM(CASE WHEN substr(md5('p' || {i} || '_' || j), 1, 1) IN {HEX_HIGH_SQL} "
+    f"THEN xd ELSE -xd END) AS d{i}"
+    for i in range(1, similarity.N_PLANES + 1)
+)
+_BUCKET_EXPR = " || ".join(
+    f"(CASE WHEN d{i} > 0 THEN '1' ELSE '0' END)" for i in range(1, similarity.N_PLANES + 1)
+)
+_BUCKETS_CTE = (
+    f"dots AS (SELECT vec_id, {_PLANE_SUMS} FROM elem GROUP BY vec_id), "
+    f"buckets AS (SELECT vec_id, {_BUCKET_EXPR} AS bucket FROM dots)"
+)
+
+
+def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_topk(load(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=10)
+
+
+SQL_SIMILARITY_TOPK = (
+    "WITH " + _ELEM_CTE + """,
+q AS (SELECT j, xd AS qd FROM elem WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, SUM(e.xd * q.qd) AS dot, SUM(e.xd * e.xd) AS n2
+  FROM elem e JOIN q USING (j) WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+qn AS (SELECT SUM(qd * qd) AS qn2 FROM q)
+SELECT vec_id,
+       round(CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 9) AS cos_sim
+FROM d, qn
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+)
+
+
+def q_ann_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.lsh_buckets(load(spark, sf, "embeddings"), "vec_id", "embedding")
+
+
+SQL_ANN_BUCKETS = (
+    "WITH " + _ELEM_CTE + ", " + _BUCKETS_CTE + " SELECT vec_id, bucket FROM buckets"
+)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_pairs(load(spark, sf, "embeddings"), "vec_id", "embedding")
+
+
+SQL_EMBEDDING_NEAR_DUPS = (
+    "WITH " + _ELEM_CTE + ", " + _BUCKETS_CTE + """,
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+n2 AS (SELECT vec_id, SUM(xd * xd) AS n2 FROM elem GROUP BY vec_id),
+dotp AS (
+  SELECT c.doc_a, c.doc_b, SUM(ea.xd * eb.xd) AS dot
+  FROM cand c
+  JOIN elem ea ON ea.vec_id = c.doc_a
+  JOIN elem eb ON eb.vec_id = c.doc_b AND eb.j = ea.j
+  GROUP BY c.doc_a, c.doc_b)
+SELECT d.doc_a, d.doc_b,
+       round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 9) AS cos_sim
+FROM dotp d
+JOIN n2 na ON na.vec_id = d.doc_a
+JOIN n2 nb ON nb.vec_id = d.doc_b
+"""
+)
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def _lang_score_sql(lang: str) -> str:
+    expr = "(' ' || text || ' ')"
+    for m in LANG_MARKERS[lang]:
+        expr = f"replace({expr}, '{m}', ' ')"
+    return f"(length(' ' || text || ' ') - length({expr}))"
+
+
+def _lang_case_sql() -> str:
+    scores = {lang: f"s_{lang}" for lang in LANG_ORDER}
+    total = " + ".join(scores.values())
+    whens = []
+    for lang in LANG_ORDER:
+        conds = [f"({total}) > 0"]
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            op = ">" if LANG_ORDER.index(other) < LANG_ORDER.index(lang) else ">="
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", "lang", textfns.lang_id(F.col("text")).alias("pred_lang"))
+
+
+SQL_LANG_ID = (
+    "WITH scored AS (SELECT doc_id, lang, "
+    + ", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in LANG_ORDER)
+    + " FROM documents) SELECT doc_id, lang, "
+    + _lang_case_sql()
+    + " AS pred_lang FROM scored"
+)
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textfns.token_count(t).alias("n_tokens"),
+        textfns.avg_token_len(t).alias("avg_tok_len"),
+        textfns.alpha_ratio(t).alias("alpha_ratio"),
+        textfns.quality_score(t).alias("quality"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace,
+         CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio
+  FROM documents)
+SELECT doc_id, n_tokens,
+       n_nonspace / CAST(n_tokens AS DOUBLE) AS avg_tok_len,
+       alpha_ratio,
+       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + alpha_ratio * 0.5 AS quality
+FROM base
+"""
+
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").cast("long").alias("len_text"),
+        textfns.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS len_text,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        textfns.fingerprint(F.col("text")).alias("fp"),
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_fp"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fp, md5(substr(text, 1, 64)) AS prefix_fp
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# multimodal (binary payload plumbing; decode stubbed deterministically)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    d = multimodal.with_payload(load(spark, sf, "documents"), "text")
+    return multimodal.decode_metadata(d, "doc_id")
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       64 + (length(text) % 512) AS width,
+       64 + ((length(text) * 31 + ascii(substr(text, 1, 1))) % 512) AS height,
+       CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       CAST(length(text) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# windowing / ordered analytics (free in Spark, absent in the reference —
+# SURVEY.md §2.4 "absent operator classes")
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).cast("long").alias("rk")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+FROM orders
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")  # ts = int64 nanoseconds
+    return (
+        ev.groupBy(
+            F.expr("CAST(ts div 3600000000000 AS BIGINT)").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap splits a user's events."""
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flag = F.when(gap.isNull(), F.lit(0)).when(
+        gap > 1_800_000_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum(flag).over(run).cast("long").alias("session_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH o AS (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events),
+g AS (
+  SELECT event_id, user_id, tns,
+         CASE WHEN lag(tns) OVER w IS NULL THEN 0
+              WHEN tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS flag
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id))
+SELECT event_id, user_id,
+       CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_topk": q_similarity_topk,
+    "ann_buckets": q_ann_buckets,
+    "embedding_near_dups": q_embedding_near_dups,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+    "window_rank": q_window_rank,
+    "topk_orders": q_topk_orders,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "ann_buckets": SQL_ANN_BUCKETS,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "lang_id": SQL_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "fingerprint": SQL_FINGERPRINT,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "window_rank": SQL_WINDOW_RANK,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "sessionize": SQL_SESSIONIZE,
+}

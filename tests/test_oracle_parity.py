@@ -1,0 +1,79 @@
+"""Local mirror of the driver's correctness gate: run every declared query
+on Spark AND its DuckDB oracle at sf0.001 and require identical results
+(row count, column names, exact values after column-name + row sort).
+
+Exact equality (including doubles bit-for-bit) is intentional: the suite
+is engineered so both engines execute the same deterministic arithmetic;
+any drift is a real portability bug, not noise.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return val
+    return val
+
+
+def _rows(records, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for rec in records:
+        out.append(tuple(_canon(rec[i]) for i in order))
+    return sorted(out, key=repr)
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(name, spark, ddb):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    sql = entrymod.oracle_sql()[name]
+    res = ddb.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sc, dc = _rows(srows, scols), _rows(drows, dcols)
+    mismatches = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: "
+        f"spark={sc[mismatches[0]]} duckdb={dc[mismatches[0]]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"o_custkey", "n", "total"}
