@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared query suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "suite_wall", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Each query is forced through the **noop sink** (full plan execution, all
+columns materialized, nothing collected to the driver) — ``count()`` alone
+would let Catalyst prune the very projections being measured.
+
+``--micro`` additionally runs the reference-analogous micro-metric
+(BASELINE.md B3): single-row inserts through a 2-node derived DAG +
+point lookups. Spark trades per-row latency for batch throughput — the
+batch numbers are the ones that matter at 100 TB; both are recorded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    results: dict[str, float] = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        results[name] = round(time.perf_counter() - t0, 3)
+    return results
+
+
+def run_micro(spark) -> dict[str, float]:
+    """B3: mirrors reactivedb_rust_client/src/bin/benchmark.rs (1k inserts
+    into a 2-int-column table cascading through a Function + Filter DAG;
+    1k point lookups) — scaled to 100 sequential inserts + batch path."""
+    import tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {
+        "tables": [
+            {"Source": {"name": "testTable", "columns": {
+                "testForIndex": "Integer", "testForIteration": "Integer"}}},
+            {"Derived": {"name": "derived",
+                         "transform_definition": {"FunctionTransform": {
+                             "source_table": "testTable",
+                             "functions": ["newColumn ~ testForIteration + 2"]}}}},
+            {"Derived": {"name": "filterTest",
+                         "transform_definition": {"FilterTransform": {
+                             "source_table": "testTable",
+                             "filter": "testForIteration > 14"}}}},
+        ]
+    }
+    out: dict[str, float] = {}
+
+    eng = Engine(spark, cfg, workspace=tempfile.mkdtemp(prefix="rdb_micro_"))
+    n_single = 100
+    t0 = time.perf_counter()
+    for i in range(n_single):
+        eng.insert("testTable", [{"testForIndex": i % 10, "testForIteration": i}])
+    wall = time.perf_counter() - t0
+    out["single_insert_ms_per_row"] = round(wall / n_single * 1000, 1)
+
+    eng2 = Engine(spark, cfg, workspace=tempfile.mkdtemp(prefix="rdb_micro2_"))
+    rows = [{"testForIndex": i % 10, "testForIteration": i} for i in range(100_000)]
+    t0 = time.perf_counter()
+    eng2.insert("testTable", rows)
+    wall = time.perf_counter() - t0
+    out["batch_insert_rows_per_sec"] = round(100_000 / wall, 0)
+
+    t0 = time.perf_counter()
+    for i in range(100):
+        eng2.find_one("testTable", "testForIteration", i * 7)
+    out["point_lookup_ms"] = round((time.perf_counter() - t0) / 100 * 1000, 1)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from reactivedb_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()  # JVM warm-up
+
+    queries = run_suite(spark, sf_dir)
+    payload = {
+        "metric": "suite_wall",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+    if "--micro" in sys.argv:
+        payload["micro"] = run_micro(spark)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

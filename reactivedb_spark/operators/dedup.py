@@ -94,23 +94,40 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.0) -> DataFrame:
     """Exact token-set Jaccard on LSH candidates (LSH prune → exact verify).
 
+    Intersections are computed with ``array_intersect`` over per-doc token
+    sets — one row per candidate pair, O(|tokens|) hash-set work in the
+    JVM — instead of exploding a (pair × token) join, which at sf0.1
+    produced a ~24M-row intermediate and dominated the whole bench.
+    Pairs sharing no tokens are dropped (n_inter > 0).
+
     Returns (doc_a, doc_b, jaccard double)."""
     cand = lsh_candidates(df, id_col, text_col)
     tok = tokens(df, id_col, text_col, distinct=True)
-    sizes = tok.groupBy(id_col).agg(F.count("*").cast("long").alias("n_tok"))
-    ta = tok.select(F.col(id_col).alias("doc_a"), "token")
-    tb = tok.select(F.col(id_col).alias("doc_b"), "token")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
+    # 60-bit md5-derived token ids: long-array intersection is ~6× faster
+    # than string-array intersection at millions of pairs, and the id
+    # assignment (first 15 hex chars of md5) reproduces in any SQL engine.
+    tok_ids = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long").alias("tid"),
+    ).distinct()
+    sets = tok_ids.groupBy(id_col).agg(
+        F.collect_set("tid").alias("toks"), F.count("*").cast("long").alias("n_tok")
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("n_b"))
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n_tok").alias("n_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"), F.col("n_tok").alias("n_b")
+    )
+    # broadcast the per-doc sets (one row per doc — tiny next to the
+    # candidate-pair stream): the pair table then never shuffles and the
+    # arrays are never replicated through an exchange. At a scale where
+    # the doc-set side outgrows broadcast, bucket both sides by doc id.
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long"))
+        .filter(F.col("n_inter") > 0)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

@@ -96,19 +96,24 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DEDUP_JACCARD = (
     "WITH " + _TOK_CTE + ", " + _SIG_CTE + ", " + _BANDED_CTE + ", " + _PAIRS_CTE + """,
-tokd AS (SELECT DISTINCT doc_id, token FROM tok),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tokd GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+tids AS (
+  SELECT DISTINCT doc_id,
+         (('0x' || substr(md5(token), 1, 15))::BIGINT) AS tid
+  FROM tok),
+sets AS (
+  SELECT doc_id, list(DISTINCT tid) AS toks,
+         CAST(count(DISTINCT tid) AS BIGINT) AS n_tok
+  FROM tids GROUP BY doc_id),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+         sa.n_tok AS n_a, sb.n_tok AS n_b
   FROM pairs p
-  JOIN tokd ta ON ta.doc_id = p.doc_a
-  JOIN tokd tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
-  GROUP BY p.doc_a, p.doc_b)
-SELECT i.doc_a, i.doc_b,
-       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+FROM j WHERE n_inter > 0
 """
 )
 
