@@ -1,0 +1,64 @@
+"""Streaming mode: Structured Streaming drives the reactive DAG.
+
+The reference pushes every insert through the derived-table DAG eagerly
+and streams Insert/Delete events to subscribed clients
+(listener_hook.rs:56-84; SURVEY.md §2.3 / §3.3). Spark's natural shape
+for the same semantics is micro-batch: a streaming source feeds
+``foreachBatch``, each batch runs one engine commit (insert → topological
+DAG propagation → listener callbacks). Listeners therefore see exactly
+the reference's event stream, batched: per-batch at-least-once, in commit
+order — the declared contract (SURVEY.md §7 hard-problem #5; the
+reference itself is best-effort per row, listener_hook.rs:81 ignores send
+errors).
+
+Also provided: a watermarked tumbling-window aggregation helper — the
+event-time operator class the reference lacks entirely (SURVEY.md §2.4
+"absent operator classes"), exposed as a first-class streaming feature.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from reactivedb_spark.engine import Engine
+
+
+def stream_into(engine: Engine, table: str, stream_df: DataFrame,
+                checkpoint_dir: Optional[str] = None,
+                trigger_once: bool = False) -> StreamingQuery:
+    """Feed a streaming DataFrame into a source table: each micro-batch is
+    one engine commit (insert → DAG propagation → listen events).
+
+    Exactly-once note: the parquet-snapshot store is idempotent per batch
+    only if the checkpoint survives; with Delta state this would be a
+    transactional ``foreachBatch`` (txnAppId/txnVersion)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.insert_df(table, batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str, key_col: str,
+                    window: str = "1 hour", watermark: str = "10 minutes",
+                    value_col: Optional[str] = None) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    late rows beyond the watermark are dropped deterministically."""
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(*aggs)
+    )

@@ -9,13 +9,14 @@ nondeterminism (FP summation order, uuids, timestamps below µs) is
 designed out — see the determinism notes in each module.
 """
 
-from reactivedb_spark.suite import core, scale
+from reactivedb_spark.suite import core, olap, scale
 
 
 def all_queries():
     q = {}
     q.update(core.QUERIES)
     q.update(scale.QUERIES)
+    q.update(olap.QUERIES)
     return q
 
 
@@ -23,4 +24,5 @@ def all_oracles():
     o = {}
     o.update(core.ORACLES)
     o.update(scale.ORACLES)
+    o.update(olap.ORACLES)
     return o

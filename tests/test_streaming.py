@@ -1,0 +1,94 @@
+"""Streaming mode: file-source micro-batches drive the reactive DAG and
+listeners see the same events the batch engine would emit
+(SURVEY.md §2.3 Listen / §3.3)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from reactivedb_spark import Engine
+from reactivedb_spark.sources import stream_parquet_dir
+from reactivedb_spark.streaming import stream_into, windowed_counts
+
+CFG = {
+    "tables": [
+        {"Source": {"name": "events", "columns": {
+            "event_id": "Integer", "user_id": "Integer", "value": "Float"}}},
+        {"Derived": {"name": "big_events",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "events", "filter": "value > 10.0"}}}},
+        {"Derived": {"name": "per_user",
+                     "transform_definition": {"AggregationTransform": {
+                         "source_table": "events",
+                         "aggregated_column": "user_id",
+                         "functions": ["n ~ memo.n + 1", "total ~ memo.total + value"]}}}},
+    ]
+}
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+class TestStreamInto:
+    def test_microbatches_propagate_and_notify(self, spark, tmp_path):
+        eng = Engine(spark, CFG, workspace=str(tmp_path / "ws"))
+        insert_events, delete_events = [], []
+        eng.listen("big_events", "Insert", lambda df: insert_events.append(df.count()))
+        eng.listen("per_user", "Insert", lambda df: insert_events.append(df.count()))
+
+        src_dir = tmp_path / "incoming"
+        src_dir.mkdir()
+        # three files → three micro-batches (maxFilesPerTrigger=1)
+        rows = [(i, i % 3, float(i)) for i in range(30)]
+        for b in range(3):
+            spark.createDataFrame(rows[b * 10:(b + 1) * 10], SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src_dir))
+
+        stream = stream_parquet_dir(spark, str(src_dir), SCHEMA)
+        q = stream_into(eng, "events", stream,
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert eng.table("events").count() == 30
+        big = eng.table("big_events")
+        assert big.count() == 19  # values 11..29
+        per_user = {r["aggregatedColumn"]: (r["n"], r["total"])
+                    for r in eng.table("per_user").collect()}
+        assert per_user[0] == (10, sum(float(i) for i in range(0, 30, 3)))
+        assert len(per_user) == 3
+        # listener saw at least one batch per derived table, totals match
+        assert sum(insert_events) >= 19 + 3
+
+    def test_windowed_counts_with_watermark(self, spark, tmp_path):
+        src_dir = tmp_path / "wm"
+        src_dir.mkdir()
+        base = 1_700_000_000
+        rows = [(i, "a" if i % 2 else "b", base + i * 600) for i in range(12)]
+        df = spark.createDataFrame(rows, "id long, k string, epoch long").withColumn(
+            "ts", F.col("epoch").cast("timestamp")
+        )
+        df.coalesce(1).write.mode("append").parquet(str(src_dir))
+        schema = df.schema
+
+        stream = stream_parquet_dir(spark, str(src_dir), schema,
+                                    max_files_per_trigger=None)
+        agg = windowed_counts(stream, "ts", "k", window="1 hour",
+                              watermark="10 minutes")
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(f"wm_{int(time.time())}").start())
+        try:
+            q.processAllAvailable()
+            name = q.name
+        finally:
+            q.stop()
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+        assert sum(r["n"] for r in out) == 12
+        assert {r["k"] for r in out} == {"a", "b"}
