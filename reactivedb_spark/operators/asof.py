@@ -1,0 +1,84 @@
+"""As-of join — an ordered operator Spark has no native form of.
+
+``asof_join(left, right, ...)`` attaches, to every left row, the right
+row with the greatest time ≤ the left row's time, per key ("backward"
+as-of, inclusive). The classic uses: trades←quotes, events←latest
+dimension state, feature point-in-time correctness in training data.
+
+Implementation is the **union + ordered-window trick**, not a pandas
+``merge_asof``: tag both sides, union them, and carry the right side's
+values forward with ``last(ignorenulls)`` over a window ordered by
+(time, right-before-left); left rows then read the most recent right
+values. This keeps the whole operator in native window execution — one
+shuffle on the key, whole-stage codegen, no Python, and it scales to any
+partition-fitting key group (contrast: per-group ``applyInPandas`` pays
+Arrow transfer on the entire both sides).
+
+Right rows that tie on (key, time) are deduplicated first with an
+explicit tie-break column — required, so results are deterministic (the
+reference point: DuckDB's native ASOF JOIN, which the oracle uses).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    time_col: str,
+    value_cols: Sequence[str],
+    tie_break: Optional[str] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward inclusive as-of join.
+
+    Returns all left columns plus ``<value_col><suffix>`` for each right
+    value column (NULL when no right row is at-or-before the left time).
+    """
+    on = list(on)
+    if tie_break is not None:
+        w_dedup = W.partitionBy(*on, time_col).orderBy(F.col(tie_break).desc())
+        right = (
+            right.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    out_vals = [f"{v}{suffix}" for v in value_cols]
+    left_cols = left.columns
+
+    r_tagged = right.select(
+        *on,
+        F.col(time_col).alias(time_col),
+        F.lit(1).alias("_is_right"),
+        *[F.col(v).alias(ov) for v, ov in zip(value_cols, out_vals)],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in on and c != time_col],
+    )
+    l_tagged = left.select(
+        *on,
+        F.col(time_col),
+        F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(ov)
+          for v, ov in zip(value_cols, out_vals)],
+        *[F.col(c) for c in left_cols if c not in on and c != time_col],
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+
+    # right rows sort before left rows at equal time → inclusive (>=)
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col(time_col), F.col("_is_right").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "*", *[F.last(ov, ignorenulls=True).over(w).alias(f"_f_{ov}") for ov in out_vals]
+    )
+    return filled.filter(F.col("_is_right") == 0).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"_f_{ov}").alias(ov) for ov in out_vals],
+    )

@@ -27,9 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, types as T
 
 
 class ParquetSnapshotStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, compact_threshold: int = 64):
         self.spark = spark
         self.root = root
+        self.compact_threshold = compact_threshold
         self._schemas: dict[str, T.StructType] = {}
         self._versions: dict[str, int] = {}
         os.makedirs(root, exist_ok=True)
@@ -63,6 +64,54 @@ class ParquetSnapshotStore:
         path = os.path.join(self.root, "_staging", name, _uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.schema(self._schemas[name]).parquet(path)
+
+    def stage_count(self, path_or_df) -> int:
+        """Row count of a staged delta from parquet footers — no Spark job."""
+        import pyarrow.parquet as pq
+
+        files = getattr(path_or_df, "inputFiles", None)
+        paths = [p.replace("file:", "") for p in path_or_df.inputFiles()] if files else [path_or_df]
+        total = 0
+        for p in paths:
+            if os.path.isdir(p):
+                for f in os.listdir(p):
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(os.path.join(p, f)).num_rows
+            elif p.endswith(".parquet"):
+                total += pq.read_metadata(p).num_rows
+        return total
+
+    def append_delta(self, name: str, df: DataFrame) -> tuple[DataFrame | None, int]:
+        """Write a delta directly into the table's current version dir (one
+        write job — no staging double-write) and return (materialized
+        delta over exactly the new files, row count). Returns (None, 0)
+        for an empty delta; the count comes from parquet footers, not a
+        Spark job."""
+        path = self._dir(name)
+        os.makedirs(path, exist_ok=True)
+        before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+        df.select(*self._schemas[name].fieldNames()).write.mode("append").parquet(path)
+        new_files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and f not in before
+        ]
+        if not new_files:
+            return None, 0
+        import pyarrow.parquet as pq
+
+        n = sum(pq.read_metadata(f).num_rows for f in new_files)
+        if n == 0:
+            return None, 0
+        delta = self.spark.read.schema(self._schemas[name]).parquet(*new_files)
+        # auto-compaction (the Delta OPTIMIZE analogue): many small commits
+        # accumulate files and degrade every later scan. The returned delta
+        # stays valid — it reads the pre-compaction version dir, which
+        # replace() retains one generation back.
+        all_files = before | {os.path.basename(f) for f in new_files}
+        if len(all_files) > self.compact_threshold:
+            self.replace(name, self.read(name).coalesce(max(1, len(all_files) // 32)))
+        return delta, n
 
     def append(self, name: str, materialized: DataFrame) -> None:
         materialized.write.mode("append").parquet(self._dir(name))

@@ -92,12 +92,100 @@ GROUP BY n_name
 """
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """For each click event, the user's most recent purchase value at or
+    before the click (point-in-time feature join). Oracle: DuckDB's
+    native ASOF JOIN. Times compared at µs precision on both engines."""
+    from reactivedb_spark.operators.asof import asof_join
+
+    ev = load(spark, sf, "events")  # ts = int64 ns
+    base = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr("CAST(ts div 1000 AS BIGINT)").alias("tus"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tus", "value"
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tus", F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], time_col="tus",
+        value_cols=["purchase_value"], tie_break="p_event_id", suffix="",
+    )
+    return out.select("event_id", "user_id", "tus", "value", "purchase_value")
+
+
+SQL_ASOF_JOIN = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, "value", epoch_us(ts) AS tus FROM events),
+clicks AS (
+  SELECT event_id, user_id, tus, "value" FROM base WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, tus, "value" AS purchase_value, event_id FROM base
+  WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) = 1)
+SELECT c.event_id, c.user_id, c.tus, c."value", p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.tus >= p.tus
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation — absent in the reference
+    (SURVEY.md §2.4), native in Spark."""
+    o = load(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
+        )
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operator coverage: customers in BUILDING segment minus those
+    holding an order above 300k (EXCEPT = left_anti distinct)."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = orders.filter(F.col("o_totalprice") > 300000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.exceptAll(big.distinct()).distinct()
+
+
+SQL_SET_OPS = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+"""
+
+
 QUERIES = {
     "tpch_q1_like": q_tpch_q1_like,
     "revenue_by_nation": q_revenue_by_nation,
+    "asof_join": q_asof_join,
+    "rollup_orders": q_rollup_orders,
+    "set_ops": q_set_ops,
 }
 
 ORACLES = {
     "tpch_q1_like": SQL_TPCH_Q1_LIKE,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "asof_join": SQL_ASOF_JOIN,
+    "rollup_orders": SQL_ROLLUP_ORDERS,
+    "set_ops": SQL_SET_OPS,
 }
