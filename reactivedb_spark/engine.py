@@ -228,6 +228,23 @@ class Engine:
         return best
 
     # -- write path --------------------------------------------------------
+    def _commit(self, work) -> dict[str, Delta]:
+        """Atomic commit: on any failure mid-cascade every table reverts to
+        its pre-commit snapshot (the reference's TransactionManager
+        walk-back, database.rs:317-327) and listeners see nothing."""
+        self.store.begin_commit()
+        seq_before = self._seq
+        try:
+            report = work()
+        except Exception:
+            self.store.rollback()
+            self._seq = seq_before
+            raise
+        self.store.end_commit()
+        for table, d in report.items():
+            self._notify(table, d)
+        return report
+
     def insert(self, table: str, rows: list[dict]) -> dict[str, Delta]:
         """Insert rows into a source table; returns committed deltas for
         every table the cascade touched (reference returns all committed
@@ -249,11 +266,15 @@ class Engine:
             prepared.append(r)
         if not prepared:
             return {}
-        df = self._rows_to_df(prepared, st.schema)
-        delta, n = self.store.append_delta(table, df)
-        if delta is None:
-            return {}
-        return self._propagate({table: Delta(inserts=delta)})
+
+        def work():
+            df = self._rows_to_df(prepared, st.schema)
+            delta, _n = self.store.append_delta(table, df)
+            if delta is None:
+                return {}
+            return self._propagate({table: Delta(inserts=delta)})
+
+        return self._commit(work)
 
     def insert_df(self, table: str, df: DataFrame) -> dict[str, Delta]:
         """Bulk insert from a DataFrame (no driver round-trip). Intra-batch
@@ -272,15 +293,19 @@ class Engine:
             if b not in df.columns:
                 out = out.withColumn(b, F.lit(None).cast(st.schema[b].dataType))
         out = out.withColumn(C.SEQ, F.lit(base) + F.monotonically_increasing_id())
-        out = self._with_entry_id(out)
-        delta, n = self.store.append_delta(table, out)
-        if delta is None:
-            return {}
-        max_seq = self._max_seq_from_files(delta)
-        if max_seq is None:
-            max_seq = delta.agg(F.max(C.SEQ)).collect()[0][0] or base
-        self._seq = int(max_seq) + 1
-        return self._propagate({table: Delta(inserts=delta)})
+        prepared = self._with_entry_id(out)
+
+        def work():
+            delta, _n = self.store.append_delta(table, prepared)
+            if delta is None:
+                return {}
+            max_seq = self._max_seq_from_files(delta)
+            if max_seq is None:
+                max_seq = delta.agg(F.max(C.SEQ)).collect()[0][0] or base
+            self._seq = int(max_seq) + 1
+            return self._propagate({table: Delta(inserts=delta)})
+
+        return self._commit(work)
 
     def delete(self, table: str, column: str, key) -> dict[str, Delta]:
         """Delete all rows with ``column == key``; cascades downstream by
@@ -288,13 +313,16 @@ class Engine:
         st = self._state(table)
         if column not in st.schema.fieldNames():
             raise UnknownColumnError(f"{table}.{column}")
-        state = self.store.read(table)
-        cond = F.col(column) == F.lit(key)
-        deleted = self._stage_nonempty(table, state.filter(cond))
-        if deleted is None:
-            return {}
-        self.store.replace(table, state.filter(~cond | F.col(column).isNull()))
-        return self._propagate({table: Delta(deletes=deleted)})
+        def work():
+            state = self.store.read(table)
+            cond = F.col(column) == F.lit(key)
+            deleted = self._stage_nonempty(table, state.filter(cond))
+            if deleted is None:
+                return {}
+            self.store.replace(table, state.filter(~cond | F.col(column).isNull()))
+            return self._propagate({table: Delta(deletes=deleted)})
+
+        return self._commit(work)
 
     # -- propagation -------------------------------------------------------
     def _propagate(self, seed: dict[str, Delta]) -> dict[str, Delta]:
@@ -304,8 +332,7 @@ class Engine:
             d = incoming.pop(name, None)
             if d is None:
                 continue
-            report[name] = d
-            self._notify(name, d)
+            report[name] = d  # listeners are notified post-commit (_commit)
             st = self.tables[name]
             if len(st.children) > 1:
                 # sibling derived tables are independent — compute them as
@@ -404,15 +431,27 @@ class Engine:
                  for x in (d.inserts, d.deletes) if x is not None]
         keys = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         keys = keys.filter(F.col(C.AGGREGATED_COLUMN).isNotNull()).distinct()
-        parent_rows = self.store.read(parent)
-        affected = parent_rows.join(
-            F.broadcast(keys),
-            parent_rows[tr.aggregated_column] == keys[C.AGGREGATED_COLUMN],
-            "left_semi",
-        )
-        new_groups = agg_op.compute_groups(tr, affected)
-        staged = self._stage_nonempty(child, self._with_entry_id(new_groups))
         state = self.store.read(child)
+        plan = agg_op.classify(tr)
+        if plan is not None and d.deletes is None:
+            # decomposable + insert-only: merge delta partials into state,
+            # never touching the parent table (O(delta) per batch)
+            delta_groups = agg_op.compute_groups(tr, d.inserts)
+            state_affected = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
+            new_groups = agg_op.merge_with_state(
+                tr, state_affected, delta_groups, d.inserts.schema
+            )
+        else:
+            # general fold or deletes involved: re-aggregate affected keys
+            # from the parent (batched version of transform.rs:239)
+            parent_rows = self.store.read(parent)
+            affected = parent_rows.join(
+                F.broadcast(keys),
+                parent_rows[tr.aggregated_column] == keys[C.AGGREGATED_COLUMN],
+                "left_semi",
+            )
+            new_groups = agg_op.compute_groups(tr, affected)
+        staged = self._stage_nonempty(child, self._with_entry_id(new_groups))
         old = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
         old_staged = self._stage_nonempty(child, old)
         rest = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_anti")

@@ -1,0 +1,103 @@
+"""Wire format: the reference's length-prefixed JSON protocol.
+
+Framing: u32 big-endian byte length + UTF-8 JSON
+(reactive_db_python_client client.py:18-28; client_connection.rs:50-77).
+
+Values are tagged `EntryValue` objects (types.rs:24-33):
+``{"Integer": 5} {"Str": "x"} {"Bool": true} {"Decimal": "1.5"}
+{"ID": "<uuid>"} {"Array": [...]} {"Map": {...}}``. The reference Python
+client double-quotes Decimal payloads (communication_types.py:35-38) —
+we accept both forms.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+
+def read_frame(sock: socket.socket) -> dict | None:
+    header = _read_exact(sock, 4)
+    if header is None:
+        return None
+    (size,) = struct.unpack(">I", header)
+    body = _read_exact(sock, size)
+    if body is None:
+        return None
+    return json.loads(body.decode("utf-8"))
+
+
+def write_frame(sock: socket.socket, obj: dict) -> None:
+    body = json.dumps(obj).encode("utf-8")
+    sock.sendall(struct.pack(">I", len(body)) + body)
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def entry_value_to_python(v):
+    """Tagged EntryValue → Python value."""
+    if not isinstance(v, dict) or len(v) != 1:
+        raise ValueError(f"malformed EntryValue: {v!r}")
+    (tag, payload), = v.items()
+    if tag == "Integer":
+        return int(payload)
+    if tag in ("Str", "ID"):
+        return str(payload)
+    if tag == "Bool":
+        return bool(payload)
+    if tag == "Decimal":
+        s = str(payload).strip('"')
+        return Decimal(s)
+    if tag == "Array":
+        return [entry_value_to_python(x) for x in payload]
+    if tag == "Map":
+        return {k: entry_value_to_python(x) for k, x in payload.items()}
+    raise ValueError(f"unknown EntryValue tag: {tag!r}")
+
+
+def entry_to_python(entry: dict) -> dict:
+    return {k: entry_value_to_python(v) for k, v in entry.items()}
+
+
+def python_to_entry_value(value, dtype: T.DataType | None = None, col: str = ""):
+    """Python/Spark value → tagged EntryValue. ``_entryId``-style columns
+    serialize as ID (the reference types them ID)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return {"Bool": value}
+    if isinstance(value, int):
+        return {"Integer": value}
+    if isinstance(value, Decimal):
+        return {"Decimal": str(value)}
+    if isinstance(value, float):
+        # reference has no runtime Float (types.rs:28) — floats travel as
+        # Decimal strings, matching its Python client's convention
+        return {"Decimal": repr(value)}
+    if isinstance(value, str):
+        if col in ("_entryId", "_sourceEntryId"):
+            return {"ID": value}
+        return {"Str": value}
+    if isinstance(value, (list, tuple)):
+        return {"Array": [python_to_entry_value(x) for x in value]}
+    if isinstance(value, dict):
+        return {"Map": {k: python_to_entry_value(x) for k, x in value.items()}}
+    return {"Str": str(value)}
+
+
+def row_to_entry(row: dict) -> dict:
+    return {
+        k: python_to_entry_value(v, col=k) for k, v in row.items() if v is not None
+    }

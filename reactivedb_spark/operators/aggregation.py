@@ -105,6 +105,52 @@ def _last_agg(value: Column) -> Column:
     return F.max(F.struct(F.col(C.SEQ).alias("s"), value.alias("v")))["v"]
 
 
+def merge_with_state(
+    cfg: AggregationTransformConfig,
+    state_rows: DataFrame,
+    delta_groups: DataFrame,
+    parent_schema: T.StructType,
+) -> DataFrame:
+    """Incremental state merge for decomposable plans (insert-only delta):
+    new_sum = old_sum + delta_sum, last = delta's (strictly newer), posts
+    recomputed — **no parent re-scan**. This is the map-side-combine /
+    partial-aggregate pattern applied across batches; at cluster scale it
+    is the difference between O(delta) and O(affected groups × group
+    size) per micro-batch.
+    """
+    plan = classify(cfg)
+    assert plan is not None, "merge_with_state requires a decomposable plan"
+    mtypes = memo_types(cfg, parent_schema)
+    o = state_rows.select(
+        F.col(C.AGGREGATED_COLUMN).alias("_k"),
+        *[F.col(st.dest).alias(f"_o_{st.dest}") for st in cfg.functions],
+    )
+    merged = delta_groups.join(o, delta_groups[C.AGGREGATED_COLUMN] == o["_k"], "left")
+    cur: dict[str, Column] = {}
+    for st in cfg.functions:
+        kind, _term = plan[st.dest]
+        if kind == "sum":
+            cur[st.dest] = (
+                F.coalesce(F.col(f"_o_{st.dest}"), F.lit(0).cast(mtypes[st.dest]))
+                + F.col(st.dest)
+            ).cast(mtypes[st.dest])
+        elif kind == "last":
+            cur[st.dest] = F.col(st.dest)  # delta rows are strictly newer
+    for st in cfg.functions:
+        if plan[st.dest][0] == "post":
+            def resolver(m: MemoRef) -> TypedColumn:
+                return TypedColumn(cur[m.name], mtypes[m.name])
+
+            tc = compile_expr(st.expr, parent_schema, memo_resolver=resolver)
+            cur[st.dest] = tc.col.cast(mtypes[st.dest])
+    return merged.select(
+        F.col(C.SOURCE_ENTRY_ID),
+        F.col(C.SEQ),
+        F.col(C.AGGREGATED_COLUMN),
+        *[cur[st.dest].alias(st.dest) for st in cfg.functions],
+    )
+
+
 def compute_groups(cfg: AggregationTransformConfig, parent_rows: DataFrame) -> DataFrame:
     """Aggregate ``parent_rows`` (already filtered to affected keys by the
     engine) into one output row per key."""

@@ -122,7 +122,55 @@ class ParquetSnapshotStore:
         self._versions[name] = nxt
         old = self._dir(name, nxt - 2)
         if os.path.isdir(old):  # keep one back-version for in-flight readers
-            shutil.rmtree(old, ignore_errors=True)
+            if self._txn is not None:
+                # inside a commit: defer cleanup so rollback can restore
+                self._txn["pending_rm"].append(old)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+
+    # -- commit/rollback (the reference's invert-edit walk-back,
+    # database.rs:317-327,345-396, expressed as version-pointer restore) --
+    _txn = None
+
+    def begin_commit(self) -> None:
+        files = {}
+        for name in self._versions:
+            path = self._dir(name)
+            files[name] = (
+                {f for f in os.listdir(path) if f.endswith(".parquet")}
+                if os.path.isdir(path)
+                else set()
+            )
+        self._txn = {
+            "versions": dict(self._versions),
+            "files": files,
+            "pending_rm": [],
+        }
+
+    def end_commit(self) -> None:
+        if self._txn is None:
+            return
+        for path in self._txn["pending_rm"]:
+            shutil.rmtree(path, ignore_errors=True)
+        self._txn = None
+
+    def rollback(self) -> None:
+        """Restore every table to its pre-commit snapshot: version pointers
+        flip back (replaced dirs were retained) and files appended to kept
+        dirs are removed."""
+        if self._txn is None:
+            return
+        txn, self._txn = self._txn, None
+        for name, version in txn["versions"].items():
+            newer = self._versions[name]
+            self._versions[name] = version
+            for v in range(version + 1, newer + 1):
+                shutil.rmtree(self._dir(name, v), ignore_errors=True)
+            path = self._dir(name, version)
+            if os.path.isdir(path):
+                for f in os.listdir(path):
+                    if f.endswith(".parquet") and f not in txn["files"][name]:
+                        os.remove(os.path.join(path, f))
 
     def cleanup(self) -> None:
         shutil.rmtree(os.path.join(self.root, "_staging"), ignore_errors=True)

@@ -1,0 +1,139 @@
+"""Wire-protocol parity: a client speaking the reference's protocol
+(reactive_db_python_client ClientSync framing + envelopes) runs the
+usage_example flow against our server (usage_example.rs:7-52)."""
+
+import json
+import socket
+import struct
+import threading
+import uuid
+
+import pytest
+
+from reactivedb_spark import Engine
+from reactivedb_spark.networking import ReactiveDBServer
+
+
+class RefStyleClient:
+    """Minimal reimplementation of the reference Python client's wire
+    behavior (client.py:18-28) for testing — u32 BE length + JSON."""
+
+    def __init__(self, host, port):
+        self.sock = socket.create_connection((host, port))
+
+    def _send(self, obj):
+        body = json.dumps(obj).encode()
+        self.sock.sendall(struct.pack(">I", len(body)) + body)
+
+    def _recv(self):
+        header = self.sock.recv(4, socket.MSG_WAITALL)
+        (size,) = struct.unpack(">I", header)
+        buf = b""
+        while len(buf) < size:
+            buf += self.sock.recv(size - len(buf))
+        return json.loads(buf.decode())
+
+    def request(self, query):
+        rid = str(uuid.uuid4())
+        self._send({"Query": {"request_id": rid, "query": query}})
+        resp = self._recv()
+        assert resp["RequestResponse"]["request_id"] == rid
+        return resp["RequestResponse"]["response"]
+
+    def insert(self, table, entry):
+        tagged = {}
+        for k, v in entry.items():
+            if isinstance(v, int):
+                tagged[k] = {"Integer": v}
+            elif isinstance(v, str):
+                tagged[k] = {"Str": v}
+        return self.request({"InsertData": {"table": table, "entry": tagged}})
+
+    def find_one(self, table, column, key):
+        kv = {"Integer": key} if isinstance(key, int) else {"Str": key}
+        return self.request({"FindOne": {"table": table, "column": column, "key": kv}})
+
+    def less_than(self, table, column, key):
+        return self.request({"LessThan": {"table": table, "column": column,
+                                          "key": {"Integer": key}}})
+
+    def start_listen(self, table, event):
+        self._send({"StartListen": {"table_name": table, "event": event}})
+
+    def recv_event(self):
+        return self._recv()
+
+
+USERS_CFG = {
+    "tables": [
+        {"Source": {"name": "users", "columns": {"name": "Str", "age": "Integer"}}},
+        {"Source": {"name": "grades", "columns": {"name": "Str", "grade": "Integer"}}},
+        {"Derived": {"name": "unionTest",
+                     "transform_definition": {"UnionTransform": {
+                         "tables_and_foreign_keys": [["users", "name"], ["grades", "name"]]}}}},
+        {"Derived": {"name": "aggregationTest",
+                     "transform_definition": {"AggregationTransform": {
+                         "source_table": "grades", "aggregated_column": "name",
+                         "functions": ["count ~ memo.count + 1.0",
+                                       "sum ~ memo.sum + grade",
+                                       "average ~ memo.sum/memo.count"]}}}},
+    ]
+}
+
+
+@pytest.fixture()
+def server(spark, workspace):
+    eng = Engine(spark, USERS_CFG, workspace=workspace)
+    srv = ReactiveDBServer(eng).start()
+    yield srv
+    srv.shutdown()
+
+
+class TestWireProtocol:
+    def test_usage_example_flow(self, server):
+        c = RefStyleClient(server.host, server.port)
+        r = c.insert("users", {"name": "Alex", "age": 22})
+        assert "Ok" in r["ManyResults"]
+        # insert response includes cascaded derived-table writes (quirk #12)
+        tables_touched = r["ManyResults"]["Ok"]
+        assert any("matchingKey" in e for e in tables_touched)
+
+        c.insert("grades", {"name": "Alex", "grade": 95})
+        one = c.find_one("unionTest", "matchingKey", "Alex")
+        entry = one["OneResult"]["Ok"]
+        assert entry["age"] == {"Integer": 22}
+        assert entry["grade"] == {"Integer": 95}
+        assert "_entryId" in entry and "ID" in entry["_entryId"]
+
+        agg = c.find_one("aggregationTest", "aggregatedColumn", "Alex")
+        a = agg["OneResult"]["Ok"]
+        assert a["sum"] == {"Integer": 95}
+        assert a["count"]["Decimal"].startswith("1")
+
+    def test_less_than_and_errors(self, server):
+        c = RefStyleClient(server.host, server.port)
+        for i in range(5):
+            c.insert("grades", {"name": f"u{i}", "grade": i * 10})
+        r = c.less_than("grades", "grade", 20)
+        rows = r["ManyResults"]["Ok"]
+        assert [e["grade"]["Integer"] for e in rows] == [0, 10]  # strict <, ascending
+        bad = c.find_one("nope", "x", 1)
+        assert "Err" in bad["NoResult"]
+
+    def test_listen_push(self, server):
+        listener = RefStyleClient(server.host, server.port)
+        listener.start_listen("unionTest", "Insert")
+        events = []
+        done = threading.Event()
+
+        def pump():
+            events.append(listener.recv_event())
+            done.set()
+
+        threading.Thread(target=pump, daemon=True).start()
+        writer = RefStyleClient(server.host, server.port)
+        writer.insert("users", {"name": "Zoe", "age": 30})
+        assert done.wait(timeout=60), "no event received"
+        ev = events[0]["Event"]
+        assert ev["table_name"] == "unionTest" and ev["event"] == "Insert"
+        assert ev["value"]["OneResult"]["Ok"]["matchingKey"] == {"Str": "Zoe"}
