@@ -89,12 +89,22 @@ def _arith(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
     if op == "^":
         return TypedColumn(F.pow(lt.col.cast("double"), rt.col.cast("double")), T.DoubleType())
     out = promote(ldt, rdt)
+    # Declared decimal-arithmetic contract (found via the differential
+    # property tests): operands compute at decimal(19,9) — HALF_UP-rounded
+    # to 9 fractional digits, |values| < 10^10 (overflow ⇒ NULL) — because
+    # Spark's DecimalPrecision rule would cap products/quotients of full
+    # (38,18) operands at scale 6. At (19,9): + - * are EXACT and uncapped
+    # ((19,9)×(19,9) → (38,18)); / keeps 18-19 fractional digits. Results
+    # widen losslessly to the storage type decimal(38,18). rust_decimal
+    # carries ~28 flexible digits; this fixed-point contract is the
+    # documented divergence.
+    OPW = T.DecimalType(19, 9)
     if op == "/":
         if is_integral(out):
             return TypedColumn(_trunc_div(lt.col.cast("long"), rt.col.cast("long")), T.LongType())
         if isinstance(out, T.DecimalType):
             return TypedColumn(
-                F.try_divide(lt.col.cast(DECIMAL), rt.col.cast(DECIMAL)).cast(DECIMAL), DECIMAL
+                F.try_divide(lt.col.cast(OPW), rt.col.cast(OPW)).cast(DECIMAL), DECIMAL
             )
         return TypedColumn(
             F.try_divide(lt.col.cast("double"), rt.col.cast("double")), T.DoubleType()
@@ -102,7 +112,7 @@ def _arith(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
     pairs = {"+": lambda a, b: a + b, "-": lambda a, b: a - b, "*": lambda a, b: a * b}
     fn = pairs[op]
     if isinstance(out, T.DecimalType):
-        return TypedColumn(fn(lt.col.cast(DECIMAL), rt.col.cast(DECIMAL)).cast(DECIMAL), DECIMAL)
+        return TypedColumn(fn(lt.col.cast(OPW), rt.col.cast(OPW)).cast(DECIMAL), DECIMAL)
     if is_integral(out):
         return TypedColumn(fn(lt.col.cast("long"), rt.col.cast("long")), T.LongType())
     return TypedColumn(fn(lt.col.cast("double"), rt.col.cast("double")), T.DoubleType())
