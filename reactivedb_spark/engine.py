@@ -121,8 +121,15 @@ class Engine:
         self._build_states()
         workspace = workspace or tempfile.mkdtemp(prefix="reactivedb_spark_")
         self.store = ParquetSnapshotStore(spark, os.path.join(workspace, "tables"))
+        recovered = bool(self.store.recovered_tables)
         for st in self.tables.values():
             self.store.init_table(st.name, st.schema)
+        if recovered:
+            # reattach to an existing workspace: resume the global sequence
+            # after the highest committed _seq (parquet footer stats only —
+            # no Spark jobs at startup). The reference re-opens its stored
+            # tables the same way (storage_manager_table.rs:262-293).
+            self._seq = self._recover_max_seq() + 1
 
     # -- setup -------------------------------------------------------------
     def register_action(self, name: str, fn: Callable, output_columns=None,
@@ -209,13 +216,13 @@ class Engine:
             return None
         return staged
 
-    def _max_seq_from_files(self, delta: DataFrame) -> Optional[int]:
-        """Max _seq from parquet column statistics — avoids an agg job."""
+    @staticmethod
+    def _max_seq_from_paths(paths) -> Optional[int]:
         import pyarrow.parquet as pq
 
         best = None
-        for p in delta.inputFiles():
-            md = pq.read_metadata(p.replace("file:", ""))
+        for p in paths:
+            md = pq.read_metadata(p)
             try:
                 idx = md.schema.names.index(C.SEQ)
             except ValueError:
@@ -225,6 +232,29 @@ class Engine:
                 if st is None or not st.has_min_max:
                     return None
                 best = st.max if best is None else max(best, st.max)
+        return best
+
+    def _max_seq_from_files(self, delta: DataFrame) -> Optional[int]:
+        """Max _seq from parquet column statistics — avoids an agg job."""
+        return self._max_seq_from_paths(
+            p.replace("file:", "") for p in delta.inputFiles()
+        )
+
+    def _recover_max_seq(self) -> int:
+        best = 0
+        for name in self.tables:
+            d = self.store._dir(name)
+            if not os.path.isdir(d):
+                continue
+            paths = [
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            ]
+            got = self._max_seq_from_paths(paths) if paths else None
+            if got is None and paths:
+                got = (
+                    self.store.read(name).agg(F.max(C.SEQ)).collect()[0][0] or 0
+                )
+            best = max(best, got or 0)
         return best
 
     # -- write path --------------------------------------------------------

@@ -107,6 +107,82 @@ def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, planes: int = N_PLANES
     return dots.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def ivf_assignments(df: DataFrame, id_col: str, vec_col: str,
+                    k: int = 16, iters: int = 2):
+    """IVF coarse quantizer: k-means-lite clustering, fully deterministic.
+
+    - init: the k lowest-id vectors are the seed centroids;
+    - assignment: squared L2 to each centroid via a sequential
+      ``zip_with``/``aggregate`` fold (deterministic order), argmin with
+      id tie-break via array_min over (dist, idx) structs;
+    - update: per-dimension means from **decimal sums** (exact,
+      partition-order-proof) — centroids are tiny (k×dim) and come back
+      to the driver, everything else stays distributed.
+
+    Returns (assignments DataFrame [id, cluster], centroids list).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    seeds = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+
+    def assign(cents) -> DataFrame:
+        dists = []
+        for ci, c in enumerate(cents):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(F.col(vec_col).cast("array<double>"), carr,
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+        best = F.array_min(F.array(*dists))["c"]
+        return df.select(F.col(id_col), F.col(vec_col), best.alias("cluster"))
+
+    for _ in range(iters):
+        a = assign(centroids)
+        sums = (
+            a.select("cluster", F.posexplode(F.col(vec_col)).alias("j", "x"))
+            .groupBy("cluster", "j")
+            .agg(
+                F.sum(F.col("x").cast("double").cast("decimal(20,10)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in centroids]
+        agg: dict[int, dict[int, tuple]] = {}
+        for r in sums:
+            agg.setdefault(r["cluster"], {})[r["j"]] = (r["s"], r["n"])
+        for ci, dims in agg.items():
+            new_cents[ci] = [
+                float(dims[j][0] / dims[j][1]) if j in dims else centroids[ci][j]
+                for j in range(dim)
+            ]
+        centroids = new_cents
+    return assign(centroids).select(id_col, "cluster"), centroids
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
+             k: int = 10, n_clusters: int = 16, nprobe: int = 4) -> DataFrame:
+    """ANN top-k: probe only the ``nprobe`` clusters nearest the query,
+    then exact cosine within the candidate set — the IVF scale path
+    (scan cost ~ nprobe/n_clusters of the corpus). Brute-force
+    ``cosine_topk`` is the recall baseline."""
+    assignments, centroids = ivf_assignments(df, id_col, vec_col, k=n_clusters)
+    q = df.filter(F.col(id_col) == F.lit(query_id)).select(vec_col).first()
+    qv = [float(x) for x in q[0]]
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda ci: sum((a - b) ** 2 for a, b in zip(centroids[ci], qv)),
+    )
+    probe = scored[:nprobe]
+    cand = df.join(
+        assignments.filter(F.col("cluster").isin(probe)).select(id_col), id_col
+    ).unionByName(df.filter(F.col(id_col) == F.lit(query_id))).distinct()
+    return cosine_topk(cand, id_col, vec_col, query_id, k=k)
+
+
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(doc_a, doc_b, cos_sim) for pairs sharing an LSH bucket (a < b)."""
     buckets = lsh_buckets(df, id_col, vec_col)

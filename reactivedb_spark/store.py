@@ -34,11 +34,42 @@ class ParquetSnapshotStore:
         self._schemas: dict[str, T.StructType] = {}
         self._versions: dict[str, int] = {}
         os.makedirs(root, exist_ok=True)
+        self._load_meta()
+
+    # -- restart/recovery --------------------------------------------------
+    # The reference persists tables and re-opens them on start
+    # (storage_manager_table.rs:262-293 re-infers schema from stored rows;
+    # we re-derive schemas statically from config instead and only persist
+    # the version pointers).
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    def _load_meta(self) -> None:
+        import json
+
+        try:
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+            self._versions.update({k: int(v) for k, v in meta.get("versions", {}).items()})
+        except (FileNotFoundError, ValueError):
+            pass
+
+    def save_meta(self) -> None:
+        import json
+
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": self._versions}, f)
+        os.replace(tmp, self._meta_path())
+
+    @property
+    def recovered_tables(self) -> set:
+        return set(self._versions)
 
     # -- lifecycle ---------------------------------------------------------
     def init_table(self, name: str, schema: T.StructType) -> None:
         self._schemas[name] = schema
-        self._versions[name] = 0
+        self._versions.setdefault(name, 0)
 
     def _dir(self, name: str, version: int | None = None) -> str:
         v = self._versions[name] if version is None else version
@@ -153,6 +184,7 @@ class ParquetSnapshotStore:
         for path in self._txn["pending_rm"]:
             shutil.rmtree(path, ignore_errors=True)
         self._txn = None
+        self.save_meta()
 
     def rollback(self) -> None:
         """Restore every table to its pre-commit snapshot: version pointers

@@ -174,12 +174,39 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
 """
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: order counts per status × priority as columns (expressed as
+    conditional aggregation so the SQL twin is dialect-portable)."""
+    o = load(spark, sf, "orders")
+    aggs = [
+        F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+        .cast("long")
+        .alias(f"p{i + 1}")
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    return o.groupBy("o_orderstatus").agg(*aggs)
+
+
+SQL_PIVOT_PRIORITY = (
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS p{i + 1}"
+        for i, p in enumerate(_PRIORITIES)
+    )
+    + " FROM orders GROUP BY o_orderstatus"
+)
+
+
 QUERIES = {
     "tpch_q1_like": q_tpch_q1_like,
     "revenue_by_nation": q_revenue_by_nation,
     "asof_join": q_asof_join,
     "rollup_orders": q_rollup_orders,
     "set_ops": q_set_ops,
+    "pivot_priority": q_pivot_priority,
 }
 
 ORACLES = {
@@ -188,4 +215,5 @@ ORACLES = {
     "asof_join": SQL_ASOF_JOIN,
     "rollup_orders": SQL_ROLLUP_ORDERS,
     "set_ops": SQL_SET_OPS,
+    "pivot_priority": SQL_PIVOT_PRIORITY,
 }

@@ -189,6 +189,16 @@ SQL_ANN_BUCKETS = (
 )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-probed ANN top-10 (deterministic k-means-lite). No SQL oracle —
+    clustering is not reasonably SQL-expressible; the driver records the
+    weaker rows-only check, and tests/test_similarity.py checks recall
+    against the brute-force baseline."""
+    return similarity.ivf_topk(
+        load(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=10
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_pairs(load(spark, sf, "embeddings"), "vec_id", "embedding")
 
@@ -426,6 +436,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
     "ann_buckets": q_ann_buckets,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
