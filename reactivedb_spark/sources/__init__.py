@@ -10,3 +10,7 @@ from reactivedb_spark.sources.readers import (  # noqa: F401
     read_fixture,
     stream_parquet_dir,
 )
+from reactivedb_spark.sources.sinks import (  # noqa: F401
+    write_table,
+    stream_to_parquet,
+)

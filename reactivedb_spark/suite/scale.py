@@ -428,7 +428,62 @@ FROM g
 """
 
 
+def q_streaming_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming in the correctness gate: replay the events
+    table as 3 micro-batches through the reactive engine
+    (file source → foreachBatch → DAG propagation) and return the
+    aggregation-derived table. The oracle is a plain SQL GROUP BY — the
+    streaming path must converge to exactly the batch answer
+    (micro-batch boundaries must not change sums/counts)."""
+    import os
+    import tempfile
+
+    from reactivedb_spark.engine import Engine
+    from reactivedb_spark.sources import stream_parquet_dir
+    from reactivedb_spark.streaming import stream_into
+
+    cfg = {
+        "tables": [
+            {"Source": {"name": "events", "columns": {
+                "event_id": "Integer", "user_id": "Integer", "vdec": "Decimal"}}},
+            {"Derived": {"name": "per_user",
+                         "transform_definition": {"AggregationTransform": {
+                             "source_table": "events",
+                             "aggregated_column": "user_id",
+                             "functions": ["n ~ memo.n + 1",
+                                           "total ~ memo.total + vdec"]}}}},
+        ]
+    }
+    root = tempfile.mkdtemp(prefix="rdb_stream_q_")
+    eng = Engine(spark, cfg, workspace=os.path.join(root, "ws"))
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.col("value").cast("decimal(18,6)").cast("decimal(38,18)").alias("vdec"),
+    )
+    src = os.path.join(root, "in")
+    for b in range(3):  # 3 deterministic micro-batch files by event_id mod
+        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode("append").parquet(src)
+    q = stream_into(eng, "events", stream_parquet_dir(spark, src, ev.schema),
+                    checkpoint_dir=os.path.join(root, "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return eng.table("per_user").select(
+        F.col("aggregatedColumn").alias("user_id"), "n", "total"
+    )
+
+
+SQL_STREAMING_AGGREGATE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(38,18)) AS total
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "streaming_aggregate": q_streaming_aggregate,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
@@ -450,6 +505,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_aggregate": SQL_STREAMING_AGGREGATE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
