@@ -49,6 +49,46 @@ def stream_into(engine: Engine, table: str, stream_df: DataFrame,
     return writer.start()
 
 
+def stateful_running_totals(stream_df: DataFrame, key_col: str, value_col: str):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (count, sum) maintained across micro-batches — the
+    Spark-native analogue of the reference's per-key incremental
+    aggregation state (transform.rs:229-275), but with explicit state
+    ownership, timeouts available, and Arrow-batched updates.
+
+    Emits one row per key per batch: (key, n, total).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            stream_df.schema[key_col],
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+    vcol = value_col
+    kcol = key_col
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[vcol].sum())
+        state.update((n, total))
+        yield _pd.DataFrame({kcol: [key[0]], "n": [n], "total": [total]})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_counts(stream_df: DataFrame, ts_col: str, key_col: str,
                     window: str = "1 hour", watermark: str = "10 minutes",
                     value_col: Optional[str] = None) -> DataFrame:
