@@ -90,51 +90,105 @@ def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     return reduce(lambda x, y: x.unionByName(y), pair_sets).distinct()
 
 
+BITSET_VOCAB_LIMIT = 4096  # dictionary-bitset path cap (64 longs/doc)
+
+
+def _token_bitsets(tok: DataFrame, id_col: str, vocab: int) -> DataFrame:
+    """Per-doc token set packed into ``ceil(vocab/64)`` longs via a dense
+    dictionary (deterministic: ids assigned in token sort order).
+    Set ops become bitwise: |A∩B| = Σ bit_count(a&b)."""
+    n_buckets = (vocab + 63) // 64
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("token")
+    dict_df = (
+        tok.select("token").distinct()
+        .withColumn("tid", F.row_number().over(w) - 1)
+    )
+    bits = (
+        tok.join(F.broadcast(dict_df), "token")
+        .select(
+            F.col(id_col),
+            (F.col("tid") / 64).cast("int").alias("bucket"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))").alias("bit"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    filled = bits.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "mask"))).alias("m")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+            # element_at on a map looks up by KEY (the bucket number)
+            lambda b: F.coalesce(F.element_at("m", b.cast("int")), F.lit(0).cast("long")),
+        ).alias("mask"),
+    )
+    return filled
+
+
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.0) -> DataFrame:
     """Exact token-set Jaccard on LSH candidates (LSH prune → exact verify).
 
-    Intersections are computed with ``array_intersect`` over per-doc token
-    sets — one row per candidate pair, O(|tokens|) hash-set work in the
-    JVM — instead of exploding a (pair × token) join, which at sf0.1
-    produced a ~24M-row intermediate and dominated the whole bench.
-    Pairs sharing no tokens are dropped (n_inter > 0).
+    Two physical strategies, chosen by vocabulary size:
 
-    Returns (doc_a, doc_b, jaccard double)."""
+    - **dictionary bitsets** (vocab ≤ 4096): token sets pack into a few
+      longs; per pair the intersection is ``Σ bit_count(a & b)`` — pure
+      integer ALU work, ~an order of magnitude cheaper than hash-set
+      intersection at millions of candidate pairs;
+    - **array_intersect** over collected token sets otherwise (still one
+      row per pair; the earlier (pair × token) explode-join produced a
+      ~24M-row intermediate and is long gone).
+
+    Either way the per-doc side is broadcast so the candidate-pair stream
+    never shuffles; pairs sharing no tokens are dropped (n_inter > 0).
+
+    Returns (doc_a, doc_b, jaccard double) — values independent of the
+    chosen strategy (both are exact set computations)."""
     cand = lsh_candidates(df, id_col, text_col)
     tok = tokens(df, id_col, text_col, distinct=True)
-    # 60-bit md5-derived token ids: long-array intersection is ~6× faster
-    # than string-array intersection at millions of pairs, and the id
-    # assignment (first 15 hex chars of md5) reproduces in any SQL engine.
-    tok_ids = tok.select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long").alias("tid"),
-    ).distinct()
-    sets = tok_ids.groupBy(id_col).agg(
-        F.collect_set("tid").alias("toks"), F.count("*").cast("long").alias("n_tok")
-    )
-    sa = sets.select(
-        F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n_tok").alias("n_a")
-    )
-    sb = sets.select(
-        F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"), F.col("n_tok").alias("n_b")
-    )
-    # broadcast the per-doc sets (one row per doc — tiny next to the
-    # candidate-pair stream): the pair table then never shuffles and the
-    # arrays are never replicated through an exchange. At a scale where
-    # the doc-set side outgrows broadcast, bucket both sides by doc id.
-    out = (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long"))
-        .filter(F.col("n_inter") > 0)
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    vocab = tok.select("token").distinct().count()
+    if vocab and vocab <= BITSET_VOCAB_LIMIT:
+        sets = _token_bitsets(tok, id_col, vocab)
+        sa = sets.select(F.col(id_col).alias("doc_a"), F.col("mask").alias("ma"))
+        sb = sets.select(F.col(id_col).alias("doc_b"), F.col("mask").alias("mb"))
+        inter = F.aggregate(
+            F.zip_with("ma", "mb", lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        .select("doc_a", "doc_b", "jaccard")
-    )
+        popcnt = lambda col: F.aggregate(  # noqa: E731
+            F.transform(col, lambda x: F.bit_count(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        out = (
+            cand.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .withColumn("n_inter", inter)
+            .filter(F.col("n_inter") > 0)
+            .withColumn("n_a", popcnt(F.col("ma")))
+            .withColumn("n_b", popcnt(F.col("mb")))
+        )
+    else:
+        sets = tok.groupBy(id_col).agg(
+            F.collect_set("token").alias("toks"), F.count("*").cast("long").alias("n_tok")
+        )
+        sa = sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"),
+                         F.col("n_tok").alias("n_a"))
+        sb = sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"),
+                         F.col("n_tok").alias("n_b"))
+        out = (
+            cand.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long"))
+            .filter(F.col("n_inter") > 0)
+        )
+    out = out.withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    ).select("doc_a", "doc_b", "jaccard")
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 

@@ -96,14 +96,10 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DEDUP_JACCARD = (
     "WITH " + _TOK_CTE + ", " + _SIG_CTE + ", " + _BANDED_CTE + ", " + _PAIRS_CTE + """,
-tids AS (
-  SELECT DISTINCT doc_id,
-         (('0x' || substr(md5(token), 1, 15))::BIGINT) AS tid
-  FROM tok),
 sets AS (
-  SELECT doc_id, list(DISTINCT tid) AS toks,
-         CAST(count(DISTINCT tid) AS BIGINT) AS n_tok
-  FROM tids GROUP BY doc_id),
+  SELECT doc_id, list(DISTINCT token) AS toks,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
 j AS (
   SELECT p.doc_a, p.doc_b,
          CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
