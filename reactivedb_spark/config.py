@@ -86,6 +86,7 @@ class DbConfig:
     derived: tuple = ()
     actions: dict = field(default_factory=dict)  # name -> ActionConfig
     storage_destination: str | None = None
+    actions_workspace: str | None = None  # Inline action_config workspace_dir
 
     @property
     def table_names(self):
@@ -149,17 +150,20 @@ def parse_config(doc: dict) -> DbConfig:
         else:
             raise ConfigError(f"unknown table kind {kind!r}")
     actions = {}
+    workspace_dir = None
     ac = doc.get("action_config")
     if ac:
         kind, body = _one_variant(ac, "action_config")
         if kind != "Inline":
             raise ConfigError("only Inline action_config is supported (Import: declared out of scope)")
+        workspace_dir = body.get("workspace_dir")
         for a in body.get("actions", []):
             actions[a["name"]] = ActionConfig(a["name"], a["file"], a["function"])
     names = [s.name for s in sources] + [d.name for d in derived]
     if len(set(names)) != len(names):
         raise ConfigError(f"duplicate table names in config: {names}")
-    return DbConfig(tuple(sources), tuple(derived), actions, doc.get("storage_destination"))
+    return DbConfig(tuple(sources), tuple(derived), actions,
+                    doc.get("storage_destination"), workspace_dir)
 
 
 def load_config(path: str) -> DbConfig:

@@ -111,7 +111,9 @@ class Engine:
         self.config = config
         self._actions: dict[str, action_op.Action] = {}
         for name, cfg in config.actions.items():
-            self._actions[name] = action_op.load_from_config(cfg)
+            self._actions[name] = action_op.load_from_config(
+                cfg, config.actions_workspace
+            )
         if actions:
             for name, fn in actions.items():
                 self.register_action(name, fn)

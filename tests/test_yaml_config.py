@@ -1,0 +1,72 @@
+"""End-to-end from a YAML config file (the reference's front door,
+config_reader.rs:88-111), including the Inline action registry."""
+
+import textwrap
+
+from reactivedb_spark import Engine
+
+
+def test_engine_from_yaml_file_with_action_registry(spark, tmp_path, workspace):
+    (tmp_path / "my_actions.py").write_text(
+        "def halve(row):\n    row['v'] = row['v'] / 2\n    return row\n"
+    )
+    cfg = tmp_path / "db.yaml"
+    cfg.write_text(textwrap.dedent(f"""
+        tables:
+          - Source:
+              name: readings
+              columns:
+                sensor: Str
+                v: Integer
+          - Derived:
+              name: halved
+              transform_definition:
+                ActionTransform:
+                  name: Halve
+                  source_table: readings
+          - Derived:
+              name: hot
+              transform_definition:
+                FilterTransform:
+                  source_table: readings
+                  filter: v > 100
+        storage_destination: unused/
+        action_config:
+          Inline:
+            workspace_dir: "{tmp_path}"
+            actions:
+              - name: Halve
+                file: my_actions
+                function: halve
+    """))
+    import sys
+
+    sys.path.insert(0, str(tmp_path))
+    try:
+        eng = Engine(spark, str(cfg), workspace=workspace)
+        eng.insert("readings", [{"sensor": "a", "v": 300}, {"sensor": "b", "v": 50}])
+        halved = {r["sensor"]: r["v"] for r in eng.table("halved").collect()}
+        assert halved == {"a": 150, "b": 25}
+        assert [r["sensor"] for r in eng.table("hot").collect()] == ["a"]
+    finally:
+        sys.path.remove(str(tmp_path))
+
+
+def test_union_three_parents(spark, workspace):
+    cfg = {
+        "tables": [
+            {"Source": {"name": "a", "columns": {"k": "Str", "x": "Integer"}}},
+            {"Source": {"name": "b", "columns": {"k": "Str", "y": "Integer"}}},
+            {"Source": {"name": "c", "columns": {"k": "Str", "z": "Integer"}}},
+            {"Derived": {"name": "u",
+                         "transform_definition": {"UnionTransform": {
+                             "tables_and_foreign_keys": [["a", "k"], ["b", "k"], ["c", "k"]]}}}},
+        ]
+    }
+    eng = Engine(spark, cfg, workspace=workspace)
+    eng.insert("a", [{"k": "m", "x": 1}])
+    eng.insert("b", [{"k": "m", "y": 2}])
+    eng.insert("c", [{"k": "m", "z": 3}, {"k": "n", "z": 9}])
+    rows = {r["matchingKey"]: r.asDict() for r in eng.table("u").collect()}
+    assert rows["m"]["x"] == 1 and rows["m"]["y"] == 2 and rows["m"]["z"] == 3
+    assert rows["n"]["z"] == 9 and rows["n"]["x"] is None
