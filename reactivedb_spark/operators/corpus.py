@@ -1,0 +1,57 @@
+"""Corpus cleaning: the composed training-data pipeline.
+
+One declarative flow over a documents table — the shape of a real
+pretraining-data cleanup:
+
+1. **quality gate** — heuristic score ≥ threshold (functions/text.py);
+2. **language gate** — deterministic lang-ID prediction in an allowlist;
+3. **exact dedup** — keep the min-id representative per normalized text;
+4. **near-dup removal** — MinHash-LSH candidates → exact Jaccard verify;
+   drop any doc whose Jaccard with a *smaller-id* surviving doc exceeds
+   the threshold ("keep first" — the standard linear-pass heuristic;
+   full transitive clustering would be connected components, left to a
+   later round).
+
+Every stage is a native DataFrame transform; the whole pipeline is one
+lazy plan (Catalyst fuses the gates into the scans) plus the dedup
+shuffles. The suite exposes it with a full SQL oracle — the composition
+itself is oracle-checked, not just the pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from reactivedb_spark.functions import text as textfns
+from reactivedb_spark.operators import dedup
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: tuple = ("en",),
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Returns the surviving documents (id + text + audit columns)."""
+    t = F.col(text_col)
+    gated = (
+        df.withColumn("quality", textfns.quality_score(t))
+        .withColumn("pred_lang", textfns.lang_id(t))
+        .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs))
+    )
+    # exact dedup: min-id representative per normalized text
+    reps = (
+        gated.groupBy(F.md5(dedup.normalize_text(t)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    exact = gated.join(reps, id_col)
+    # near-dup removal among survivors: drop the larger id of any pair
+    # above the threshold
+    pairs = dedup.jaccard_pairs(exact, id_col, text_col, threshold=jaccard_threshold)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return exact.join(losers, id_col, "left_anti").select(
+        id_col, text_col, "quality", "pred_lang"
+    )

@@ -34,13 +34,17 @@ SELECT min(doc_id) AS doc_id,
 FROM documents GROUP BY md5(lower(trim(text)))
 """
 
-_TOK_CTE = """
+def _tok_cte(src: str = "documents") -> str:
+    return f"""
 tok AS (
   SELECT doc_id, token FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {src}
   ) WHERE token <> ''
 )
 """
+
+
+_TOK_CTE = _tok_cte()
 
 _SIG_CTE = (
     "sig AS (SELECT doc_id, "
@@ -478,8 +482,59 @@ FROM events GROUP BY user_id
 """
 
 
+def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data cleanup (operators/corpus.py): quality
+    gate → lang gate → exact dedup → LSH+Jaccard near-dup removal. The
+    whole composition is oracle-checked."""
+    from reactivedb_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(load(spark, sf, "documents"))
+
+
+_QUALITY_SQL = """
+  least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0) * 0.5
+  + CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+    / CAST(length(text) AS DOUBLE) * 0.5
+"""
+
+SQL_CORPUS_CLEAN = (
+    "WITH scored AS (SELECT doc_id, text, "
+    + _QUALITY_SQL
+    + " AS quality, "
+    + ", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in LANG_ORDER)
+    + " FROM documents), "
+    + "langed AS (SELECT doc_id, text, quality, "
+    + _lang_case_sql()
+    + " AS pred_lang FROM scored), "
+    + "gated AS (SELECT * FROM langed WHERE quality >= 0.5 AND pred_lang IN ('en')), "
+    + "reps AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(lower(trim(text)))), "
+    + "exact AS (SELECT g.* FROM gated g JOIN reps r ON r.doc_id = g.doc_id), "
+    + _tok_cte("exact")
+    + ", " + _SIG_CTE + ", " + _BANDED_CTE + ", " + _PAIRS_CTE + """,
+sets AS (
+  SELECT doc_id, list(DISTINCT token) AS toks,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+         sa.n_tok AS n_a, sb.n_tok AS n_b
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b),
+losers AS (
+  SELECT DISTINCT doc_b FROM jac
+  WHERE n_inter > 0
+    AND CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8)
+SELECT doc_id, text, quality, pred_lang FROM exact
+WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+"""
+)
+
+
 QUERIES = {
     "streaming_aggregate": q_streaming_aggregate,
+    "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
@@ -502,6 +557,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_aggregate": SQL_STREAMING_AGGREGATE,
+    "corpus_clean": SQL_CORPUS_CLEAN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
