@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 N_PLANES = 8
 _ELEM_DEC = "decimal(12,8)"
@@ -37,18 +37,44 @@ def plane_sign(i: int, j: int) -> int:
 
 
 def exploded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, j [1-based], xd decimal) element rows."""
+    """(id, j [1-based], xl long) element rows.
+
+    Elements are fixed-point **long micro-units** (value × 10⁸ after the
+    float→double→decimal(12,8) rounding): int64 sums/dot-products are
+    exact and order-independent like decimals but aggregate at ALU speed.
+    Headroom: |x| < 10⁴ ⇒ |x·y·10¹⁶| ≤ 10²⁴?… for unit-norm embeddings
+    |x| ≤ 1 ⇒ per-term ≤ 10¹⁶, 64-dim dot ≤ 6.4·10¹⁷ < 2⁶³.
+    """
     return df.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
     ).select(
         F.col(id_col),
         (F.col("pos") + 1).cast("int").alias("j"),
-        F.col("x").cast("double").cast(_ELEM_DEC).alias("xd"),
+        (F.col("x").cast("double").cast(_ELEM_DEC) * 100_000_000)
+        .cast("long")
+        .alias("xl"),
     )
 
 
 def norms2(elem: DataFrame, id_col: str) -> DataFrame:
-    return elem.groupBy(id_col).agg(F.sum(F.col("xd") * F.col("xd")).alias("n2"))
+    """Σ x² in fixed-point (scale 10¹⁶)."""
+    return elem.groupBy(id_col).agg(F.sum(F.col("xl") * F.col("xl")).alias("n2"))
+
+
+_SCALE2 = 1e16  # squared fixed-point scale
+
+
+def _cosine(dot_col: Column, na_col: Column, nb_col: Column) -> Column:
+    # identical expression on the DuckDB side; round(9) absorbs any
+    # last-ulp divergence in the double conversions
+    return F.round(
+        (dot_col.cast("double") / F.lit(_SCALE2))
+        / (
+            F.sqrt(na_col.cast("double") / F.lit(_SCALE2))
+            * F.sqrt(nb_col.cast("double") / F.lit(_SCALE2))
+        ),
+        9,
+    )
 
 
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10) -> DataFrame:
@@ -56,15 +82,15 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10)
     (query row excluded); ties broken by id ascending."""
     elem = exploded(df, id_col, vec_col)
     q = elem.filter(F.col(id_col) == F.lit(query_id)).select(
-        F.col("j"), F.col("xd").alias("qd")
+        F.col("j"), F.col("xl").alias("ql")
     )
     dots = (
         elem.filter(F.col(id_col) != F.lit(query_id))
         .join(F.broadcast(q), "j")
         .groupBy(id_col)
         .agg(
-            F.sum(F.col("xd") * F.col("qd")).alias("dot"),
-            F.sum(F.col("xd") * F.col("xd")).alias("n2"),
+            F.sum(F.col("xl") * F.col("ql")).alias("dot"),
+            F.sum(F.col("xl") * F.col("xl")).alias("n2"),
         )
     )
     qn = norms2(elem.filter(F.col(id_col) == F.lit(query_id)), id_col).select(
@@ -72,14 +98,7 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10)
     )
     out = dots.crossJoin(F.broadcast(qn)).select(
         F.col(id_col),
-        # round(9): decimal→double conversion may differ by 1 ulp between
-        # engines; 9 decimals is far above the ulp and far below any
-        # meaningful similarity difference
-        F.round(
-            F.col("dot").cast("double")
-            / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double"))),
-            9,
-        ).alias("cos_sim"),
+        _cosine(F.col("dot"), F.col("n2"), F.col("qn2")).alias("cos_sim"),
     )
     return out.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -97,7 +116,7 @@ def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, planes: int = N_PLANES
     elem = exploded(df, id_col, vec_col)
     joined = elem.join(F.broadcast(signs), "j")
     aggs = [
-        F.sum(F.when(F.col("i") == i, F.col("sign") * F.col("xd"))).alias(f"d{i}")
+        F.sum(F.when(F.col("i") == i, F.col("sign") * F.col("xl"))).alias(f"d{i}")
         for i in range(1, planes + 1)
     ]
     dots = joined.groupBy(id_col).agg(*aggs)
@@ -191,8 +210,8 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     cand = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
     elem = exploded(df, id_col, vec_col)
     n2 = norms2(elem, id_col)
-    ea = elem.select(F.col(id_col).alias("doc_a"), "j", F.col("xd").alias("xa"))
-    eb = elem.select(F.col(id_col).alias("doc_b"), "j", F.col("xd").alias("xb"))
+    ea = elem.select(F.col(id_col).alias("doc_a"), "j", F.col("xl").alias("xa"))
+    eb = elem.select(F.col(id_col).alias("doc_b"), "j", F.col("xl").alias("xb"))
     dots = (
         cand.join(ea, "doc_a")
         .join(eb, ["doc_b", "j"])
@@ -207,10 +226,6 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
-                9,
-            ).alias("cos_sim"),
+            _cosine(F.col("dot"), F.col("na2"), F.col("nb2")).alias("cos_sim"),
         )
     )

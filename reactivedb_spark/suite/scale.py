@@ -142,14 +142,15 @@ FROM votes GROUP BY doc_id
 
 _ELEM_CTE = f"""
 elem AS (
-  SELECT vec_id, g.j, CAST(CAST(embedding[g.j] AS DOUBLE) AS DECIMAL(12,8)) AS xd
+  SELECT vec_id, g.j,
+         CAST(CAST(CAST(embedding[g.j] AS DOUBLE) AS DECIMAL(12,8)) * 100000000 AS BIGINT) AS xl
   FROM embeddings, generate_series(1, {EMB_DIM}) g(j)
 )
 """
 
 _PLANE_SUMS = ", ".join(
     f"SUM(CASE WHEN substr(md5('p' || {i} || '_' || j), 1, 1) IN {HEX_HIGH_SQL} "
-    f"THEN xd ELSE -xd END) AS d{i}"
+    f"THEN xl ELSE -xl END) AS d{i}"
     for i in range(1, similarity.N_PLANES + 1)
 )
 _BUCKET_EXPR = " || ".join(
@@ -167,13 +168,14 @@ def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_SIMILARITY_TOPK = (
     "WITH " + _ELEM_CTE + """,
-q AS (SELECT j, xd AS qd FROM elem WHERE vec_id = 0),
+q AS (SELECT j, xl AS ql FROM elem WHERE vec_id = 0),
 d AS (
-  SELECT e.vec_id, SUM(e.xd * q.qd) AS dot, SUM(e.xd * e.xd) AS n2
+  SELECT e.vec_id, SUM(e.xl * q.ql) AS dot, SUM(e.xl * e.xl) AS n2
   FROM elem e JOIN q USING (j) WHERE e.vec_id <> 0 GROUP BY e.vec_id),
-qn AS (SELECT SUM(qd * qd) AS qn2 FROM q)
+qn AS (SELECT SUM(ql * ql) AS qn2 FROM q)
 SELECT vec_id,
-       round(CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 9) AS cos_sim
+       round((CAST(dot AS DOUBLE) / 1e16)
+             / (sqrt(CAST(n2 AS DOUBLE) / 1e16) * sqrt(CAST(qn2 AS DOUBLE) / 1e16)), 9) AS cos_sim
 FROM d, qn
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
@@ -208,15 +210,16 @@ SQL_EMBEDDING_NEAR_DUPS = (
 cand AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-n2 AS (SELECT vec_id, SUM(xd * xd) AS n2 FROM elem GROUP BY vec_id),
+n2 AS (SELECT vec_id, SUM(xl * xl) AS n2 FROM elem GROUP BY vec_id),
 dotp AS (
-  SELECT c.doc_a, c.doc_b, SUM(ea.xd * eb.xd) AS dot
+  SELECT c.doc_a, c.doc_b, SUM(ea.xl * eb.xl) AS dot
   FROM cand c
   JOIN elem ea ON ea.vec_id = c.doc_a
   JOIN elem eb ON eb.vec_id = c.doc_b AND eb.j = ea.j
   GROUP BY c.doc_a, c.doc_b)
 SELECT d.doc_a, d.doc_b,
-       round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 9) AS cos_sim
+       round((CAST(d.dot AS DOUBLE) / 1e16)
+             / (sqrt(CAST(na.n2 AS DOUBLE) / 1e16) * sqrt(CAST(nb.n2 AS DOUBLE) / 1e16)), 9) AS cos_sim
 FROM dotp d
 JOIN n2 na ON na.vec_id = d.doc_a
 JOIN n2 nb ON nb.vec_id = d.doc_b
