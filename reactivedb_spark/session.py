@@ -35,7 +35,10 @@ def get_spark(app_name: str = "reactivedb_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode: the driver IS the cluster — size its heap to the
+        # host, not to a driver's usual coordination-only footprint (a
+        # 16g heap GC-thrashes a 32-thread suite run into ~3x slowdowns)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -200,7 +200,25 @@ SQL_PIVOT_PRIORITY = (
 )
 
 
+def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) — the distinct-aggregate operator class (absent in
+    the reference, SURVEY.md §2.4)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
 QUERIES = {
+    "distinct_agg": q_distinct_agg,
     "tpch_q1_like": q_tpch_q1_like,
     "revenue_by_nation": q_revenue_by_nation,
     "asof_join": q_asof_join,
@@ -210,6 +228,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "distinct_agg": SQL_DISTINCT_AGG,
     "tpch_q1_like": SQL_TPCH_Q1_LIKE,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "asof_join": SQL_ASOF_JOIN,
