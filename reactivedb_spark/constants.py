@@ -11,5 +11,12 @@ SOURCE_ENTRY_ID = "_sourceEntryId"
 MATCHING_KEY = "matchingKey"
 AGGREGATED_COLUMN = "aggregatedColumn"
 SEQ = "_seq"
+# hash-bucket partition column for keyed (Union/Aggregation) tables —
+# the columnar replacement for the reference's per-column B+tree index:
+# key lookups prune to 1/N_KEY_BUCKETS of the files (SURVEY.md §1.1
+# "Index" row: partition pruning / data skipping instead of indexes).
+PARTITION_BUCKET = "_kb"
+N_KEY_BUCKETS = 32
 
-SYSTEM_COLUMNS = {ENTRY_ID, SOURCE_ENTRY_ID, MATCHING_KEY, AGGREGATED_COLUMN, SEQ}
+SYSTEM_COLUMNS = {ENTRY_ID, SOURCE_ENTRY_ID, MATCHING_KEY, AGGREGATED_COLUMN,
+                  SEQ, PARTITION_BUCKET}

@@ -92,6 +92,7 @@ class TableState:
     transform: object = None
     parents: tuple = ()
     children: tuple = ()
+    key_column: str | None = None  # Union/Aggregation merge key → bucketed
 
 
 class Engine:
@@ -170,14 +171,17 @@ class Engine:
             tr = d.transform
             parents = self._parents_of(tr)
             pschemas = {p: self.tables[p].schema for p in parents}
+            key_column = None
             if isinstance(tr, FunctionTransformConfig):
                 schema = function_op.output_schema(tr, pschemas[tr.source_table])
             elif isinstance(tr, FilterTransformConfig):
                 schema = filter_op.output_schema(tr, pschemas[tr.source_table])
             elif isinstance(tr, UnionTransformConfig):
                 schema = union_op.output_schema(tr, pschemas)
+                key_column = C.MATCHING_KEY
             elif isinstance(tr, AggregationTransformConfig):
                 schema = agg_op.output_schema(tr, pschemas[tr.source_table])
+                key_column = C.AGGREGATED_COLUMN
             elif isinstance(tr, ActionTransformConfig):
                 if tr.name not in self._actions:
                     raise ConfigError(f"action {tr.name!r} not registered")
@@ -186,7 +190,15 @@ class Engine:
                 )
             else:
                 raise ConfigError(f"unknown transform {tr!r}")
-            self.tables[name] = TableState(name, "derived", schema, tr, parents)
+            if key_column is not None:
+                # hash-bucket partition column (the index replacement —
+                # key lookups prune partitions, SURVEY.md §1.1)
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(C.PARTITION_BUCKET, T.IntegerType(), True)]
+                )
+            self.tables[name] = TableState(name, "derived", schema, tr, parents,
+                                           key_column=key_column)
         for name, st in self.tables.items():
             st.children = tuple(c for c in edges.get(name, []))
 
@@ -198,6 +210,17 @@ class Engine:
 
     def _with_entry_id(self, df: DataFrame) -> DataFrame:
         return df.withColumn(C.ENTRY_ID, F.expr("uuid()"))
+
+    @staticmethod
+    def _bucket_of(col):
+        h = F.hash(col)
+        n = C.N_KEY_BUCKETS
+        return ((h % n) + n) % n
+
+    def _with_bucket(self, df: DataFrame, key_column: str) -> DataFrame:
+        return df.withColumn(
+            C.PARTITION_BUCKET, self._bucket_of(F.col(key_column)).cast("int")
+        )
 
     def _rows_to_df(self, rows: list[dict], schema: T.StructType) -> DataFrame:
         """Driver row lists via a typed pyarrow Table — the Arrow ingest
@@ -249,7 +272,10 @@ class Engine:
             if not os.path.isdir(d):
                 continue
             paths = [
-                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
             ]
             got = self._max_seq_from_paths(paths) if paths else None
             if got is None and paths:
@@ -422,26 +448,37 @@ class Engine:
         child_del = self._stage_nonempty(child, state.join(F.broadcast(ids), cond, "left_semi"))
         if child_del is None:
             return None
-        self.store.replace(child, state.join(F.broadcast(ids), cond, "left_anti"))
+        st = self.tables[child]
+        self.store.replace(
+            child,
+            state.join(F.broadcast(ids), cond, "left_anti"),
+            partition_by=[C.PARTITION_BUCKET] if st.key_column else None,
+        )
         return child_del
 
     def _apply_union(self, child: str, tr: UnionTransformConfig, parent: str, d: Delta) -> Optional[Delta]:
         out = Delta()
-        schema = self.tables[child].schema
+        st = self.tables[child]
+        op_schema = T.StructType(
+            [f for f in st.schema.fields if f.name != C.PARTITION_BUCKET]
+        )
         if d.inserts is not None:
-            normalized = union_op.normalize_delta(tr, parent, d.inserts, schema)
+            normalized = union_op.normalize_delta(tr, parent, d.inserts, op_schema)
             keys = normalized.select(C.MATCHING_KEY).filter(
                 F.col(C.MATCHING_KEY).isNotNull()
             ).distinct()
             state = self.store.read(child)
             affected_old = state.join(F.broadcast(keys), C.MATCHING_KEY, "left_semi")
             merged = union_op.merge(
-                affected_old.drop(C.ENTRY_ID), normalized, schema
+                affected_old.drop(C.ENTRY_ID, C.PARTITION_BUCKET), normalized, op_schema
             )
-            staged = self._stage_nonempty(child, self._with_entry_id(merged))
+            staged = self._stage_nonempty(
+                child, self._with_bucket(self._with_entry_id(merged), C.MATCHING_KEY)
+            )
             if staged is not None:
                 rest = state.join(F.broadcast(keys), C.MATCHING_KEY, "left_anti")
-                self.store.replace(child, rest.unionByName(staged))
+                self.store.replace(child, rest.unionByName(staged),
+                                   partition_by=[C.PARTITION_BUCKET])
                 out.inserts = staged
                 old = self._stage_nonempty(child, affected_old)
                 out.deletes = old  # replaced rows (reference Update = delete+insert)
@@ -483,19 +520,26 @@ class Engine:
                 "left_semi",
             )
             new_groups = agg_op.compute_groups(tr, affected)
-        staged = self._stage_nonempty(child, self._with_entry_id(new_groups))
+        staged = self._stage_nonempty(
+            child,
+            self._with_bucket(self._with_entry_id(new_groups), C.AGGREGATED_COLUMN),
+        )
         old = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
         old_staged = self._stage_nonempty(child, old)
         rest = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_anti")
-        self.store.replace(child, rest.unionByName(staged) if staged is not None else rest)
+        self.store.replace(
+            child,
+            rest.unionByName(staged) if staged is not None else rest,
+            partition_by=[C.PARTITION_BUCKET],
+        )
         if staged is None and old_staged is None:
             return None
         return Delta(inserts=staged, deletes=old_staged)
 
     # -- read path (query verbs, SURVEY.md §2.2) ---------------------------
     def table(self, name: str) -> DataFrame:
-        """Current committed state (system ``_seq`` hidden)."""
-        return self.store.read(self._state(name).name).drop(C.SEQ)
+        """Current committed state (internal ``_seq``/``_kb`` hidden)."""
+        return self.store.read(self._state(name).name).drop(C.SEQ, C.PARTITION_BUCKET)
 
     def _verb(self, table: str, column: str):
         st = self._state(table)
@@ -503,14 +547,28 @@ class Engine:
             raise UnknownColumnError(f"{table}.{column}")
         return self.table(table)
 
+    def _keyed_scan(self, table: str, column: str, key) -> DataFrame:
+        """Equality scan; on a keyed table's merge key, pre-filter by the
+        hash bucket so the parquet scan prunes to 1/N of the partitions —
+        the engine's stand-in for the reference's B+tree point access."""
+        st = self._state(table)
+        if column not in st.schema.fieldNames():
+            raise UnknownColumnError(f"{table}.{column}")
+        df = self.store.read(table)
+        if st.key_column == column:
+            df = df.filter(
+                F.col(C.PARTITION_BUCKET) == self._bucket_of(F.lit(key)).cast("int")
+            )
+        return df.drop(C.SEQ, C.PARTITION_BUCKET).filter(F.col(column) == F.lit(key))
+
     def find_one(self, table: str, column: str, key) -> Optional[dict]:
         """First row with ``column == key`` (any match — declared contract,
         SURVEY.md Appendix A #10)."""
-        rows = self._verb(table, column).filter(F.col(column) == F.lit(key)).limit(1).collect()
+        rows = self._keyed_scan(table, column, key).limit(1).collect()
         return rows[0].asDict(recursive=True) if rows else None
 
     def get_all(self, table: str, column: str, key) -> DataFrame:
-        return self._verb(table, column).filter(F.col(column) == F.lit(key)).orderBy(column)
+        return self._keyed_scan(table, column, key).orderBy(column)
 
     def less_than(self, table: str, column: str, key) -> DataFrame:
         """Strict ``<`` (database.rs:70; tests at database_test.rs:110)."""
@@ -534,4 +592,4 @@ class Engine:
         for event, cb in self._listeners.get(table, []):
             df = d.inserts if event == "Insert" else d.deletes
             if df is not None:
-                cb(df.drop(C.SEQ))
+                cb(df.drop(C.SEQ, C.PARTITION_BUCKET))

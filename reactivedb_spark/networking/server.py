@@ -133,7 +133,7 @@ class ReactiveDBServer:
                 if df is not None:
                     out.extend(
                         wire.row_to_entry(r.asDict(recursive=True))
-                        for r in df.drop("_seq").collect()
+                        for r in df.drop("_seq", "_kb").collect()
                     )
         return out
 

@@ -76,9 +76,12 @@ class ParquetSnapshotStore:
         return os.path.join(self.root, name, f"v{v:06d}")
 
     def _has_files(self, path: str) -> bool:
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        )
+        if not os.path.isdir(path):
+            return False
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     # -- reads -------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
@@ -147,9 +150,12 @@ class ParquetSnapshotStore:
     def append(self, name: str, materialized: DataFrame) -> None:
         materialized.write.mode("append").parquet(self._dir(name))
 
-    def replace(self, name: str, df: DataFrame) -> None:
+    def replace(self, name: str, df: DataFrame, partition_by: list | None = None) -> None:
         nxt = self._versions[name] + 1
-        df.write.mode("overwrite").parquet(self._dir(name, nxt))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._dir(name, nxt))
         self._versions[name] = nxt
         old = self._dir(name, nxt - 2)
         if os.path.isdir(old):  # keep one back-version for in-flight readers

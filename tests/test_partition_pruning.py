@@ -1,0 +1,39 @@
+"""Keyed tables are hash-bucket partitioned; key lookups must prune
+partitions (the engine's replacement for the reference's per-column
+B+tree point access — SURVEY.md §1.1 Index row)."""
+
+import contextlib
+import io
+import re
+
+from reactivedb_spark import Engine
+
+CFG = {
+    "tables": [
+        {"Source": {"name": "users", "columns": {"name": "Str", "age": "Integer"}}},
+        {"Derived": {"name": "u",
+                     "transform_definition": {"UnionTransform": {
+                         "tables_and_foreign_keys": [["users", "name"]]}}}},
+    ]
+}
+
+
+def test_keyed_lookup_prunes_partitions(spark, workspace):
+    eng = Engine(spark, CFG, workspace=workspace)
+    eng.insert("users", [{"name": f"user{i}", "age": i} for i in range(50)])
+
+    scan = eng._keyed_scan("u", "matchingKey", "user7")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert m and "_kb" in m.group(1), f"no partition filter: {m}"
+
+    # correctness unchanged; internal columns stay hidden
+    row = eng.find_one("u", "matchingKey", "user7")
+    assert row["age"] == 7 and "_kb" not in row and "_seq" not in row
+    assert "_kb" not in eng.table("u").columns
+
+    # non-key equality still works (full scan, no pruning — like the
+    # reference erroring only on UNindexed columns, we just scan)
+    assert eng.find_one("u", "age", 9)["matchingKey"] == "user9"
