@@ -477,8 +477,13 @@ class Engine:
             )
             if staged is not None:
                 rest = state.join(F.broadcast(keys), C.MATCHING_KEY, "left_anti")
-                self.store.replace(child, rest.unionByName(staged),
-                                   partition_by=[C.PARTITION_BUCKET])
+                # sortWithinPartitions(key): parquet row-group min/max
+                # stats then skip within each bucket too (Z-order-lite)
+                self.store.replace(
+                    child,
+                    rest.unionByName(staged).sortWithinPartitions(C.MATCHING_KEY),
+                    partition_by=[C.PARTITION_BUCKET],
+                )
                 out.inserts = staged
                 old = self._stage_nonempty(child, affected_old)
                 out.deletes = old  # replaced rows (reference Update = delete+insert)
@@ -527,9 +532,10 @@ class Engine:
         old = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
         old_staged = self._stage_nonempty(child, old)
         rest = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_anti")
+        new_state = rest.unionByName(staged) if staged is not None else rest
         self.store.replace(
             child,
-            rest.unionByName(staged) if staged is not None else rest,
+            new_state.sortWithinPartitions(C.AGGREGATED_COLUMN),
             partition_by=[C.PARTITION_BUCKET],
         )
         if staged is None and old_staged is None:

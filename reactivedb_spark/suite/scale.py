@@ -162,6 +162,41 @@ _BUCKETS_CTE = (
 )
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: Hamming distance ≤ 6 over the
+    32-bit signatures — bit_count(xor) on both engines."""
+    sig = dedup.simhash(load(spark, sf, "documents"), "doc_id", "text")
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = (
+    "WITH " + _TOK_CTE + f""",
+tokd AS (SELECT DISTINCT doc_id, token FROM tok),
+votes AS (
+  SELECT doc_id, g.j,
+         SUM(CASE WHEN substr(md5(token), g.j, 1) IN {HEX_HIGH_SQL} THEN 1 ELSE -1 END) AS s
+  FROM tokd, generate_series(1, {dedup.SIMHASH_BITS}) g(j)
+  GROUP BY doc_id, g.j),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+)
+
+
 def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(load(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=10)
 
@@ -543,6 +578,7 @@ QUERIES = {
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "similarity_topk": q_similarity_topk,
     "ann_buckets": q_ann_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -566,6 +602,7 @@ ORACLES = {
     "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
