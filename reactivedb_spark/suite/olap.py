@@ -217,7 +217,59 @@ FROM lineitem GROUP BY l_suppkey
 """
 
 
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """left_semi = EXISTS: customers holding at least one urgent order."""
+    cust = load(spark, sf, "customer")
+    urgent = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """left_anti = NOT EXISTS: parts never shipped."""
+    part = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem")
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT p_partkey, p_name FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+def q_median_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated median per order status (both engines use the
+    same (1-g)·lower + g·upper interpolation; round(9) absorbs FP)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 9).alias("median_price"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_MEDIAN_PRICE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 9) AS median_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "median_price": q_median_price,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
     "distinct_agg": q_distinct_agg,
     "tpch_q1_like": q_tpch_q1_like,
     "revenue_by_nation": q_revenue_by_nation,
@@ -228,6 +280,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "median_price": SQL_MEDIAN_PRICE,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
     "distinct_agg": SQL_DISTINCT_AGG,
     "tpch_q1_like": SQL_TPCH_Q1_LIKE,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

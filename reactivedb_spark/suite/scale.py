@@ -369,6 +369,26 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_metadata(d, "doc_id")
 
 
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling (one-to-many mapInPandas): every 100-byte window of
+    the payload is a fake 'frame'; emitted as (doc_id, frame_no,
+    frame_len). The Arrow plumbing is real; the oracle recomputes the
+    window arithmetic in SQL."""
+    d = multimodal.with_payload(load(spark, sf, "documents"), "text")
+    frames = multimodal.sample_frames(d, "doc_id", every_n=100)
+    return frames.select(
+        "doc_id", "frame_no", F.octet_length("frame").cast("long").alias("frame_len")
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH f AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         unnest(generate_series(0, CAST(ceil(length(text) / 100.0) AS BIGINT) - 1)) AS frame_no
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id, frame_no, least(100, len - frame_no * 100) AS frame_len FROM f
+"""
+
 SQL_MULTIMODAL_DECODE = """
 SELECT doc_id,
        64 + (length(text) % 512) AS width,
@@ -588,6 +608,7 @@ QUERIES = {
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
     "window_rank": q_window_rank,
     "topk_orders": q_topk_orders,
     "events_hourly": q_events_hourly,
@@ -611,6 +632,7 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "window_rank": SQL_WINDOW_RANK,
     "topk_orders": SQL_TOPK_ORDERS,
     "events_hourly": SQL_EVENTS_HOURLY,
