@@ -153,6 +153,23 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two dimensions)."""
+    o = load(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     """Set operator coverage: customers in BUILDING segment minus those
     holding an order above 300k (EXCEPT = left_anti distinct)."""
@@ -275,6 +292,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "asof_join": q_asof_join,
     "rollup_orders": q_rollup_orders,
+    "cube_orders": q_cube_orders,
     "set_ops": q_set_ops,
     "pivot_priority": q_pivot_priority,
 }
@@ -288,6 +306,7 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "asof_join": SQL_ASOF_JOIN,
     "rollup_orders": SQL_ROLLUP_ORDERS,
+    "cube_orders": SQL_CUBE_ORDERS,
     "set_ops": SQL_SET_OPS,
     "pivot_priority": SQL_PIVOT_PRIORITY,
 }

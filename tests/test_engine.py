@@ -146,6 +146,17 @@ class TestDeleteCascadeAndListen:
                                  {"testForIndex": 2, "testForIteration": 20}])
         assert seen == [2]  # one batch event with both derived rows
 
+    def test_listen_delete_events(self, spark, workspace):
+        eng = Engine(spark, TEST_CFG, workspace=workspace + "_del")
+        deleted_rows = []
+        eng.listen("derived", "Delete",
+                   lambda df: deleted_rows.extend(r["newColumn"] for r in df.collect()))
+        eng.insert("testTable", [{"testForIndex": 1, "testForIteration": 10},
+                                 {"testForIndex": 2, "testForIteration": 20}])
+        eng.delete("testTable", "testForIteration", 10)
+        # cascade delete pushed a Delete event carrying the derived row
+        assert deleted_rows == [12]
+
     def test_schema_mismatch_rejected(self, spark, workspace):
         from reactivedb_spark.errors import SchemaMismatchError
 
