@@ -89,6 +89,62 @@ def decode_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def resize(df: DataFrame, id_col: str, payload_col: str = "payload",
+           target: int = 64) -> DataFrame:
+    """STUB resize: returns (id, payload) with the payload downsampled by
+    taking every k-th byte so the output is ≤ ``target``² bytes — a real
+    pipeline swaps in PIL/opencv behind the same mapInPandas shape.
+    Exercises binary-in/binary-out Arrow batching."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+    limit = target * target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for b in pdf[payload_col]:
+                b = b or b""
+                step = max(1, (len(b) + limit - 1) // limit)
+                outs.append(bytes(b[::step]))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": outs})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def extract_features(df: DataFrame, id_col: str, payload_col: str = "payload",
+                     dim: int = 8) -> DataFrame:
+    """STUB feature extractor: deterministic ``dim``-float vector from byte
+    histograms (bucket means / 255) — the embedding-column producer shape;
+    a real deployment runs a vision/audio model per Arrow batch here."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for b in pdf[payload_col]:
+                b = b or b""
+                buckets = [0.0] * dim
+                counts = [0] * dim
+                for i, byte in enumerate(b):
+                    buckets[i % dim] += byte
+                    counts[i % dim] += 1
+                feats.append(
+                    [float(buckets[i] / counts[i] / 255.0) if counts[i] else 0.0
+                     for i in range(dim)]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
+
+    _register_self_by_value()
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(df: DataFrame, id_col: str, payload_col: str = "payload",
                   every_n: int = 100) -> DataFrame:
     """STUB frame sampler: emits (id, frame_no, frame_bytes) rows taking
