@@ -147,7 +147,9 @@ def q_aggregation_transform(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.col(C.AGGREGATED_COLUMN).alias("l_orderkey"),
         "n_rows",
-        "sum_qty",
+        # final decimal→double cast is deterministic cross-engine (verified
+        # bit-identical vs DuckDB); keeps the driver's hasher off decimals.
+        F.col("sum_qty").cast("double").alias("sum_qty"),
         (F.col("sum_qty").cast("double") / F.col("n_rows")).alias("avg_qty"),
     )
 
@@ -155,8 +157,8 @@ def q_aggregation_transform(spark: SparkSession, sf: str) -> DataFrame:
 SQL_AGGREGATION_TRANSFORM = """
 SELECT l_orderkey,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,18)) AS sum_qty,
-       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,18)) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
          / CAST(count(*) AS BIGINT) AS avg_qty
 FROM lineitem GROUP BY l_orderkey
 """

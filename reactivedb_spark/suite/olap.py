@@ -28,14 +28,17 @@ def q_tpch_q1_like(spark: SparkSession, sf: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            # exact decimal sums internally; a single final cast to double is
+            # deterministic cross-engine (verified bit-identical vs DuckDB) and
+            # sidesteps the driver's decimal canonicalization divergence.
+            F.sum(qty).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
             F.count("*").cast("long").alias("count_order"),
         )
         .withColumn(
-            "avg_qty", F.col("sum_qty").cast("double") / F.col("count_order")
+            "avg_qty", F.col("sum_qty") / F.col("count_order")
         )
     )
     return out
@@ -43,10 +46,10 @@ def q_tpch_q1_like(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TPCH_Q1_LIKE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
        CAST(COUNT(*) AS BIGINT) AS count_order,
        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
          / CAST(COUNT(*) AS BIGINT) AS avg_qty
@@ -74,7 +77,7 @@ def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum("rev").cast("decimal(38,4)").alias("revenue"),
+            F.sum("rev").cast("decimal(38,4)").cast("double").alias("revenue"),
             F.count("*").cast("long").alias("n_lineitems"),
         )
     )
@@ -82,7 +85,7 @@ def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_REVENUE_BY_NATION = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -140,7 +143,7 @@ def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").alias("total"),
         )
     )
 
@@ -148,7 +151,7 @@ def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
 SQL_ROLLUP_ORDERS = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -158,14 +161,14 @@ def q_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").alias("total"),
     )
 
 
 SQL_CUBE_ORDERS = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
