@@ -231,6 +231,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     return packed
 
 
+def simhash_pairs(sig: DataFrame, id_col: str = "doc_id",
+                  sig_col: str = "simhash", max_hamming: int = 6,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs with Hamming(sig_a, sig_b) <= max_hamming — banded,
+    never all-pairs.
+
+    Pigeonhole: split the ``bits``-bit signature into ``max_hamming + 1``
+    disjoint bands; any pair within the Hamming budget is identical in at
+    least one band, so ONE equi-join on (band, band_value) finds every
+    qualifying pair with linear-ish candidate volume (same shape as the
+    MinHash LSH band join above). Exact: candidates are then verified with
+    bit_count(xor). At 100 TB this is a single shuffle on the band key vs
+    the O(n²) cross join it replaces.
+    """
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    sizes = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(sizes[:i]) for i in range(n_bands)]
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col(sig_col), off)
+            .bitwiseAND(F.lit((1 << sz) - 1)).alias("bv"),
+        )
+        for i, (off, sz) in enumerate(zip(offsets, sizes))
+    ])
+    e = (
+        sig.select(F.col(id_col), F.col(sig_col), F.explode(bands).alias("b"))
+        .select(id_col, sig_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    )
+    a = e.select(F.col(id_col).alias("doc_a"), F.col(sig_col).alias("ha"), "band", "bv")
+    b = e.select(F.col(id_col).alias("doc_b"), F.col(sig_col).alias("hb"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()  # a pair may collide in several bands
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the similarity module's

@@ -163,18 +163,10 @@ _BUCKETS_CTE = (
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup candidate pairs: Hamming distance ≤ 6 over the
-    32-bit signatures — bit_count(xor) on both engines."""
+    """SimHash near-dup pairs: Hamming ≤ 6 over the 32-bit signatures via
+    the banded (pigeonhole) equi-join — no cross join at any scale."""
     sig = dedup.simhash(load(spark, sf, "documents"), "doc_id", "text")
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
-        .filter(F.col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return dedup.simhash_pairs(sig, "doc_id", "simhash", max_hamming=6)
 
 
 SQL_DEDUP_SIMHASH_PAIRS = (
@@ -188,11 +180,20 @@ votes AS (
 sig AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-  FROM votes GROUP BY doc_id)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+  FROM votes GROUP BY doc_id),
+-- banded Hamming join (pigeonhole over 7 bands: 5,5,5,5,4,4,4 bits),
+-- mirroring the Spark plan — no all-pairs join on either engine
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> b.sh) & b.mask AS bv
+  FROM sig, (VALUES (0, 0, 31), (1, 5, 31), (2, 10, 31), (3, 15, 31),
+                    (4, 20, 15), (5, 24, 15), (6, 28, 15)) b(band, sh, mask)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                           AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 6
 """
 )
 
@@ -443,7 +444,7 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double").alias("sum_value"),
         )
     )
 
@@ -451,7 +452,7 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
 SQL_EVENTS_HOURLY = """
 SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -528,14 +529,18 @@ def q_streaming_aggregate(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return eng.table("per_user").select(
-        F.col("aggregatedColumn").alias("user_id"), "n", "total"
+        F.col("aggregatedColumn").alias("user_id"), "n",
+        F.col("total").cast("double").alias("total"),
     )
 
 
 SQL_STREAMING_AGGREGATE = """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(38,18)) AS total
+       -- keep the oracle decimal at scale 6: DuckDB's decimal->double at scale 18
+       -- goes through an int128 > 2^53 and double-rounds (1 ulp off); at scale 6 the
+       -- int64 mantissa is exact and the cast is correctly rounded like Spark's.
+       CAST(CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
 FROM events GROUP BY user_id
 """
 
