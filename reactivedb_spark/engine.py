@@ -562,8 +562,13 @@ class Engine:
             raise UnknownColumnError(f"{table}.{column}")
         df = self.store.read(table)
         if st.key_column == column:
+            # hash() is input-type-sensitive (hash(7 as int) != hash(7 as
+            # bigint)), so the probe literal must be cast to the stored
+            # column type or integer/decimal keys would prune to the wrong
+            # bucket and silently miss existing rows.
+            probe = F.lit(key).cast(st.schema[column].dataType)
             df = df.filter(
-                F.col(C.PARTITION_BUCKET) == self._bucket_of(F.lit(key)).cast("int")
+                F.col(C.PARTITION_BUCKET) == self._bucket_of(probe).cast("int")
             )
         return df.drop(C.SEQ, C.PARTITION_BUCKET).filter(F.col(column) == F.lit(key))
 

@@ -6,9 +6,12 @@ Matches the reference grammar (reactive_db/src/config/expression_parser.rs):
   literals, ``true``/``false``, operators, parens, ``~``.
 - statement (:14-56): ``dest ~ expr`` (or ``expr ~ dest``) is an Assignment;
   a bare expression is a Comparison (used by FilterTransform).
-- expression splitter (:83-137): **no operator precedence** — the right-most
-  operator at paren depth 0 becomes the root, so ``a + b * c`` parses as
-  ``(a + b) * c``. Parentheses group. Configs should parenthesize.
+- expression splitter (:83-137): **no conventional precedence** — the FIRST
+  comparison/boolean token (``== != <= >= < > && ||``) at paren depth 0
+  becomes the root (the reference loop ``break``s on it), otherwise the
+  RIGHT-most arithmetic operator does (overwrite without break). So
+  ``a + b * c`` ⇒ ``(a + b) * c``, ``x > y + 1`` ⇒ ``x > (y + 1)``,
+  ``a && b || c`` ⇒ ``a && (b || c)``. Parentheses group.
 
 Extension beyond the reference: ``name(arg, ...)`` scalar calls parse AND
 compile (the reference parses them then errors at execution, transform.rs:291).
@@ -122,10 +125,15 @@ def parse_expression(src: str) -> Expr:
 def _parse(tokens: list[Token], src: str) -> Expr:
     if not tokens:
         raise ExpressionError(f"empty expression in {src!r}")
-    # Find the right-most top-level operator (reference splitter,
-    # expression_parser.rs:86-132: no precedence, rightmost splits first).
+    # Reference splitter (expression_parser.rs:86-132): the FIRST depth-0
+    # comparison/boolean token splits immediately (loop `break`s), while
+    # arithmetic operators overwrite, so the RIGHTMOST arithmetic operator
+    # before any comparison wins. 'a && b || c' ⇒ a && (b || c);
+    # 'x > y + 1' ⇒ x > (y + 1); 'a + b * c' ⇒ (a + b) * c.
+    comparisons = {"==", "!=", "<=", ">=", "<", ">", "&&", "||"}
     depth = 0
     split_at = None
+    broke_early = False
     for i, t in enumerate(tokens):
         if t.kind == "lparen":
             depth += 1
@@ -137,7 +145,11 @@ def _parse(tokens: list[Token], src: str) -> Expr:
             if i == 0 or tokens[i - 1].kind == "op":
                 raise ExpressionError(f"misplaced operator {t.text!r} in {src!r}")
             split_at = i
-    if depth != 0:
+            if t.text in comparisons:
+                # the recursive parse of the right half re-checks balance
+                broke_early = True
+                break
+    if depth != 0 and not broke_early:
         raise ExpressionError(f"unbalanced '(' in {src!r}")
     if split_at is not None:
         op = tokens[split_at].text

@@ -154,17 +154,20 @@ class ReactiveDBServer:
             if not targets:
                 return
             rows = [wire.row_to_entry(r.asDict(recursive=True)) for r in df.collect()]
-            for row in rows:  # one Event per row, like the reference
-                msg = {"Event": {"table_name": table, "event": event,
-                                 "value": {"OneResult": _ok(row)}}}
-                for sock, send_lock in targets:
-                    try:
-                        with send_lock:
-                            wire.write_frame(sock, msg)
-                    except OSError:
-                        with self._subs_lock:
-                            self._subs[(table, event)] = [
-                                t for t in self._subs.get((table, event), [])
-                                if t[0] is not sock
-                            ]
+            # one Event per commit carrying every entry, matching the
+            # reference envelope ManyResults(Ok([entries]))
+            # (listener_hook.rs:74-79) so its client reads value
+            # ["ManyResults"]["Ok"] unchanged.
+            msg = {"Event": {"table_name": table, "event": event,
+                             "value": {"ManyResults": _ok(rows)}}}
+            for sock, send_lock in targets:
+                try:
+                    with send_lock:
+                        wire.write_frame(sock, msg)
+                except OSError:
+                    with self._subs_lock:
+                        self._subs[(table, event)] = [
+                            t for t in self._subs.get((table, event), [])
+                            if t[0] is not sock
+                        ]
         return push

@@ -139,12 +139,19 @@ class ParquetSnapshotStore:
             return None, 0
         delta = self.spark.read.schema(self._schemas[name]).parquet(*new_files)
         # auto-compaction (the Delta OPTIMIZE analogue): many small commits
-        # accumulate files and degrade every later scan. The returned delta
-        # stays valid — it reads the pre-compaction version dir, which
-        # replace() retains one generation back.
+        # accumulate files and degrade every later scan. Never compact
+        # mid-commit: a later replace() in the same commit would queue the
+        # pre-compaction dir (holding these delta files) in pending_rm and
+        # end_commit would delete it under the returned DataFrame. Defer to
+        # end_commit, which compacts only tables not version-flipped during
+        # the commit — keeping returned deltas one retained generation away
+        # from any deletion.
         all_files = before | {os.path.basename(f) for f in new_files}
         if len(all_files) > self.compact_threshold:
-            self.replace(name, self.read(name).coalesce(max(1, len(all_files) // 32)))
+            if self._txn is None:
+                self.replace(name, self.read(name).coalesce(max(1, len(all_files) // 32)))
+            else:
+                self._txn["compact"].add(name)
         return delta, n
 
     def append(self, name: str, materialized: DataFrame) -> None:
@@ -182,14 +189,37 @@ class ParquetSnapshotStore:
             "versions": dict(self._versions),
             "files": files,
             "pending_rm": [],
+            "compact": set(),
         }
 
     def end_commit(self) -> None:
         if self._txn is None:
             return
-        for path in self._txn["pending_rm"]:
+        txn, self._txn = self._txn, None
+        for path in txn["pending_rm"]:
             shutil.rmtree(path, ignore_errors=True)
-        self._txn = None
+        # deferred compaction: only for tables whose version pointer did not
+        # move during the commit, so the appended delta files stay one
+        # retained generation away from replace()'s cleanup.
+        for name in txn["compact"]:
+            if self._versions[name] != txn["versions"].get(name):
+                continue
+            path = self._dir(name)
+            if not os.path.isdir(path):
+                continue
+            n_files = sum(
+                1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+            )
+            part_cols = sorted(
+                {d.split("=")[0] for d in os.listdir(path)
+                 if "=" in d and os.path.isdir(os.path.join(path, d))}
+            )
+            if n_files > self.compact_threshold:
+                self.replace(
+                    name,
+                    self.read(name).coalesce(max(1, n_files // 32)),
+                    partition_by=part_cols or None,
+                )
         self.save_meta()
 
     def rollback(self) -> None:

@@ -158,3 +158,32 @@ class TestCompiledEval:
         assert self._eval(df, "length(s)") == [3, 1]
         assert self._eval(df, "upper(s)") == ["FOO", "A"]
         assert self._eval(df, "concat(s, t)") == ["foobar", "ab"]
+
+
+class TestReferenceSplitterPrecedence:
+    """expression_parser.rs:86-132: FIRST depth-0 comparison token splits
+    (loop breaks); arithmetic overwrites so the RIGHTMOST one wins."""
+
+    def _shape(self, src):
+        from reactivedb_spark.expr.ast import BinOp
+        from reactivedb_spark.expr.parser import parse_expression
+
+        def s(e):
+            return f"({s(e.left)}{e.op}{s(e.right)})" if isinstance(e, BinOp) else "."
+        return s(parse_expression(src))
+
+    def test_boolean_chain_splits_at_first(self):
+        assert self._shape("a && b || c") == "(.&&(.||.))"
+
+    def test_comparison_binds_before_arithmetic_on_right(self):
+        assert self._shape("x > y + 1") == "(.>(.+.))"
+
+    def test_arithmetic_rightmost(self):
+        assert self._shape("a + b * c") == "((.+.)*.)"
+
+    def test_mixed(self):
+        assert self._shape("a + b > c * d") == "((.+.)>(.*.))"
+        assert self._shape("a == b && c") == "(.==(.&&.))"
+
+    def test_parens_still_group(self):
+        assert self._shape("(a && b) || c") == "((.&&.)||.)"

@@ -136,4 +136,8 @@ class TestWireProtocol:
         assert done.wait(timeout=60), "no event received"
         ev = events[0]["Event"]
         assert ev["table_name"] == "unionTest" and ev["event"] == "Insert"
-        assert ev["value"]["OneResult"]["Ok"]["matchingKey"] == {"Str": "Zoe"}
+        # reference envelope: one Event per commit, ManyResults(Ok([entries]))
+        # (listener_hook.rs:74-79)
+        entries = ev["value"]["ManyResults"]["Ok"]
+        assert len(entries) == 1
+        assert entries[0]["matchingKey"] == {"Str": "Zoe"}

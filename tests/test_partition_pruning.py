@@ -37,3 +37,34 @@ def test_keyed_lookup_prunes_partitions(spark, workspace):
     # non-key equality still works (full scan, no pruning — like the
     # reference erroring only on UNindexed columns, we just scan)
     assert eng.find_one("u", "age", 9)["matchingKey"] == "user9"
+
+
+INT_CFG = {
+    "tables": [
+        {"Source": {"name": "readings", "columns": {"sensor": "Integer", "v": "Integer"}}},
+        {"Derived": {"name": "latest",
+                     "transform_definition": {"UnionTransform": {
+                         "tables_and_foreign_keys": [["readings", "sensor"]]}}}},
+        {"Derived": {"name": "totals",
+                     "transform_definition": {"AggregationTransform": {
+                         "source_table": "readings",
+                         "aggregated_column": "sensor",
+                         "functions": ["n ~ memo.n + 1", "sum ~ memo.sum + v"]}}}},
+    ]
+}
+
+
+def test_integer_key_lookup_finds_rows(spark, workspace):
+    """hash() is type-sensitive (int vs bigint literals hash differently);
+    the bucket probe must cast the literal to the stored column type or
+    integer-keyed lookups prune to the wrong partition and return nothing."""
+    eng = Engine(spark, INT_CFG, workspace=workspace)
+    eng.insert("readings", [{"sensor": i % 10, "v": i} for i in range(40)])
+
+    for key in (0, 3, 7, 9):
+        row = eng.find_one("latest", "matchingKey", key)
+        assert row is not None and row["matchingKey"] == key, key
+        agg = eng.find_one("totals", "aggregatedColumn", key)
+        assert agg is not None and agg["n"] == 4, key
+    assert eng.get_all("latest", "matchingKey", 5).count() == 1
+    assert eng.find_one("latest", "matchingKey", 123) is None

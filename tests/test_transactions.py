@@ -47,3 +47,53 @@ class TestRollback:
         assert eng.table("agg").count() == 1
         assert seen == [1]
         assert report["boom"].num_inserted == 1
+
+
+class TestCompactionDeferral:
+    def test_delta_survives_compaction_plus_replace_in_one_commit(self, spark, workspace):
+        """Auto-compaction must not run mid-commit: if it did, a later
+        replace() in the same commit would queue the dir holding the
+        returned delta files in pending_rm, and end_commit would delete it
+        under the DataFrame handed to listeners."""
+        from pyspark.sql import types as T
+
+        from reactivedb_spark.store import ParquetSnapshotStore
+
+        schema = T.StructType([T.StructField("x", T.LongType())])
+        st = ParquetSnapshotStore(spark, workspace, compact_threshold=2)
+        st.init_table("t", schema)
+        base = spark.createDataFrame([(i,) for i in range(3)], schema)
+        # three appends → over threshold
+        for _ in range(3):
+            st.append_delta("t", base)
+
+        st.begin_commit()
+        delta, n = st.append_delta("t", base)  # queues deferred compaction
+        assert n == 3
+        # same-commit mutation flips the version (union/agg state rewrite)
+        st.replace("t", st.read("t"))
+        st.end_commit()
+        # the delta handed out before the replace must still be readable
+        assert delta.count() == 3
+        # table intact
+        assert st.read("t").count() == 12
+
+    def test_deferred_compaction_runs_when_version_stable(self, spark, workspace):
+        import os
+
+        from pyspark.sql import types as T
+
+        from reactivedb_spark.store import ParquetSnapshotStore
+
+        schema = T.StructType([T.StructField("x", T.LongType())])
+        st = ParquetSnapshotStore(spark, workspace + "_c", compact_threshold=2)
+        st.init_table("t", schema)
+        base = spark.createDataFrame([(i,) for i in range(3)], schema)
+        st.begin_commit()
+        for _ in range(4):
+            delta, _n = st.append_delta("t", base)
+        st.end_commit()  # no replace during commit → compaction happens here
+        path = st._dir("t")
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert len(files) <= 2, files
+        assert st.read("t").count() == 12
