@@ -441,19 +441,49 @@ class Engine:
             out.deletes = self._delete_by_provenance(child, d.deletes)
         return out if (out.inserts is not None or out.deletes is not None) else None
 
+    def _affected_buckets(self, keys: DataFrame, column: str) -> list:
+        """Distinct hash buckets of the affected keys — the ≤ N_KEY_BUCKETS
+        values that bound which partition dirs a keyed commit may rewrite."""
+        rows = keys.select(
+            self._bucket_of(F.col(column)).cast("int").alias("b")
+        ).distinct().collect()
+        return sorted(r["b"] for r in rows)
+
+    def _replace_keyed(self, child: str, content: DataFrame, buckets: list) -> None:
+        """Commit keyed state touching only the affected ``_kb`` partition
+        dirs (O(affected buckets) I/O per commit instead of O(table) —
+        "What's wrong" #3 of round 1). ``content`` must hold exactly the
+        new rows of those buckets."""
+        if len(buckets) >= C.N_KEY_BUCKETS:
+            self.store.replace(child, content, partition_by=[C.PARTITION_BUCKET])
+        else:
+            self.store.replace_partitions(
+                child, content, [C.PARTITION_BUCKET], buckets
+            )
+
     def _delete_by_provenance(self, child: str, parent_deleted: DataFrame) -> Optional[DataFrame]:
         ids = parent_deleted.select(F.col(C.ENTRY_ID).alias("_pid"))
         state = self.store.read(child)
-        cond = state[C.SOURCE_ENTRY_ID] == F.col("_pid")
+        cond = F.col(C.SOURCE_ENTRY_ID) == F.col("_pid")
         child_del = self._stage_nonempty(child, state.join(F.broadcast(ids), cond, "left_semi"))
         if child_del is None:
             return None
         st = self.tables[child]
-        self.store.replace(
-            child,
-            state.join(F.broadcast(ids), cond, "left_anti"),
-            partition_by=[C.PARTITION_BUCKET] if st.key_column else None,
-        )
+        if st.key_column:
+            # staged deletes carry their _kb — only those buckets change
+            buckets = sorted(
+                r["b"] for r in child_del.select(
+                    F.col(C.PARTITION_BUCKET).cast("int").alias("b")
+                ).distinct().collect()
+            )
+            keep = state.filter(F.col(C.PARTITION_BUCKET).isin(buckets)).join(
+                F.broadcast(ids), cond, "left_anti"
+            )
+            self._replace_keyed(child, keep, buckets)
+        else:
+            self.store.replace(
+                child, state.join(F.broadcast(ids), cond, "left_anti")
+            )
         return child_del
 
     def _apply_union(self, child: str, tr: UnionTransformConfig, parent: str, d: Delta) -> Optional[Delta]:
@@ -467,8 +497,12 @@ class Engine:
             keys = normalized.select(C.MATCHING_KEY).filter(
                 F.col(C.MATCHING_KEY).isNotNull()
             ).distinct()
+            buckets = self._affected_buckets(keys, C.MATCHING_KEY)
             state = self.store.read(child)
-            affected_old = state.join(F.broadcast(keys), C.MATCHING_KEY, "left_semi")
+            # bucket pre-filter prunes the state scan to the affected
+            # partition dirs before the key semi/anti joins
+            state_aff = state.filter(F.col(C.PARTITION_BUCKET).isin(buckets))
+            affected_old = state_aff.join(F.broadcast(keys), C.MATCHING_KEY, "left_semi")
             merged = union_op.merge(
                 affected_old.drop(C.ENTRY_ID, C.PARTITION_BUCKET), normalized, op_schema
             )
@@ -476,13 +510,13 @@ class Engine:
                 child, self._with_bucket(self._with_entry_id(merged), C.MATCHING_KEY)
             )
             if staged is not None:
-                rest = state.join(F.broadcast(keys), C.MATCHING_KEY, "left_anti")
+                rest = state_aff.join(F.broadcast(keys), C.MATCHING_KEY, "left_anti")
                 # sortWithinPartitions(key): parquet row-group min/max
                 # stats then skip within each bucket too (Z-order-lite)
-                self.store.replace(
+                self._replace_keyed(
                     child,
                     rest.unionByName(staged).sortWithinPartitions(C.MATCHING_KEY),
-                    partition_by=[C.PARTITION_BUCKET],
+                    buckets,
                 )
                 out.inserts = staged
                 old = self._stage_nonempty(child, affected_old)
@@ -505,13 +539,15 @@ class Engine:
                  for x in (d.inserts, d.deletes) if x is not None]
         keys = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         keys = keys.filter(F.col(C.AGGREGATED_COLUMN).isNotNull()).distinct()
+        buckets = self._affected_buckets(keys, C.AGGREGATED_COLUMN)
         state = self.store.read(child)
+        state_aff = state.filter(F.col(C.PARTITION_BUCKET).isin(buckets))
         plan = agg_op.classify(tr)
         if plan is not None and d.deletes is None:
             # decomposable + insert-only: merge delta partials into state,
             # never touching the parent table (O(delta) per batch)
             delta_groups = agg_op.compute_groups(tr, d.inserts)
-            state_affected = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
+            state_affected = state_aff.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
             new_groups = agg_op.merge_with_state(
                 tr, state_affected, delta_groups, d.inserts.schema
             )
@@ -529,14 +565,12 @@ class Engine:
             child,
             self._with_bucket(self._with_entry_id(new_groups), C.AGGREGATED_COLUMN),
         )
-        old = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
+        old = state_aff.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
         old_staged = self._stage_nonempty(child, old)
-        rest = state.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_anti")
+        rest = state_aff.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_anti")
         new_state = rest.unionByName(staged) if staged is not None else rest
-        self.store.replace(
-            child,
-            new_state.sortWithinPartitions(C.AGGREGATED_COLUMN),
-            partition_by=[C.PARTITION_BUCKET],
+        self._replace_keyed(
+            child, new_state.sortWithinPartitions(C.AGGREGATED_COLUMN), buckets
         )
         if staged is None and old_staged is None:
             return None

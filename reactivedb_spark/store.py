@@ -163,6 +163,41 @@ class ParquetSnapshotStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._dir(name, nxt))
+        self._flip(name, nxt)
+
+    def replace_partitions(self, name: str, df: DataFrame,
+                           partition_by: list, values: list) -> None:
+        """Rewrite ONLY the partition dirs named by ``values`` (single
+        partition column); every other partition of the current version is
+        hardlinked into the next version dir — zero data I/O for untouched
+        buckets, while keeping full snapshot isolation and rollback (the
+        old version dir stays intact one generation back). This is the
+        reference's per-key upsert economics (storage_manager_table.rs:
+        26-64) at Spark scale; on a real cluster this layer is Delta
+        ``MERGE``/``replaceWhere``, which is the same partition-scoped
+        commit expressed as table-format metadata.
+
+        ``df`` must contain only rows belonging to the affected
+        partitions."""
+        col = partition_by[0]
+        nxt = self._versions[name] + 1
+        new_dir = self._dir(name, nxt)
+        old_dir = self._dir(name)
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(new_dir)
+        affected = {f"{col}={v}" for v in values}
+        if os.path.isdir(old_dir):
+            for d in os.listdir(old_dir):
+                src = os.path.join(old_dir, d)
+                if d in affected or "=" not in d or not os.path.isdir(src):
+                    continue
+                dst = os.path.join(new_dir, d)
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    if f.endswith(".parquet") and not os.path.exists(os.path.join(dst, f)):
+                        os.link(os.path.join(src, f), os.path.join(dst, f))
+        self._flip(name, nxt)
+
+    def _flip(self, name: str, nxt: int) -> None:
         self._versions[name] = nxt
         old = self._dir(name, nxt - 2)
         if os.path.isdir(old):  # keep one back-version for in-flight readers

@@ -68,3 +68,38 @@ def test_integer_key_lookup_finds_rows(spark, workspace):
         assert agg is not None and agg["n"] == 4, key
     assert eng.get_all("latest", "matchingKey", 5).count() == 1
     assert eng.find_one("latest", "matchingKey", 123) is None
+
+
+def test_single_key_commit_rewrites_only_affected_buckets(spark, workspace):
+    """A 1-key commit must physically rewrite only the bucket dirs holding
+    that key; every other bucket's files are carried forward as hardlinks
+    (st_nlink > 1), not rewritten — the per-key upsert economics of the
+    reference's B+tree at Spark scale."""
+    import os
+
+    eng = Engine(spark, CFG, workspace=workspace)
+    eng.insert("users", [{"name": f"user{i}", "age": i} for i in range(200)])
+
+    store = eng.store
+    v_before = store._versions["u"]
+    eng.insert("users", [{"name": "user7", "age": 99}])
+    v_after = store._versions["u"]
+    assert v_after > v_before
+
+    new_dir = store._dir("u", v_after)
+    fresh_buckets = set()
+    total_buckets = set()
+    for d in os.listdir(new_dir):
+        if not d.startswith("_kb="):
+            continue
+        total_buckets.add(d)
+        for f in os.listdir(os.path.join(new_dir, d)):
+            if f.endswith(".parquet") and os.stat(
+                os.path.join(new_dir, d, f)
+            ).st_nlink == 1:
+                fresh_buckets.add(d)
+    assert len(total_buckets) > 10, "fixture too small to be meaningful"
+    assert len(fresh_buckets) <= 2, f"rewrote {sorted(fresh_buckets)}"
+
+    # and the merged value is visible
+    assert eng.find_one("u", "matchingKey", "user7")["age"] == 99
