@@ -202,6 +202,52 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
     return cosine_topk(cand, id_col, vec_col, query_id, k=k)
 
 
+def ivf_seed_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
+                  k: int = 10, n_clusters: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF probe against SEED centroids (the ``n_clusters`` lowest-id
+    vectors) — the fully deterministic, oracle-able variant of
+    ``ivf_topk``.
+
+    Assignment and probe selection use **exact int64 fixed-point squared
+    L2** (elements are xl = round(x·10⁸); (xl−cl)² ≤ 4·10¹⁶ and ×64 dims
+    ≤ 2.6·10¹⁸ < 2⁶³), so cluster membership is bit-reproducible in any
+    engine — no float k-means means in the compare path. Scan economics
+    match ivf_topk: candidates ≈ nprobe/n_clusters of the corpus, then
+    exact fixed-point cosine top-k."""
+    spark = df.sparkSession
+    elem = exploded(df, id_col, vec_col)
+    seed_ids = [r[0] for r in
+                df.select(id_col).orderBy(id_col).limit(n_clusters).collect()]
+    seed_map = spark.createDataFrame(
+        [(int(s), ci) for ci, s in enumerate(seed_ids)], "_sid long, cluster int"
+    )
+    cent = elem.join(
+        F.broadcast(seed_map), F.col(id_col) == F.col("_sid")
+    ).select("cluster", "j", F.col("xl").alias("cl"))
+    d2 = (
+        elem.join(F.broadcast(cent), "j")
+        .groupBy(id_col, "cluster")
+        .agg(F.sum((F.col("xl") - F.col("cl")) * (F.col("xl") - F.col("cl"))).alias("d2"))
+    )
+    from pyspark.sql import Window as W
+
+    assign = d2.withColumn(
+        "rn", F.row_number().over(W.partitionBy(id_col).orderBy("d2", "cluster"))
+    ).filter(F.col("rn") == 1).select(id_col, "cluster")
+    probe = [
+        r["cluster"]
+        for r in d2.filter(F.col(id_col) == F.lit(query_id))
+        .orderBy("d2", "cluster").limit(nprobe).collect()
+    ]
+    ids = (
+        assign.filter(F.col("cluster").isin(probe)).select(id_col)
+        .union(df.filter(F.col(id_col) == F.lit(query_id)).select(id_col))
+        .distinct()
+    )
+    cand = df.join(ids, id_col, "left_semi")
+    return cosine_topk(cand, id_col, vec_col, query_id, k=k)
+
+
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(doc_a, doc_b, cos_sim) for pairs sharing an LSH bucket (a < b)."""
     buckets = lsh_buckets(df, id_col, vec_col)

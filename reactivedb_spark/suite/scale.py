@@ -228,13 +228,47 @@ SQL_ANN_BUCKETS = (
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-probed ANN top-10 (deterministic k-means-lite). No SQL oracle —
-    clustering is not reasonably SQL-expressible; the driver records the
-    weaker rows-only check, and tests/test_similarity.py checks recall
-    against the brute-force baseline."""
-    return similarity.ivf_topk(
+    """IVF-probed ANN top-10 against seed centroids — assignment and probe
+    use exact int64 fixed-point L2, so the whole pipeline (cluster →
+    probe → cosine) is bit-reproducible in SQL. The iterative k-means
+    variant (``similarity.ivf_topk``) keeps its recall test in
+    tests/test_similarity.py."""
+    return similarity.ivf_seed_topk(
         load(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=10
     )
+
+
+SQL_ANN_IVF_TOPK = (
+    "WITH " + _ELEM_CTE + """,
+seeds AS (
+  SELECT vec_id AS sid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+cent AS (SELECT s.cluster, e.j, e.xl AS cl FROM elem e JOIN seeds s ON e.vec_id = s.sid),
+d2 AS (
+  SELECT e.vec_id, c.cluster, SUM((e.xl - c.cl) * (e.xl - c.cl)) AS d2
+  FROM elem e JOIN cent c ON e.j = c.j
+  GROUP BY e.vec_id, c.cluster),
+assign AS (
+  SELECT vec_id, cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+probe AS (SELECT cluster FROM d2 WHERE vec_id = 0 ORDER BY d2, cluster LIMIT 4),
+cand AS (
+  SELECT DISTINCT vec_id FROM assign WHERE cluster IN (SELECT cluster FROM probe)
+  UNION SELECT 0),
+q AS (SELECT j, xl AS ql FROM elem WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, SUM(e.xl * q.ql) AS dot, SUM(e.xl * e.xl) AS n2
+  FROM elem e JOIN q USING (j)
+  WHERE e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id),
+qn AS (SELECT SUM(ql * ql) AS qn2 FROM q)
+SELECT vec_id,
+       round((CAST(dot AS DOUBLE) / 1e16)
+             / (sqrt(CAST(n2 AS DOUBLE) / 1e16) * sqrt(CAST(qn2 AS DOUBLE) / 1e16)), 9) AS cos_sim
+FROM d, qn
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -631,6 +665,7 @@ ORACLES = {
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
