@@ -47,10 +47,18 @@ def clean_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    exact = gated.join(reps, id_col)
+    # survivors are read by three downstream consumers (token relation,
+    # pair verify, final anti-join): persist once instead of re-running
+    # the gates + dedup scan per consumer
+    exact = gated.join(reps, id_col).persist()
     # near-dup removal among survivors: drop the larger id of any pair
-    # above the threshold
-    pairs = dedup.jaccard_pairs(exact, id_col, text_col, threshold=jaccard_threshold)
+    # above the threshold. ONE token relation feeds minhash→LSH and the
+    # Jaccard verify (min() is duplicate-insensitive, so the distinct
+    # relation serves both stages).
+    tok = dedup.tokens(exact, id_col, text_col, distinct=True).persist()
+    pairs = dedup.jaccard_pairs(
+        exact, id_col, text_col, threshold=jaccard_threshold, tok=tok
+    )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return exact.join(losers, id_col, "left_anti").select(
         id_col, text_col, "quality", "pred_lang"

@@ -54,9 +54,15 @@ def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> 
     return t.distinct() if distinct else t
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K) -> DataFrame:
-    """k seeded-md5 minima per document (word-level shingle set)."""
-    tok = tokens(df, id_col, text_col, distinct=False)
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K,
+                       tok: DataFrame | None = None) -> DataFrame:
+    """k seeded-md5 minima per document (word-level shingle set).
+
+    ``tok`` lets a composed pipeline (operators/corpus.py) share one
+    token relation across stages; min() is duplicate-insensitive, so a
+    distinct token relation yields identical signatures."""
+    if tok is None:
+        tok = tokens(df, id_col, text_col, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"s{i}_"), F.col("token")))).alias(f"mh{i}")
         for i in range(1, k + 1)
@@ -74,7 +80,8 @@ def lsh_bands(sigs: DataFrame, id_col: str, k: int = MINHASH_K, bands: int = LSH
 
 
 def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
-                   k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+                   k: int = MINHASH_K, bands: int = LSH_BANDS,
+                   tok: DataFrame | None = None) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing at least one band.
 
     Bands go long-format ((doc, band_idx, band_key) via ``stack``) so one
@@ -82,7 +89,7 @@ def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     self-joins + union — one shuffle instead of 2×bands, ~1.5× faster at
     sf0.1. Oversized buckets (stop-band keys) are where salting would
     attach if a corpus produced them."""
-    banded = lsh_bands(minhash_signatures(df, id_col, text_col, k), id_col, k, bands)
+    banded = lsh_bands(minhash_signatures(df, id_col, text_col, k, tok=tok), id_col, k, bands)
     stack_args = ", ".join(f"{b + 1}, band{b + 1}" for b in range(bands))
     long = banded.selectExpr(
         id_col, f"stack({bands}, {stack_args}) AS (bi, bk)"
@@ -134,7 +141,9 @@ def _token_bitsets(tok: DataFrame, id_col: str, vocab: int) -> DataFrame:
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0,
+                  tok: DataFrame | None = None,
+                  vocab: int | None = None) -> DataFrame:
     """Exact token-set Jaccard on LSH candidates (LSH prune → exact verify).
 
     Two physical strategies, chosen by vocabulary size:
@@ -152,9 +161,13 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Returns (doc_a, doc_b, jaccard double) — values independent of the
     chosen strategy (both are exact set computations)."""
-    cand = lsh_candidates(df, id_col, text_col)
-    tok = tokens(df, id_col, text_col, distinct=True)
-    vocab = tok.select("token").distinct().count()
+    if tok is None:
+        tok = tokens(df, id_col, text_col, distinct=True)
+    cand = lsh_candidates(df, id_col, text_col, tok=tok)
+    if vocab is None:
+        # strategy pick needs the vocab size; callers that already know it
+        # (or cache ``tok``) skip this job entirely
+        vocab = tok.select("token").distinct().count()
     if vocab and vocab <= BITSET_VOCAB_LIMIT:
         sets = _token_bitsets(tok, id_col, vocab)
         sa = sets.select(F.col(id_col).alias("doc_a"), F.col("mask").alias("ma"))
