@@ -67,11 +67,29 @@ class Delta:
 
     @property
     def num_inserted(self) -> int:
-        return self.inserts.count() if self.inserts is not None else 0
+        return self._count(self.inserts)
 
     @property
     def num_deleted(self) -> int:
-        return self.deletes.count() if self.deletes is not None else 0
+        return self._count(self.deletes)
+
+    @staticmethod
+    def _count(df: Optional[DataFrame]) -> int:
+        if df is None:
+            return 0
+        # deltas are staged parquet: footer metadata answers without a
+        # Spark job (falls back to count() for unmaterialized frames)
+        try:
+            files = df.inputFiles()
+            if files:
+                import pyarrow.parquet as pq
+
+                return sum(
+                    pq.read_metadata(f.replace("file:", "")).num_rows for f in files
+                )
+        except Exception:
+            pass
+        return df.count()
 
     def merged_with(self, other: "Delta") -> "Delta":
         def u(a, b):
@@ -334,10 +352,16 @@ class Engine:
 
         return self._commit(work)
 
-    def insert_df(self, table: str, df: DataFrame) -> dict[str, Delta]:
+    def insert_df(self, table: str, df: DataFrame,
+                  epoch: Optional[tuple] = None) -> dict[str, Delta]:
         """Bulk insert from a DataFrame (no driver round-trip). Intra-batch
         arrival order is partition order — documented deviation from the
-        reference's per-row TCP ordering."""
+        reference's per-row TCP ordering.
+
+        ``epoch=(key, id)`` records a streaming epoch inside this commit:
+        it persists with the commit's meta (and is discarded by rollback),
+        so a checkpoint replay of the same epoch is detectable — the Delta
+        txnAppId/txnVersion pattern on the snapshot store."""
         st = self._state(table)
         if st.kind != "source":
             raise ConfigError(f"cannot insert into derived table {table!r}")
@@ -354,6 +378,8 @@ class Engine:
         prepared = self._with_entry_id(out)
 
         def work():
+            if epoch is not None:
+                self.store.note_epoch(epoch[0], epoch[1])
             delta, _n = self.store.append_delta(table, prepared)
             if delta is None:
                 return {}

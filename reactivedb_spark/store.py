@@ -33,6 +33,7 @@ class ParquetSnapshotStore:
         self.compact_threshold = compact_threshold
         self._schemas: dict[str, T.StructType] = {}
         self._versions: dict[str, int] = {}
+        self._epochs: dict[str, int] = {}
         os.makedirs(root, exist_ok=True)
         self._load_meta()
 
@@ -51,6 +52,7 @@ class ParquetSnapshotStore:
             with open(self._meta_path()) as f:
                 meta = json.load(f)
             self._versions.update({k: int(v) for k, v in meta.get("versions", {}).items()})
+            self._epochs.update({k: int(v) for k, v in meta.get("epochs", {}).items()})
         except (FileNotFoundError, ValueError):
             pass
 
@@ -59,8 +61,19 @@ class ParquetSnapshotStore:
 
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"versions": self._versions}, f)
+            json.dump({"versions": self._versions, "epochs": self._epochs}, f)
         os.replace(tmp, self._meta_path())
+
+    # -- streaming epoch ledger (the Delta txnAppId/txnVersion analogue:
+    # an epoch recorded here was committed atomically with its data, so a
+    # checkpoint replay of the same epoch can be skipped) -----------------
+    def last_epoch(self, key: str) -> int | None:
+        return self._epochs.get(key)
+
+    def note_epoch(self, key: str, epoch: int) -> None:
+        """Stage the epoch; it persists with the surrounding commit's
+        save_meta (rollback discards it with the rest of the commit)."""
+        self._epochs[key] = int(epoch)
 
     @property
     def recovered_tables(self) -> set:
@@ -222,6 +235,7 @@ class ParquetSnapshotStore:
             )
         self._txn = {
             "versions": dict(self._versions),
+            "epochs": dict(self._epochs),
             "files": files,
             "pending_rm": [],
             "compact": set(),
@@ -264,6 +278,7 @@ class ParquetSnapshotStore:
         if self._txn is None:
             return
         txn, self._txn = self._txn, None
+        self._epochs = dict(txn["epochs"])
         for name, version in txn["versions"].items():
             newer = self._versions[name]
             self._versions[name] = version

@@ -32,14 +32,30 @@ def stream_into(engine: Engine, table: str, stream_df: DataFrame,
     """Feed a streaming DataFrame into a source table: each micro-batch is
     one engine commit (insert → DAG propagation → listen events).
 
-    Exactly-once note: the parquet-snapshot store is idempotent per batch
-    only if the checkpoint survives; with Delta state this would be a
-    transactional ``foreachBatch`` (txnAppId/txnVersion)."""
+    Exactly-once: when a checkpoint is configured, the epoch id is
+    recorded in the store's meta atomically with the commit (the Delta
+    txnAppId/txnVersion pattern), so a replayed epoch after a crash
+    between our commit and the checkpoint's commit marker is skipped
+    instead of double-counted. The ledger key is scoped to
+    (table, checkpoint), so a fresh checkpoint starts a fresh ledger."""
+    import hashlib as _hashlib
+
+    epoch_key = (
+        f"stream:{table}:{_hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]}"
+        if checkpoint_dir else None
+    )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_key is not None:
+            last = engine.store.last_epoch(epoch_key)
+            if last is not None and epoch_id <= last:
+                return  # checkpoint replay of an already-committed epoch
         if batch_df.isEmpty():
             return
-        engine.insert_df(table, batch_df)
+        engine.insert_df(
+            table, batch_df,
+            epoch=(epoch_key, epoch_id) if epoch_key is not None else None,
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint_dir:

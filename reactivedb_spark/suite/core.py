@@ -318,6 +318,48 @@ FROM part
 """
 
 
+def q_array_filter_dsl(spark: SparkSession, sf: str) -> DataFrame:
+    """Array columns end-to-end through the DSL: per-order quantity arrays
+    (ordered by linenumber) compared LEXICOGRAPHICALLY by the compiled
+    filter expression — the reference's Vec::cmp Array semantics
+    (config/types.rs:26), which Spark's native array ordering matches
+    (prefix-shorter-first included)."""
+    li = load(spark, sf, "lineitem")
+    by_line = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("q"))
+            )
+        ),
+        lambda s: s["q"],
+    )
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(by_line.alias("qty_by_line"))
+        .withColumn("qty_rev", F.reverse(F.col("qty_by_line")))
+    )
+    st = parse_statement("qty_by_line < qty_rev")
+    pred = compile_expr(st.expr, per.schema).col
+    return per.filter(pred).select(
+        "l_orderkey", "qty_by_line", "qty_rev",
+        F.size("qty_by_line").cast("long").alias("n_items"),
+    )
+
+
+SQL_ARRAY_FILTER_DSL = """
+WITH per AS (
+  SELECT l_orderkey,
+         -- (linenumber, quantity) tie-break: linenumbers repeat in this
+         -- fixture, and an unpinned tie order is engine-nondeterministic
+         list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_by_line,
+         list(l_quantity ORDER BY l_linenumber DESC, l_quantity DESC) AS qty_rev
+  FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey, qty_by_line, qty_rev,
+       CAST(len(qty_by_line) AS BIGINT) AS n_items
+FROM per WHERE qty_by_line < qty_rev
+"""
+
+
 QUERIES = {
     "function_transform": q_function_transform,
     "filter_transform": q_filter_transform,
@@ -330,6 +372,7 @@ QUERIES = {
     "delete_cascade": q_delete_cascade,
     "action_transform": q_action_transform,
     "expr_arithmetic": q_expr_arithmetic,
+    "array_filter_dsl": q_array_filter_dsl,
 }
 
 ORACLES = {
@@ -343,5 +386,6 @@ ORACLES = {
     "greater_than": SQL_GREATER_THAN,
     "delete_cascade": SQL_DELETE_CASCADE,
     "action_transform": SQL_ACTION_TRANSFORM,
+    "array_filter_dsl": SQL_ARRAY_FILTER_DSL,
     "expr_arithmetic": SQL_EXPR_ARITHMETIC,
 }

@@ -92,3 +92,50 @@ class TestStreamInto:
         out = spark.sql(f"SELECT * FROM {name}").collect()
         assert sum(r["n"] for r in out) == 12
         assert {r["k"] for r in out} == {"a", "b"}
+
+
+class TestReplayIdempotence:
+    def test_checkpoint_replay_does_not_double_count(self, spark, tmp_path):
+        """Crash window: engine commit lands but the checkpoint's commit
+        marker does not. On restart Spark replays the epoch; the store's
+        epoch ledger (persisted atomically with the commit) must skip it."""
+        import os
+
+        eng = Engine(spark, CFG, workspace=str(tmp_path / "ws"))
+        src_dir = tmp_path / "incoming"
+        src_dir.mkdir()
+        rows = [(i, i % 3, float(i)) for i in range(30)]
+        for b in range(3):
+            spark.createDataFrame(rows[b * 10:(b + 1) * 10], SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src_dir))
+        ckpt = str(tmp_path / "ckpt")
+        q = stream_into(eng, "events", stream_parquet_dir(spark, str(src_dir), SCHEMA),
+                        checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+        for _ in range(100):  # stop() is async; wait for full teardown
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+        before = {r["aggregatedColumn"]: (r["n"], r["total"])
+                  for r in eng.table("per_user").collect()}
+        assert sum(n for n, _t in before.values()) == 30
+
+        # simulate the crash: drop the newest checkpoint commit marker so
+        # the restarted query re-runs that epoch
+        commits = sorted(
+            f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+        )
+        os.remove(os.path.join(ckpt, "commits", commits[-1]))
+        crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+        if os.path.exists(crc):  # hadoop local FS keeps a checksum twin
+            os.remove(crc)
+
+        q2 = stream_into(eng, "events", stream_parquet_dir(spark, str(src_dir), SCHEMA),
+                         checkpoint_dir=ckpt)
+        q2.processAllAvailable()
+        q2.stop()
+        after = {r["aggregatedColumn"]: (r["n"], r["total"])
+                 for r in eng.table("per_user").collect()}
+        assert after == before, "replayed epoch was double-counted"
