@@ -36,6 +36,9 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         results[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted relations a query may have cached so successive
+        # timings stay independent (corpus_clean persists its survivor set)
+        spark.catalog.clearCache()
     return results
 
 

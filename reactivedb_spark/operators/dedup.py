@@ -36,6 +36,23 @@ def normalize_text(col):
     return F.lower(F.trim(col))
 
 
+def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow SCAN across all cores before a heavy expansion
+    (token explode, per-token hashing). A small corpus arrives as one
+    parquet file = ONE scan partition, which would pin the entire
+    downstream pipeline to a single task.
+
+    Apply this to raw table scans only: the partition probe goes through
+    ``df.rdd``, which is cheap for a scan but forces a full non-AQE plan
+    compile (and can cost tens of seconds) on complex/cached plans — those
+    already get their parallelism from their own shuffles. At cluster
+    scale a big input arrives already-split and this is a no-op."""
+    p = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One representative (min id) per distinct normalized text."""
     return (
@@ -262,31 +279,53 @@ def simhash_pairs(sig: DataFrame, id_col: str = "doc_id",
     base, extra = divmod(bits, n_bands)
     sizes = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(sizes[:i]) for i in range(n_bands)]
+    # Band over DISTINCT signature VALUES, not documents: duplicate
+    # signatures are the norm in a near-dup corpus, and doc-level banding
+    # would materialize |value group|² rows per colliding band. At value
+    # level each signature enters a band bucket once, so the join is
+    # K-distinct-sized; doc pairs are recovered afterward by joining the
+    # value-pair table back through the signature column (output-sized —
+    # the answer itself dominates that cost at any scale).
+    vals = sig.select(F.col(sig_col).alias("_v")).distinct()
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col(sig_col), off)
+            F.shiftrightunsigned(F.col("_v"), off)
             .bitwiseAND(F.lit((1 << sz) - 1)).alias("bv"),
         )
         for i, (off, sz) in enumerate(zip(offsets, sizes))
     ])
-    e = (
-        sig.select(F.col(id_col), F.col(sig_col), F.explode(bands).alias("b"))
-        .select(id_col, sig_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    e = vals.select("_v", F.explode(bands).alias("b")).select(
+        "_v", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
-    a = e.select(F.col(id_col).alias("doc_a"), F.col(sig_col).alias("ha"), "band", "bv")
-    b = e.select(F.col(id_col).alias("doc_b"), F.col(sig_col).alias("hb"), "band", "bv")
-    cand = (
+    a = e.select(F.col("_v").alias("_va"), "band", "bv")
+    b = e.select(F.col("_v").alias("_vb"), "band", "bv")
+    vp = (
         a.join(b, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()  # a pair may collide in several bands
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        .filter(F.col("_va") < F.col("_vb"))
+        .select("_va", "_vb")
+        .distinct()  # a value pair may collide in several bands
+        .withColumn(
+            "hamming", F.bit_count(F.col("_va").bitwiseXOR(F.col("_vb"))).cast("long")
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+    # symmetric closure + identity so one equi-join pass expands every
+    # ordered (sig_a, sig_b) combination exactly once
+    sym = vp.unionByName(
+        vp.select(F.col("_vb").alias("_va"), F.col("_va").alias("_vb"), "hamming")
+    )
+    ident = vals.select(
+        F.col("_v").alias("_va"), F.col("_v").alias("_vb"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    allp = sym.unionByName(ident)
+    da = sig.select(F.col(id_col).alias("doc_a"), F.col(sig_col).alias("_va"))
+    db = sig.select(F.col(id_col).alias("doc_b"), F.col(sig_col).alias("_vb"))
+    return (
+        da.join(allp, "_va")
+        .join(db, "_vb")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "hamming")
     )
 

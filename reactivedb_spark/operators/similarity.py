@@ -45,7 +45,9 @@ def exploded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     Headroom: |x| < 10⁴ ⇒ |x·y·10¹⁶| ≤ 10²⁴?… for unit-norm embeddings
     |x| ≤ 1 ⇒ per-term ≤ 10¹⁶, 64-dim dot ≤ 6.4·10¹⁷ < 2⁶³.
     """
-    return df.select(
+    from reactivedb_spark.operators.dedup import widen
+
+    return widen(df.select(id_col, vec_col)).select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
     ).select(
         F.col(id_col),

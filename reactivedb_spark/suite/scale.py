@@ -76,7 +76,7 @@ _PAIRS_CTE = (
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_signatures(load(spark, sf, "documents"), "doc_id", "text")
+    return dedup.minhash_signatures(dedup.widen(load(spark, sf, "documents")), "doc_id", "text")
 
 
 SQL_DEDUP_MINHASH = (
@@ -85,7 +85,7 @@ SQL_DEDUP_MINHASH = (
 
 
 def q_dedup_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.lsh_candidates(load(spark, sf, "documents"), "doc_id", "text")
+    return dedup.lsh_candidates(dedup.widen(load(spark, sf, "documents")), "doc_id", "text")
 
 
 SQL_DEDUP_LSH_CANDIDATES = (
@@ -95,7 +95,7 @@ SQL_DEDUP_LSH_CANDIDATES = (
 
 
 def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.jaccard_pairs(load(spark, sf, "documents"), "doc_id", "text")
+    return dedup.jaccard_pairs(dedup.widen(load(spark, sf, "documents")), "doc_id", "text")
 
 
 SQL_DEDUP_JACCARD = (
@@ -119,7 +119,7 @@ FROM j WHERE n_inter > 0
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash(load(spark, sf, "documents"), "doc_id", "text")
+    return dedup.simhash(dedup.widen(load(spark, sf, "documents")), "doc_id", "text")
 
 
 SQL_DEDUP_SIMHASH = (
@@ -165,7 +165,7 @@ _BUCKETS_CTE = (
 def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming ≤ 6 over the 32-bit signatures via
     the banded (pigeonhole) equi-join — no cross join at any scale."""
-    sig = dedup.simhash(load(spark, sf, "documents"), "doc_id", "text")
+    sig = dedup.simhash(dedup.widen(load(spark, sf, "documents")), "doc_id", "text")
     return dedup.simhash_pairs(sig, "doc_id", "simhash", max_hamming=6)
 
 
@@ -585,7 +585,7 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     whole composition is oracle-checked."""
     from reactivedb_spark.operators.corpus import clean_corpus
 
-    return clean_corpus(load(spark, sf, "documents"))
+    return clean_corpus(dedup.widen(load(spark, sf, "documents")))
 
 
 _QUALITY_SQL = """

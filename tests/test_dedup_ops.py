@@ -12,12 +12,16 @@ def test_simhash_banded_pairs_exact_vs_bruteforce(spark):
     # 60 clusters of 5: members share a base signature with ≤2 bits
     # flipped (near dups, hamming ≤ 4 in-cluster) while distinct clusters
     # are far apart — exercises both accept and reject paths.
+    # clusters of 5 sharing a base signature with bits flipped, PLUS exact
+    # duplicate signatures (id >= 250 repeats an earlier doc's signature) —
+    # exercises the banded path, the identity (hamming 0) path, and rejects
     sig = spark.range(300).select(
         F.col("id").alias("doc_id"),
         F.expr(
+            "CASE WHEN id >= 250 THEN CAST((((id - 250) div 5) * 2654435761) % 4294967296 AS BIGINT) ELSE "
             "CAST(((id div 5) * 2654435761) % 4294967296 AS BIGINT) "
             "^ CASE WHEN id % 5 = 0 THEN 0 ELSE shiftleft(1, CAST(id % 31 AS INT)) END "
-            "^ CASE WHEN id % 5 > 2 THEN shiftleft(1, CAST((id * 7) % 31 AS INT)) ELSE 0 END"
+            "^ CASE WHEN id % 5 > 2 THEN shiftleft(1, CAST((id * 7) % 31 AS INT)) ELSE 0 END END"
         ).alias("simhash"),
     )
     banded = {
