@@ -34,6 +34,7 @@ class ParquetSnapshotStore:
         self._schemas: dict[str, T.StructType] = {}
         self._versions: dict[str, int] = {}
         self._epochs: dict[str, int] = {}
+        self._read_cache: dict[tuple, DataFrame] = {}
         os.makedirs(root, exist_ok=True)
         self._load_meta()
 
@@ -98,11 +99,27 @@ class ParquetSnapshotStore:
 
     # -- reads -------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
+        """Current state as a DataFrame. Memoized per (table, version,
+        file-count): repeated point lookups reuse one DataFrame instead of
+        re-listing and re-inferring per call (~every find_one). Appends
+        into the current version change the file set without bumping the
+        version, so the file count participates in the key."""
         path = self._dir(name)
         schema = self._schemas[name]
-        if not self._has_files(path):
+        n_files = sum(
+            1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        ) if os.path.isdir(path) else 0
+        if n_files == 0:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        key = (name, self._versions[name], n_files)
+        df = self._read_cache.get(key)
+        if df is None:
+            df = self.spark.read.schema(schema).parquet(path)
+            self._read_cache = {
+                k: v for k, v in self._read_cache.items() if k[0] != name
+            }
+            self._read_cache[key] = df
+        return df
 
     # -- writes ------------------------------------------------------------
     def stage(self, name: str, df: DataFrame) -> DataFrame:

@@ -198,6 +198,52 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 6
 )
 
 
+def q_multimodal_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal → embedding pipeline end-to-end: binary payloads through
+    the Arrow ``mapInPandas`` feature extractor (stub: byte-histogram
+    means), its ``features`` column consumed by the similarity operator
+    (exact fixed-point cosine top-k). Exercises the full
+    decode→embed→search path the production pipeline would run with a
+    real model behind the same signature."""
+    from reactivedb_spark.functions import multimodal
+
+    d = multimodal.with_payload(load(spark, sf, "documents"), "text")
+    feats = multimodal.extract_features(d, "doc_id")
+    return similarity.cosine_topk(feats, "doc_id", "features", 0, k=10)
+
+
+SQL_MULTIMODAL_EMBED = """
+WITH series AS (
+  -- constant bound (DuckDB generate_series takes constants only); fixture
+  -- texts are < 1k chars and extra positions are filtered out below
+  SELECT g.pos FROM generate_series(1, 4096) g(pos)),
+bytes AS (
+  -- text is ASCII in this fixture, so char codes == UTF-8 payload bytes
+  SELECT doc_id, s.pos, ascii(substr(text, CAST(s.pos AS INT), 1)) AS code
+  FROM documents, series s WHERE s.pos <= length(text)),
+feat AS (
+  -- mirror extract_features: per-residue byte mean / 255 in double, then
+  -- a single float32 rounding (the Arrow array element type)
+  SELECT doc_id, CAST((pos - 1) % 8 AS INT) + 1 AS j,
+         CAST(CAST(CAST(SUM(code) AS DOUBLE) / COUNT(*) / 255.0 AS REAL) AS DOUBLE) AS x
+  FROM bytes GROUP BY doc_id, (pos - 1) % 8),
+elem AS (
+  SELECT doc_id, j,
+         CAST(CAST(x AS DECIMAL(12,8)) * 100000000 AS BIGINT) AS xl
+  FROM feat),
+q AS (SELECT j, xl AS ql FROM elem WHERE doc_id = 0),
+d AS (
+  SELECT e.doc_id, SUM(e.xl * q.ql) AS dot, SUM(e.xl * e.xl) AS n2
+  FROM elem e JOIN q USING (j) WHERE e.doc_id <> 0 GROUP BY e.doc_id),
+qn AS (SELECT SUM(ql * ql) AS qn2 FROM q)
+SELECT doc_id,
+       round((CAST(dot AS DOUBLE) / 1e16)
+             / (sqrt(CAST(n2 AS DOUBLE) / 1e16) * sqrt(CAST(qn2 AS DOUBLE) / 1e16)), 9) AS cos_sim
+FROM d, qn
+ORDER BY cos_sim DESC, doc_id LIMIT 10
+"""
+
+
 def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(load(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=10)
 
@@ -647,6 +693,7 @@ QUERIES = {
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_embed": q_multimodal_embed,
     "multimodal_frames": q_multimodal_frames,
     "window_rank": q_window_rank,
     "topk_orders": q_topk_orders,
@@ -672,6 +719,7 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_embed": SQL_MULTIMODAL_EMBED,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "window_rank": SQL_WINDOW_RANK,
     "topk_orders": SQL_TOPK_ORDERS,

@@ -50,3 +50,89 @@ def test_simhash_banded_pairs_no_cartesian_plan(spark):
     )
     plan = dedup.simhash_pairs(sig)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def _mini_corpus(spark):
+    """60 docs over a 8-token vocab with many duplicate token SETS (and
+    docs whose texts differ but sets coincide), plus token-less docs."""
+    rows = []
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    for i in range(60):
+        k = i % 6
+        toks = vocab[k: k + 3] + ([vocab[0]] if i % 4 == 0 else [])
+        # repeat tokens in varying order: same SET, different text
+        text = " ".join(toks * (1 + i % 3)) if i % 7 else ""
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _naive_lsh(spark, df):
+    """Reference implementation: per-doc band join, no set collapse."""
+    from pyspark.sql import functions as F
+
+    tok = dedup.tokens(df, "doc_id", "text", distinct=False)
+    sigs = tok.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"s{i}_"), F.col("token")))).alias(f"mh{i}")
+          for i in range(1, dedup.MINHASH_K + 1)]
+    )
+    banded = dedup.lsh_bands(sigs, "doc_id")
+    pairs = None
+    for b in range(1, dedup.LSH_BANDS + 1):
+        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        c = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        p = a.join(c, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def test_lsh_candidates_equals_naive_per_band_joins(spark):
+    df = _mini_corpus(spark)
+    got = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(df, "doc_id", "text").collect()}
+    want = {(r.doc_a, r.doc_b) for r in _naive_lsh(spark, df).collect()}
+    assert got == want and len(want) > 50
+
+
+def test_jaccard_equals_naive_set_math(spark):
+    from pyspark.sql import functions as F
+
+    df = _mini_corpus(spark)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.jaccard_pairs(df, "doc_id", "text").collect()}
+    # naive: exact jaccard over naive candidates via collected token sets
+    tok = dedup.tokens(df, "doc_id", "text", distinct=True)
+    sets = {r.doc_id: set(r.toks) for r in
+            tok.groupBy("doc_id").agg(F.collect_set("token").alias("toks")).collect()}
+    want = {}
+    for (a, b) in {(r.doc_a, r.doc_b) for r in _naive_lsh(spark, df).collect()}:
+        inter = len(sets[a] & sets[b])
+        if inter:
+            want[(a, b)] = inter / len(sets[a] | sets[b])
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    # threshold path: identity (set-identical) pairs survive any t <= 1
+    thr = {(r.doc_a, r.doc_b) for r in
+           dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.999).collect()}
+    assert thr == {k for k, v in want.items() if v >= 0.999} and len(thr) > 0
+
+
+def test_simhash_matches_direct_per_doc_computation(spark):
+    from pyspark.sql import functions as F
+
+    df = _mini_corpus(spark)
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+    # docs with identical token sets must share signatures; spot-check one
+    # signature against a direct per-doc computation
+    tok = dedup.tokens(df, "doc_id", "text", distinct=True)
+    one = tok.filter(F.col("doc_id") == 1)
+    import hashlib
+    toks = [r.token for r in one.collect()]
+    sig = 0
+    for j in range(32):
+        vote = sum(1 if hashlib.md5(t.encode()).hexdigest()[j] in "89abcdef" else -1
+                   for t in toks)
+        if vote > 0:
+            sig |= 1 << j
+    assert got[1] == sig
+    # empty-text docs (i % 7 == 0) have no tokens → no signature row
+    assert 0 not in got and 7 not in got
