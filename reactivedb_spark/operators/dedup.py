@@ -71,6 +71,35 @@ def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> 
     return t.distinct() if distinct else t
 
 
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, token) distinct character n-gram shingles of the normalized
+    text — the n-gram alternative to word tokens for Jaccard/MinHash
+    (robust to word-boundary edits). Pure column expressions: a sequence
+    of start offsets exploded against substring(), no UDF."""
+    norm = normalize_text(F.col(text_col))
+    return (
+        # texts shorter than n yield no shingles (Spark sequence() would
+        # flip to a descending range for an empty window)
+        df.filter(F.length(norm) >= n)
+        .select(
+            F.col(id_col),
+            norm.alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.length(norm) - (n - 1))).alias("_p"),
+        )
+        .select(F.col(id_col), F.substring(F.col("_t"), F.col("_p"), n).alias("token"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                        threshold: float = 0.0) -> DataFrame:
+    """Exact character-n-gram Jaccard on LSH candidates: the same
+    minhash→band→verify pipeline as ``jaccard_pairs`` but over character
+    shingles — near-dup detection robust to tokenization differences."""
+    sh = char_shingles(df, id_col, text_col, n)
+    return jaccard_pairs(df, id_col, text_col, threshold=threshold, tok=sh)
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K,
                        tok: DataFrame | None = None) -> DataFrame:
     """k seeded-md5 minima per document (word-level shingle set).

@@ -118,6 +118,87 @@ FROM j WHERE n_inter > 0
 )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dups (threshold 0.8): the n-gram
+    variant of the LSH→verify pipeline — robust to word-boundary edits,
+    same shuffle structure as the word-token path."""
+    return dedup.ngram_jaccard_pairs(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = (
+    """WITH series AS (
+  SELECT g.p FROM generate_series(1, 4096) g(p)),
+tok AS (
+  SELECT DISTINCT doc_id, substr(lower(trim(text)), CAST(s.p AS INT), 3) AS token
+  FROM documents, series s
+  WHERE s.p <= length(lower(trim(text))) - 2), """
+    + _SIG_CTE + ", " + _BANDED_CTE + ", " + _PAIRS_CTE + """,
+sets AS (
+  SELECT doc_id, list(DISTINCT token) AS toks,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+         sa.n_tok AS n_a, sb.n_tok AS n_b
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+FROM j WHERE n_inter > 0
+  AND CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8
+"""
+)
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components (iterative
+    min-label propagation; operators/graph.py) over the Jaccard ≥ 0.8
+    pair graph — chains a~b~c collapse into one cluster even when a~c is
+    below threshold. Oracle: recursive reachability CTE."""
+    from reactivedb_spark.operators.graph import connected_components
+
+    pairs = dedup.jaccard_pairs(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text", threshold=0.8
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+SQL_DEDUP_CLUSTERS = (
+    """WITH RECURSIVE tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''), """
+    + _SIG_CTE + ", " + _BANDED_CTE + ", " + _PAIRS_CTE + """,
+sets AS (
+  SELECT doc_id, list(DISTINCT token) AS toks,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+edges AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b
+  WHERE len(list_intersect(sa.toks, sb.toks)) > 0
+    AND CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+        / CAST(sa.n_tok + sb.n_tok - len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) >= 0.8),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+reach AS (
+  SELECT s AS doc, s AS r FROM sym
+  UNION
+  SELECT y.d AS doc, re.r FROM reach re JOIN sym y ON y.s = re.doc)
+SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+FROM reach GROUP BY doc
+"""
+)
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(dedup.widen(load(spark, sf, "documents")), "doc_id", "text")
 
@@ -682,6 +763,8 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "similarity_topk": q_similarity_topk,
@@ -708,6 +791,8 @@ ORACLES = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
