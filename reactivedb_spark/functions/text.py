@@ -66,6 +66,26 @@ def token_count(col: Column) -> Column:
     return (F.length(col) - F.length(F.replace(col, F.lit(" "), F.lit(""))) + 1).cast("long")
 
 
+def bpe_token_estimate(colname: str, chars_per_token: int = 4) -> Column:
+    """BPE-ish subword-count estimate for a named column, pure column
+    expressions: regex pretokenization in the GPT-2 style — letter runs,
+    digit characters, punctuation singletons — then the standard
+    ~4-chars-per-token heuristic within each letter run (``ceil(len/4)``
+    in exact integer math, portable to any SQL engine). Takes a column
+    NAME because ``regexp_extract_all`` is SQL-only in this Spark
+    version."""
+    n = chars_per_token
+    runs = F.expr(f"regexp_extract_all(lower({colname}), '[a-z]+', 0)")
+    sub = F.aggregate(
+        F.transform(runs, lambda x: ((F.length(x) + (n - 1)) / n).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    digits = F.length(F.regexp_replace(F.lower(F.col(colname)), "[^0-9]", ""))
+    other = F.length(F.regexp_replace(F.lower(F.col(colname)), "[a-z0-9 ]", ""))
+    return (sub + digits + other).cast("long")
+
+
 def avg_token_len(col: Column) -> Column:
     return F.length(F.replace(col, F.lit(" "), F.lit(""))).cast("double") / token_count(
         col

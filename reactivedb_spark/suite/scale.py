@@ -508,6 +508,31 @@ FROM documents
 """
 
 
+def q_token_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish subword estimate (regex pretokenization + chars/token≈4
+    within letter runs) next to the whitespace count — the two token
+    meters a training-data pipeline budgets with."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        textfns.token_count(F.col("text")).alias("ws_tokens"),
+        textfns.bpe_token_estimate("text").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_BPE = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+       CAST(
+         (SELECT COALESCE(SUM((length(r) + 3) // 4), 0)
+          FROM unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(r))
+         + length(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+         + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+       AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return d.select(
@@ -774,6 +799,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
+    "token_bpe": q_token_bpe,
     "fingerprint": q_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_embed": q_multimodal_embed,
@@ -802,6 +828,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
+    "token_bpe": SQL_TOKEN_BPE,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_embed": SQL_MULTIMODAL_EMBED,
