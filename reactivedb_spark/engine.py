@@ -467,9 +467,14 @@ class Engine:
             out.deletes = self._delete_by_provenance(child, d.deletes)
         return out if (out.inserts is not None or out.deletes is not None) else None
 
-    def _affected_buckets(self, keys: DataFrame, column: str) -> list:
+    def _affected_buckets(self, child: str, keys: DataFrame, column: str) -> list:
         """Distinct hash buckets of the affected keys — the ≤ N_KEY_BUCKETS
-        values that bound which partition dirs a keyed commit may rewrite."""
+        values that bound which partition dirs a keyed commit may rewrite.
+        With no committed state yet there is nothing to prune or carry
+        forward, so skip the probe job and declare every bucket touched
+        (the write degenerates to a plain full write of the delta)."""
+        if self.store.is_empty(child):
+            return list(range(C.N_KEY_BUCKETS))
         rows = keys.select(
             self._bucket_of(F.col(column)).cast("int").alias("b")
         ).distinct().collect()
@@ -523,7 +528,7 @@ class Engine:
             keys = normalized.select(C.MATCHING_KEY).filter(
                 F.col(C.MATCHING_KEY).isNotNull()
             ).distinct()
-            buckets = self._affected_buckets(keys, C.MATCHING_KEY)
+            buckets = self._affected_buckets(child, keys, C.MATCHING_KEY)
             state = self.store.read(child)
             # bucket pre-filter prunes the state scan to the affected
             # partition dirs before the key semi/anti joins
@@ -565,7 +570,7 @@ class Engine:
                  for x in (d.inserts, d.deletes) if x is not None]
         keys = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         keys = keys.filter(F.col(C.AGGREGATED_COLUMN).isNotNull()).distinct()
-        buckets = self._affected_buckets(keys, C.AGGREGATED_COLUMN)
+        buckets = self._affected_buckets(child, keys, C.AGGREGATED_COLUMN)
         state = self.store.read(child)
         state_aff = state.filter(F.col(C.PARTITION_BUCKET).isin(buckets))
         plan = agg_op.classify(tr)

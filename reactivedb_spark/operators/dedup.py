@@ -1,17 +1,22 @@
 """Deduplication operators for large-scale corpora.
 
-Four families, each designed Spark-first (shuffle-conscious, no driver
-loops) with an exact SQL twin for the DuckDB oracle:
+Five families, each designed Spark-first (shuffle-conscious, no driver
+loops in the hot path) with an exact SQL twin for the DuckDB oracle:
 
 - **exact**: hash-groupBy on normalized text — one shuffle on the hash.
 - **MinHash + LSH**: per-token seeded md5 minima → band signatures →
   bucket self-join on band equality. The classic shingle→minhash→band→
   bucket-join pipeline; only bucket-mates are ever paired, so candidate
   generation is linear-ish instead of O(n²).
-- **n-gram Jaccard verify**: exact Jaccard on the LSH candidates only
-  (the scalable verify step; a full pairwise token join would explode).
+- **Jaccard verify (word or char-n-gram shingles)**: exact Jaccard on
+  the LSH candidates only (the scalable verify step; a full pairwise
+  token join would explode); ``char_shingles`` feeds the same pipeline
+  for word-boundary-robust near-dup detection.
 - **SimHash**: per-token md5 hex-digit sign votes → per-bit majority →
-  packed integer signature. Near-dup pairs = small Hamming distance.
+  packed integer signature. Near-dup pairs = small Hamming distance via
+  a pigeonhole band join over DISTINCT signature values.
+- **Transitive clusters**: connected components over the near-dup pair
+  graph (operators/graph.py) — the final collapse step of a dedup run.
 
 Hashes are md5-hex **strings** (portable across engines, min() on hex
 strings is well-defined); no engine-specific hash functions.

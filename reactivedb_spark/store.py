@@ -97,6 +97,11 @@ class ParquetSnapshotStore:
                 return True
         return False
 
+    def is_empty(self, name: str) -> bool:
+        """No committed files for ``name`` — answered from the filesystem,
+        no Spark job."""
+        return not self._has_files(self._dir(name))
+
     # -- reads -------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
         """Current state as a DataFrame. Memoized per (table, version,
