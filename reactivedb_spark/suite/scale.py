@@ -289,7 +289,9 @@ def q_multimodal_embed(spark: SparkSession, sf: str) -> DataFrame:
     from reactivedb_spark.functions import multimodal
 
     d = multimodal.with_payload(load(spark, sf, "documents"), "text")
-    feats = multimodal.extract_features(d, "doc_id")
+    # persist: the cosine's query/corpus/norm branches would otherwise
+    # re-run the Python feature extractor once each
+    feats = multimodal.extract_features(d, "doc_id").persist()
     return similarity.cosine_topk(feats, "doc_id", "features", 0, k=10)
 
 
