@@ -32,20 +32,22 @@ def connected_components(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # frontier propagation: after the first sweep only nodes whose label
+    # IMPROVED need to push it to their neighbors, so per-round work
+    # shrinks with the frontier instead of staying O(V + E) every round
+    frontier = labels
     for _ in range(max_iter):
-        nbr = labels.join(sym, labels["node"] == sym["s"]).select(
-            F.col("d").alias("node"), F.col("label")
+        nbr = frontier.join(sym, frontier["node"] == sym["s"]).select(
+            F.col("d").alias("node"), F.col("label").alias("_cand")
         )
-        new_labels = (
-            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        best = nbr.groupBy("node").agg(F.min("_cand").alias("_cand"))
+        joined = labels.join(best, "node", "left").localCheckpoint()
+        frontier = joined.filter(
+            F.col("_cand").isNotNull() & (F.col("_cand") < F.col("label"))
+        ).select("node", F.col("_cand").alias("label"))
+        labels = joined.select(
+            "node", F.least(F.col("label"), F.coalesce("_cand", "label")).alias("label")
         )
-        labels = new_labels
-        if changed == 0:
+        if frontier.isEmpty():
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
