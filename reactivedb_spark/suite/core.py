@@ -340,8 +340,17 @@ def q_array_filter_dsl(spark: SparkSession, sf: str) -> DataFrame:
     )
     st = parse_statement("qty_by_line < qty_rev")
     pred = compile_expr(st.expr, per.schema).col
+    # the array COMPARISON under test happens in the filter; the output
+    # arrays are flattened to canonical comma-joined strings because the
+    # driver's pandas canonicalizer cannot hash list columns (both engines
+    # print doubles identically for these x.0 quantities)
+    as_str = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: x.cast("string")), ","
+    )
     return per.filter(pred).select(
-        "l_orderkey", "qty_by_line", "qty_rev",
+        "l_orderkey",
+        as_str("qty_by_line").alias("qty_by_line"),
+        as_str("qty_rev").alias("qty_rev"),
         F.size("qty_by_line").cast("long").alias("n_items"),
     )
 
@@ -354,7 +363,9 @@ WITH per AS (
          list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_by_line,
          list(l_quantity ORDER BY l_linenumber DESC, l_quantity DESC) AS qty_rev
   FROM lineitem GROUP BY l_orderkey)
-SELECT l_orderkey, qty_by_line, qty_rev,
+SELECT l_orderkey,
+       array_to_string(qty_by_line, ',') AS qty_by_line,
+       array_to_string(qty_rev, ',') AS qty_rev,
        CAST(len(qty_by_line) AS BIGINT) AS n_items
 FROM per WHERE qty_by_line < qty_rev
 """
