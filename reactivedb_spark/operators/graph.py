@@ -36,6 +36,7 @@ def connected_components(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
     # IMPROVED need to push it to their neighbors, so per-round work
     # shrinks with the frontier instead of staying O(V + E) every round
     frontier = labels
+    converged = False
     for _ in range(max_iter):
         nbr = frontier.join(sym, frontier["node"] == sym["s"]).select(
             F.col("d").alias("node"), F.col("label").alias("_cand")
@@ -49,5 +50,14 @@ def connected_components(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
             "node", F.least(F.col("label"), F.coalesce("_cand", "label")).alias("label")
         )
         if frontier.isEmpty():
+            converged = True
             break
+    if not converged:
+        # partial labels would silently disagree with any exact oracle —
+        # refuse rather than return unconverged clusters
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the budget); raise max_iter or "
+            "switch to the small-star/large-star variant"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster"))

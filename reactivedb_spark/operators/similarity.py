@@ -44,10 +44,13 @@ def exploded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     exact and order-independent like decimals but aggregate at ALU speed.
     Headroom: |x| < 10⁴ ⇒ |x·y·10¹⁶| ≤ 10²⁴?… for unit-norm embeddings
     |x| ≤ 1 ⇒ per-term ≤ 10¹⁶, 64-dim dot ≤ 6.4·10¹⁷ < 2⁶³.
-    """
-    from reactivedb_spark.operators.dedup import widen
 
-    return widen(df.select(id_col, vec_col)).select(
+    Callers feeding a RAW single-file scan should pre-widen it
+    (``dedup.widen`` at the scan call site); this function is also applied
+    to joined/candidate frames, where widen's ``df.rdd`` partition probe
+    would force an expensive non-AQE plan compile for no benefit.
+    """
+    return df.select(id_col, vec_col).select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
     ).select(
         F.col(id_col),
@@ -81,8 +84,13 @@ def _cosine(dot_col: Column, na_col: Column, nb_col: Column) -> Column:
 
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10) -> DataFrame:
     """Top-k rows by cosine similarity to the row with ``id == query_id``
-    (query row excluded); ties broken by id ascending."""
-    elem = exploded(df, id_col, vec_col)
+    (query row excluded); ties broken by id ascending.
+
+    ``elem`` feeds two branches of one plan (the broadcast query side and
+    the corpus dot-product side), so it is persisted — without it the
+    scan + posexplode would run once per branch. The query's own norm is
+    folded into the q branch (Σ ql²) rather than being a third scan."""
+    elem = exploded(df, id_col, vec_col).persist()
     q = elem.filter(F.col(id_col) == F.lit(query_id)).select(
         F.col("j"), F.col("xl").alias("ql")
     )
@@ -95,9 +103,7 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10)
             F.sum(F.col("xl") * F.col("xl")).alias("n2"),
         )
     )
-    qn = norms2(elem.filter(F.col(id_col) == F.lit(query_id)), id_col).select(
-        F.col("n2").alias("qn2")
-    )
+    qn = q.agg(F.sum(F.col("ql") * F.col("ql")).alias("qn2"))
     out = dots.crossJoin(F.broadcast(qn)).select(
         F.col(id_col),
         _cosine(F.col("dot"), F.col("n2"), F.col("qn2")).alias("cos_sim"),

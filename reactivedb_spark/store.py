@@ -301,6 +301,11 @@ class ParquetSnapshotStore:
             return
         txn, self._txn = self._txn, None
         self._epochs = dict(txn["epochs"])
+        # The read memo keys on (table, version, file-count); rollback is the
+        # one path that can recreate an already-seen key over a DIFFERENT
+        # file set (delete appended files, then re-append the same number),
+        # which would leave a cached InMemoryFileIndex listing dead files.
+        self._read_cache.clear()
         for name, version in txn["versions"].items():
             newer = self._versions[name]
             self._versions[name] = version

@@ -37,24 +37,51 @@ def stream_into(engine: Engine, table: str, stream_df: DataFrame,
     txnAppId/txnVersion pattern), so a replayed epoch after a crash
     between our commit and the checkpoint's commit marker is skipped
     instead of double-counted. The ledger key is scoped to
-    (table, checkpoint), so a fresh checkpoint starts a fresh ledger."""
+    (table, checkpoint path, streaming query id) — the query id comes
+    from ``<checkpoint>/metadata``, which Spark rewrites with a fresh
+    uuid whenever the checkpoint is recreated, so a deleted-and-recreated
+    checkpoint at the SAME path starts a fresh ledger (its epoch ids
+    restart at 0; a path-only key would make every new batch look like a
+    replay of the old high-water mark and silently drop it)."""
     import hashlib as _hashlib
+    import json as _json
+    import os as _os
 
-    epoch_key = (
-        f"stream:{table}:{_hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]}"
-        if checkpoint_dir else None
-    )
+    _key_cache: list = []
+
+    def epoch_key() -> Optional[str]:
+        """Resolved lazily (inside the first batch): Spark writes
+        ``<checkpoint>/metadata`` at query start, before any batch runs."""
+        if checkpoint_dir is None:
+            return None
+        if _key_cache:
+            return _key_cache[0]
+        qid = ""
+        try:
+            local = checkpoint_dir.removeprefix("file://").removeprefix("file:")
+            with open(_os.path.join(local, "metadata")) as f:
+                qid = _json.load(f).get("id", "")
+        except (OSError, ValueError):
+            qid = ""  # non-local checkpoint FS: path-only key (documented caveat)
+        key = (
+            "stream:" + table + ":"
+            + _hashlib.md5(f"{checkpoint_dir}|{qid}".encode()).hexdigest()[:12]
+        )
+        if qid:  # only cache a fully-resolved key
+            _key_cache.append(key)
+        return key
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_key is not None:
-            last = engine.store.last_epoch(epoch_key)
+        key = epoch_key()
+        if key is not None:
+            last = engine.store.last_epoch(key)
             if last is not None and epoch_id <= last:
                 return  # checkpoint replay of an already-committed epoch
         if batch_df.isEmpty():
             return
         engine.insert_df(
             table, batch_df,
-            epoch=(epoch_key, epoch_id) if epoch_key is not None else None,
+            epoch=(key, epoch_id) if key is not None else None,
         )
 
     writer = stream_df.writeStream.foreachBatch(handle)

@@ -328,7 +328,11 @@ ORDER BY cos_sim DESC, doc_id LIMIT 10
 
 
 def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.cosine_topk(load(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=10)
+    # widen at the raw-scan call site (single-file parquet → 1 partition);
+    # the operator itself no longer probes partition counts
+    return similarity.cosine_topk(
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding", 0, k=10
+    )
 
 
 SQL_SIMILARITY_TOPK = (
@@ -348,7 +352,9 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 
 def q_ann_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.lsh_buckets(load(spark, sf, "embeddings"), "vec_id", "embedding")
+    return similarity.lsh_buckets(
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding"
+    )
 
 
 SQL_ANN_BUCKETS = (
@@ -363,7 +369,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     variant (``similarity.ivf_topk``) keeps its recall test in
     tests/test_similarity.py."""
     return similarity.ivf_seed_topk(
-        load(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=10
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding", 0, k=10
     )
 
 
@@ -401,7 +407,9 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.cosine_pairs(load(spark, sf, "embeddings"), "vec_id", "embedding")
+    return similarity.cosine_pairs(
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding"
+    )
 
 
 SQL_EMBEDDING_NEAR_DUPS = (

@@ -139,3 +139,36 @@ class TestReplayIdempotence:
         after = {r["aggregatedColumn"]: (r["n"], r["total"])
                  for r in eng.table("per_user").collect()}
         assert after == before, "replayed epoch was double-counted"
+
+    def test_recreated_checkpoint_same_path_starts_fresh_ledger(self, spark, tmp_path):
+        """Deleting and recreating a checkpoint at the SAME path restarts
+        Spark's epoch ids at 0 while the persisted ledger still holds the
+        old high-water mark. The ledger key includes the streaming query id
+        (from <checkpoint>/metadata), so the new incarnation must process
+        its batches instead of silently dropping them as 'replays'."""
+        import shutil
+
+        eng = Engine(spark, CFG, workspace=str(tmp_path / "ws"))
+        src_dir = tmp_path / "incoming"
+        src_dir.mkdir()
+        rows = [(i, i % 3, float(i)) for i in range(30)]
+        for b in range(3):
+            spark.createDataFrame(rows[b * 10:(b + 1) * 10], SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src_dir))
+        ckpt = str(tmp_path / "ckpt")
+        q = stream_into(eng, "events", stream_parquet_dir(spark, str(src_dir), SCHEMA),
+                        checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+        assert eng.table("events").count() == 30
+
+        # operator error / intentional reset: checkpoint wiped, same path
+        shutil.rmtree(ckpt)
+        q2 = stream_into(eng, "events", stream_parquet_dir(spark, str(src_dir), SCHEMA),
+                         checkpoint_dir=ckpt)
+        q2.processAllAvailable()
+        q2.stop()
+        # the fresh incarnation re-reads the source from scratch: its
+        # batches MUST commit (30 new rows), not be dropped by the ledger
+        assert eng.table("events").count() == 60

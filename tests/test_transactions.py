@@ -97,3 +97,30 @@ class TestCompactionDeferral:
         files = [f for f in os.listdir(path) if f.endswith(".parquet")]
         assert len(files) <= 2, files
         assert st.read("t").count() == 12
+
+
+class TestRollbackReadCache:
+    def test_rollback_invalidates_read_memo(self, spark, workspace):
+        """A mid-commit read() memoizes (table, version, file-count) with a
+        file listing that includes the appended file. Rollback deletes that
+        file; the next insert appends exactly one file again, recreating the
+        SAME memo key over a different file set. The memo must not serve the
+        stale listing (dead file → FileNotFoundException, new file missing)."""
+        from pyspark.sql import types as T
+
+        from reactivedb_spark.store import ParquetSnapshotStore
+
+        schema = T.StructType([T.StructField("x", T.LongType())])
+        st = ParquetSnapshotStore(spark, workspace + "_rbc")
+        st.init_table("t", schema)
+
+        st.begin_commit()
+        st.append_delta("t", spark.createDataFrame([(1,)], schema))
+        assert [r.x for r in st.read("t").collect()] == [1]  # populates memo
+        st.rollback()
+
+        st.begin_commit()
+        st.append_delta("t", spark.createDataFrame([(2,)], schema))
+        st.end_commit()
+        # same (table, version, n_files=1) key — must see the NEW file
+        assert [r.x for r in st.read("t").collect()] == [2]
