@@ -21,9 +21,9 @@ loops in the hot path) with an exact SQL twin for the DuckDB oracle:
 Hashes are md5-hex **strings** (portable across engines, min() on hex
 strings is well-defined); no engine-specific hash functions.
 At cluster scale the token explode is a narrow flatMap; the band join
-shuffles on band keys — salting oversized buckets (stop-word-like bands)
-is the standard mitigation and is what `lsh_candidates`'s
-`max_bucket` guard approximates.
+shuffles on band keys — oversized buckets (stop-word-like bands) are
+dropped by `lsh_candidates`'s `max_bucket` guard before they can make a
+reducer quadratic.
 """
 
 from __future__ import annotations
@@ -97,12 +97,14 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
-                        threshold: float = 0.0) -> DataFrame:
+                        threshold: float = 0.0, **kwargs) -> DataFrame:
     """Exact character-n-gram Jaccard on LSH candidates: the same
     minhash→band→verify pipeline as ``jaccard_pairs`` but over character
-    shingles — near-dup detection robust to tokenization differences."""
+    shingles — near-dup detection robust to tokenization differences.
+    ``kwargs`` forward to ``jaccard_pairs`` (n_docs, broadcast_sets,
+    max_bucket)."""
     sh = char_shingles(df, id_col, text_col, n)
-    return jaccard_pairs(df, id_col, text_col, threshold=threshold, tok=sh)
+    return jaccard_pairs(df, id_col, text_col, threshold=threshold, tok=sh, **kwargs)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K,
@@ -132,19 +134,38 @@ def lsh_bands(sigs: DataFrame, id_col: str, k: int = MINHASH_K, bands: int = LSH
 
 def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                    k: int = MINHASH_K, bands: int = LSH_BANDS,
-                   tok: DataFrame | None = None) -> DataFrame:
+                   tok: DataFrame | None = None,
+                   max_bucket: int | None = None) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing at least one band.
 
     Bands go long-format ((doc, band_idx, band_key) via ``stack``) so one
     equi-join on (band_idx, band_key) replaces ``bands`` separate
     self-joins + union — one shuffle instead of 2×bands, ~1.5× faster at
-    sf0.1. Oversized buckets (stop-band keys) are where salting would
-    attach if a corpus produced them."""
+    sf0.1.
+
+    ``max_bucket`` is the stop-band guard: a band bucket holding more than
+    ``max_bucket`` documents (empty-ish docs, boilerplate — the stop-word
+    analogue of LSH) is EXCLUDED from pair generation, because one such
+    key makes one reducer quadratic (|bucket|² pairs) while carrying
+    essentially no near-dup signal. The size check is a window count over
+    the same (band_idx, band_key) shuffle — linear, one extra pass, no
+    extra shuffle key. Default None keeps exact pair semantics (the
+    oracle-compared suite queries use that)."""
     banded = lsh_bands(minhash_signatures(df, id_col, text_col, k, tok=tok), id_col, k, bands)
     stack_args = ", ".join(f"{b + 1}, band{b + 1}" for b in range(bands))
     long = banded.selectExpr(
         id_col, f"stack({bands}, {stack_args}) AS (bi, bk)"
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        long = (
+            long.withColumn(
+                "_bn", F.count("*").over(Window.partitionBy("bi", "bk"))
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = long.select(F.col(id_col).alias("doc_a"), "bi", "bk")
     b = long.select(F.col(id_col).alias("doc_b"), "bi", "bk")
     return (
@@ -191,10 +212,16 @@ def _token_bitsets(tok: DataFrame, id_col: str, vocab: int) -> DataFrame:
     return filled
 
 
+BROADCAST_SETS_LIMIT = 32 << 20  # bytes of estimated per-doc-set relation
+
+
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.0,
                   tok: DataFrame | None = None,
-                  vocab: int | None = None) -> DataFrame:
+                  vocab: int | None = None,
+                  n_docs: int | None = None,
+                  broadcast_sets: bool | None = None,
+                  max_bucket: int | None = None) -> DataFrame:
     """Exact token-set Jaccard on LSH candidates (LSH prune → exact verify).
 
     Two physical strategies, chosen by vocabulary size:
@@ -207,19 +234,34 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
       row per pair; the earlier (pair × token) explode-join produced a
       ~24M-row intermediate and is long gone).
 
-    Either way the per-doc side is broadcast so the candidate-pair stream
-    never shuffles; pairs sharing no tokens are dropped (n_inter > 0).
+    The per-doc set side is **corpus-sized** (one row per document), so it
+    is broadcast only when its estimated size fits ``BROADCAST_SETS_LIMIT``
+    (``broadcast_sets=None`` estimates from ``n_docs``, counted if not
+    given); above that the candidate pairs shuffle-join the sets on doc id
+    — two linear shuffles on ids, the 100 TB-safe plan (AQE may still
+    choose a runtime broadcast if the sets turn out small). Pairs sharing
+    no tokens are dropped (n_inter > 0); ``max_bucket`` forwards to the
+    LSH stop-band guard.
 
     Returns (doc_a, doc_b, jaccard double) — values independent of the
     chosen strategy (both are exact set computations)."""
     if tok is None:
         tok = tokens(df, id_col, text_col, distinct=True)
-    cand = lsh_candidates(df, id_col, text_col, tok=tok)
+    cand = lsh_candidates(df, id_col, text_col, tok=tok, max_bucket=max_bucket)
     if vocab is None:
         # strategy pick needs the vocab size; callers that already know it
         # (or cache ``tok``) skip this job entirely
         vocab = tok.select("token").distinct().count()
-    if vocab and vocab <= BITSET_VOCAB_LIMIT:
+    use_bitset = bool(vocab) and vocab <= BITSET_VOCAB_LIMIT
+    if broadcast_sets is None:
+        if n_docs is None:
+            n_docs = df.count()
+        # bitset rows: id + ceil(vocab/64) longs; array rows: id + token
+        # strings (~1 KiB upper estimate per doc)
+        per_doc = (24 + 8 * ((vocab + 63) // 64)) if use_bitset else 1024
+        broadcast_sets = n_docs * per_doc <= BROADCAST_SETS_LIMIT
+    hint = F.broadcast if broadcast_sets else (lambda d: d)
+    if use_bitset:
         sets = _token_bitsets(tok, id_col, vocab)
         sa = sets.select(F.col(id_col).alias("doc_a"), F.col("mask").alias("ma"))
         sb = sets.select(F.col(id_col).alias("doc_b"), F.col("mask").alias("mb"))
@@ -234,8 +276,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             lambda acc, x: acc + x,
         )
         out = (
-            cand.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
+            cand.join(hint(sa), "doc_a")
+            .join(hint(sb), "doc_b")
             .withColumn("n_inter", inter)
             .filter(F.col("n_inter") > 0)
             .withColumn("n_a", popcnt(F.col("ma")))
@@ -250,8 +292,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         sb = sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"),
                          F.col("n_tok").alias("n_b"))
         out = (
-            cand.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
+            cand.join(hint(sa), "doc_a")
+            .join(hint(sb), "doc_b")
             .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long"))
             .filter(F.col("n_inter") > 0)
         )

@@ -136,3 +136,64 @@ def test_simhash_matches_direct_per_doc_computation(spark):
     assert got[1] == sig
     # empty-text docs (i % 7 == 0) have no tokens → no signature row
     assert 0 not in got and 7 not in got
+
+
+def test_jaccard_non_broadcast_path_matches_broadcast(spark):
+    """Above the size gate the per-doc set side must NOT be broadcast (it
+    is corpus-sized); the shuffle-join plan must produce identical values.
+    autoBroadcastJoinThreshold is disabled so Catalyst cannot silently
+    re-broadcast from its own stats and mask a wrong gate."""
+    df = _mini_corpus(spark)
+    want = {(r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.jaccard_pairs(df, "doc_id", "text",
+                                         broadcast_sets=True).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = dedup.jaccard_pairs(df, "doc_id", "text", broadcast_sets=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the only broadcasts left are the vocab-sized token dictionary
+        # inside _token_bitsets (intended, one per set side); both
+        # corpus-sized doc-set joins must be shuffle joins
+        assert "BroadcastHashJoin [doc_" not in plan, plan
+        assert "SortMergeJoin [doc_a" in plan and "SortMergeJoin [doc_b" in plan, plan
+        got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want and len(want) > 0
+
+
+def test_jaccard_auto_gate_counts_docs_and_broadcasts_small(spark):
+    """broadcast_sets=None on a small corpus resolves to the broadcast
+    plan (estimate under BROADCAST_SETS_LIMIT)."""
+    df = _mini_corpus(spark)
+    out = dedup.jaccard_pairs(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # and a forced-huge estimate flips the gate off
+    out2 = dedup.jaccard_pairs(df, "doc_id", "text",
+                               n_docs=10**9, broadcast_sets=None)
+    assert {(r.doc_a, r.doc_b) for r in out2.collect()} == \
+           {(r.doc_a, r.doc_b) for r in out.collect()}
+
+
+def test_lsh_stop_band_guard_drops_degenerate_bucket(spark):
+    """1k docs sharing one band key (identical boilerplate) would emit
+    ~500k pairs from a single reducer; with max_bucket the bucket is
+    excluded while small buckets keep their pairs."""
+    rows = [(i, "common boilerplate header text") for i in range(1000)]
+    rows += [(2000, "alpha beta gamma"), (2001, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = dedup.lsh_candidates(df, "doc_id", "text", max_bucket=50)
+    pairs = {(r.doc_a, r.doc_b) for r in guarded.collect()}
+    # the two identical small docs share every band (bucket size 2 <= cap)
+    assert pairs == {(2000, 2001)}
+
+    # guard off: the degenerate bucket really is quadratic-sized
+    unguarded = dedup.lsh_candidates(df.filter("doc_id < 100"), "doc_id", "text")
+    assert unguarded.count() == 100 * 99 // 2
+
+    # jaccard_pairs forwards the guard
+    jp = dedup.jaccard_pairs(df, "doc_id", "text", max_bucket=50)
+    assert {(r.doc_a, r.doc_b) for r in jp.collect()} == {(2000, 2001)}
