@@ -371,6 +371,60 @@ FROM per WHERE qty_by_line < qty_rev
 """
 
 
+# -- Map(struct) columns end-to-end -------------------------------------------
+
+PART_SPEC_ENGINE_CFG = {
+    "tables": [
+        {"Source": {"name": "part_specs", "columns": {
+            "p_partkey": "Integer",
+            # the reference's Map row type (reactive_db/src/types.rs:24-33):
+            # an ordered (name, type) struct column
+            "spec": {"Map": {"size": "Integer", "brand": "Str", "retail": "Float"}}}}},
+        {"Derived": {"name": "big_specs",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "part_specs",
+                         "filter": "spec.size >= 25"}}}},
+        {"Derived": {"name": "spec_calc",
+                     "transform_definition": {"FunctionTransform": {
+                         "source_table": "big_specs",
+                         "functions": ["pk ~ p_partkey",
+                                       "dsize ~ spec.size * 2",
+                                       "label ~ spec.brand + \"#\" + spec.brand",
+                                       "retail ~ spec.retail"]}}}},
+    ]
+}
+
+
+def q_struct_map_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Map(struct) column through the full engine: config parse (Map type),
+    bulk insert of a struct column, a FilterTransform predicate on a
+    struct FIELD, and FunctionTransform projections reading fields out of
+    the struct (reference Map semantics, types.rs:24-33). Output is
+    scalar fields only — the driver canonicalizer cannot hash struct
+    payloads (same contract as array_filter_dsl)."""
+    eng = Engine(spark, PART_SPEC_ENGINE_CFG,
+                 workspace=tempfile.mkdtemp(prefix="rdb_struct_"))
+    part = load(spark, sf, "part").select(
+        F.col("p_partkey").cast("long"),
+        F.struct(
+            F.col("p_size").cast("long").alias("size"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_retailprice").alias("retail"),
+        ).alias("spec"),
+    )
+    eng.insert_df("part_specs", part)
+    return eng.table("spec_calc").select("pk", "dsize", "label", "retail")
+
+
+SQL_STRUCT_MAP_PROJECT = """
+SELECT p_partkey AS pk,
+       CAST(p_size * 2 AS BIGINT) AS dsize,
+       p_brand || '#' || p_brand AS label,
+       p_retailprice AS retail
+FROM part WHERE p_size >= 25
+"""
+
+
 QUERIES = {
     "function_transform": q_function_transform,
     "filter_transform": q_filter_transform,
@@ -384,6 +438,7 @@ QUERIES = {
     "action_transform": q_action_transform,
     "expr_arithmetic": q_expr_arithmetic,
     "array_filter_dsl": q_array_filter_dsl,
+    "struct_map_project": q_struct_map_project,
 }
 
 ORACLES = {
@@ -399,4 +454,5 @@ ORACLES = {
     "action_transform": SQL_ACTION_TRANSFORM,
     "array_filter_dsl": SQL_ARRAY_FILTER_DSL,
     "expr_arithmetic": SQL_EXPR_ARITHMETIC,
+    "struct_map_project": SQL_STRUCT_MAP_PROJECT,
 }
