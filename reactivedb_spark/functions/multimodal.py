@@ -3,11 +3,15 @@
 Design (per the build spec): image/audio/video payloads are opaque
 ``BinaryType`` columns; decode / feature-extraction / resize / frame-
 sampling run as Arrow-batched Pandas UDFs over ``mapInPandas`` so the
-bytes never take the row-at-a-time Python path. The actual codec calls
-are **stubbed** (no image/audio libraries in this container): decoding is
-a clearly-marked deterministic fake over the byte content, while all the
-Spark-side plumbing — schema, batch iteration, partitioning behavior —
-is real and tested.
+bytes never take the row-at-a-time Python path.
+
+Codec status: **PNG decode/encode is REAL** — a pure-stdlib (zlib +
+struct) implementation that parses actual chunk headers, verifies CRCs,
+inflates IDAT and de-filters scanlines (all five PNG filter types).
+``decode_metadata`` dispatches on the payload's magic bytes: real PNG
+parsing for PNG payloads, and a clearly-marked deterministic fake for
+formats whose codecs aren't in this container (JPEG/WebP/audio/video —
+a real deployment drops PIL/ffmpeg behind the same signatures).
 
 At 100 TB the payload column dominates I/O: keep payloads in their own
 parquet column (column pruning skips them unless referenced), partition
@@ -64,6 +68,198 @@ def fake_decode_bytes(payload: bytes) -> dict:
     }
 
 
+# -- real PNG codec (pure stdlib: zlib inflate/deflate + struct) -------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def png_encode_bytes(pixels: bytes, width: int) -> bytes:
+    """Minimal real PNG writer: 8-bit grayscale, filter type 0, one IDAT.
+    ``pixels`` is row-major; short final rows are zero-padded. Always
+    emits at least one row so the image is a valid PNG."""
+    import struct
+    import zlib
+
+    width = max(1, width)
+    height = max(1, (len(pixels) + width - 1) // width)
+    padded = pixels.ljust(width * height, b"\x00")
+    raw = b"".join(
+        b"\x00" + padded[r * width:(r + 1) * width] for r in range(height)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _defilter(raw: bytes, stride: int, height: int, bpp: int) -> bytes:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def png_decode_bytes(payload: bytes) -> dict:
+    """REAL PNG decoder: walks chunks, verifies every CRC, parses IHDR,
+    inflates the concatenated IDAT stream and de-filters scanlines.
+    Supports 8-bit non-interlaced images in all color types.
+
+    Returns {width, height, bit_depth, color_type, pixels} with ``pixels``
+    the de-filtered row-major samples."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r} chunk")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNGs supported")
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "pixels": _defilter(raw, stride, height, channels),
+    }
+
+
+def decode_bytes(payload: bytes) -> dict:
+    """Dispatching decoder: REAL parse for formats we have a codec for
+    (PNG), deterministic stub otherwise."""
+    if payload[:8] == PNG_MAGIC:
+        info = png_decode_bytes(payload)
+        return {
+            "width": info["width"],
+            "height": info["height"],
+            "format": "png",
+            "n_bytes": len(payload),
+        }
+    return fake_decode_bytes(payload)
+
+
+def encode_png(df: DataFrame, id_col: str, text_col: str = "text",
+               width: int = 16) -> DataFrame:
+    """(id, payload): REAL grayscale PNG per row whose pixels are the
+    UTF-8 bytes of ``text_col`` — turns the text fixture into genuine
+    image payloads deterministically (Arrow-batched)."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                png_encode_bytes((t or "").encode("utf-8"), width)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    _register_self_by_value()
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def decode_png(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """(id, width, height, bit_depth, color_type, pix_sum): REAL decode —
+    header fields come from the parsed IHDR of the actual bytes and
+    ``pix_sum`` sums the inflated, de-filtered pixel samples (zero padding
+    is sum-neutral)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("bit_depth", T.LongType()),
+            T.StructField("color_type", T.LongType()),
+            T.StructField("pix_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                info = png_decode_bytes(bytes(payload))
+                rows.append(
+                    (rid, info["width"], info["height"], info["bit_depth"],
+                     info["color_type"], sum(info["pixels"]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "bit_depth", "color_type", "pix_sum"],
+            )
+
+    _register_self_by_value()
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fixture helper: fabricate a binary payload column from text (the
     fixtures carry no true binary column)."""
@@ -71,7 +267,8 @@ def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
-    """mapInPandas 'decode': (id, width, height, format, n_bytes)."""
+    """mapInPandas 'decode': (id, width, height, format, n_bytes).
+    Real parse for PNG payloads, stub for the rest (``decode_bytes``)."""
     out_schema = T.StructType(
         [df.schema[id_col]] + list(DECODED_SCHEMA.fields)
     )
@@ -80,7 +277,7 @@ def decode_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            metas = [fake_decode_bytes(b) for b in pdf[payload_col]]
+            metas = [decode_bytes(bytes(b)) for b in pdf[payload_col]]
             out = pd.DataFrame(metas)
             out.insert(0, id_col, pdf[id_col].values)
             yield out

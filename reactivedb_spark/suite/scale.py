@@ -566,6 +566,36 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_metadata(d, "doc_id")
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image codec end-to-end: each document's text bytes become the
+    pixels of a genuine 8-bit grayscale PNG (stdlib zlib encoder), then
+    the REAL decoder parses the actual chunk headers (IHDR width/height/
+    depth/color), verifies CRCs, inflates IDAT and de-filters scanlines;
+    ``pix_sum`` sums the decoded samples. The oracle recomputes the
+    expected geometry and pixel sum from the same source text — any
+    header mis-parse, inflate bug or filter error breaks the match."""
+    d = load(spark, sf, "documents")
+    pay = multimodal.encode_png(d, "doc_id", "text", width=16)
+    return multimodal.decode_png(pay, "doc_id")
+
+
+SQL_MULTIMODAL_PNG_DECODE = """
+WITH series AS (SELECT g.pos FROM generate_series(1, 4096) g(pos)),
+b AS (
+  -- fixture text is pure ASCII: char codes == UTF-8 payload bytes
+  SELECT doc_id, ascii(substr(text, CAST(s.pos AS INT), 1)) AS code
+  FROM documents, series s WHERE s.pos <= length(text)),
+sums AS (SELECT doc_id, SUM(code) AS pix_sum FROM b GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(greatest((length(d.text) + 15) // 16, 1) AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(0 AS BIGINT) AS color_type,
+       CAST(coalesce(s.pix_sum, 0) AS BIGINT) AS pix_sum
+FROM documents d LEFT JOIN sums s USING (doc_id)
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling (one-to-many mapInPandas): every 100-byte window of
     the payload is a fake 'frame'; emitted as (doc_id, frame_no,
@@ -812,6 +842,7 @@ QUERIES = {
     "token_bpe": q_token_bpe,
     "fingerprint": q_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_embed": q_multimodal_embed,
     "multimodal_frames": q_multimodal_frames,
     "window_rank": q_window_rank,
@@ -841,6 +872,7 @@ ORACLES = {
     "token_bpe": SQL_TOKEN_BPE,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
     "multimodal_embed": SQL_MULTIMODAL_EMBED,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "window_rank": SQL_WINDOW_RANK,
