@@ -746,12 +746,14 @@ def q_streaming_aggregate(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value").cast("decimal(18,6)").cast("decimal(38,18)").alias("vdec"),
     )
     src = os.path.join(root, "in")
-    for b in range(3):  # 3 deterministic micro-batch files by event_id mod
-        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode("append").parquet(src)
+    # one write job → 3 round-robin files → 3 micro-batches (batch
+    # composition doesn't matter: the result must be batch-invariant)
+    ev.repartition(3).write.mode("append").parquet(src)
     q = stream_into(eng, "events", stream_parquet_dir(spark, src, ev.schema),
-                    checkpoint_dir=os.path.join(root, "ckpt"))
+                    checkpoint_dir=os.path.join(root, "ckpt"),
+                    trigger_once=True)  # availableNow: drain and stop
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()
     return eng.table("per_user").select(
