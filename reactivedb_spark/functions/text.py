@@ -109,3 +109,50 @@ def quality_score(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text."""
     return F.md5(F.lower(F.trim(col)))
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition signals per document (the repetition
+    filters of large-corpus quality pipelines):
+
+    - ``top_tok_frac``: share of all tokens taken by the single most
+      frequent token (tie-free: it's a max over counts);
+    - ``dup_bigram_frac``: 1 − distinct/total adjacent-bigram ratio.
+
+    One explode + two hash aggregations, all JVM-side; fractions are a
+    single int/int double division (bit-identical cross-engine). Tokens
+    are the non-empty pieces of a space split — positions assigned AFTER
+    dropping empties so bigram adjacency is stable under repeated
+    separators."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tok = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "token"))
+    counts = tok.groupBy(id_col, "token").agg(F.count("*").alias("c"))
+    per_tok = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_c")
+    )
+    from pyspark.sql.window import Window
+
+    nxt = F.lead("token").over(Window.partitionBy(id_col).orderBy("pos"))
+    bi = (
+        tok.withColumn("nxt", nxt)
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", "token", "nxt").alias("bg"))
+    )
+    per_bi = bi.groupBy(id_col).agg(
+        F.count("*").alias("n_bi"), F.count_distinct("bg").alias("n_bi_distinct")
+    )
+    return (
+        per_tok.join(per_bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("top_c").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("top_tok_frac"),
+            F.when(
+                F.coalesce(F.col("n_bi"), F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(
+                F.lit(1.0)
+                - F.col("n_bi_distinct").cast("double") / F.col("n_bi").cast("double")
+            ).alias("dup_bigram_frac"),
+        )
+    )

@@ -58,6 +58,83 @@ def connected_components(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds (component diameter exceeds the budget); raise max_iter or "
-            "switch to the small-star/large-star variant"
+            "use connected_components_star (O(log² n) rounds, any diameter)"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
+def connected_components_star(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
+                              max_iter: int = 50) -> DataFrame:
+    """(node, cluster) via alternating large-star/small-star contraction —
+    the deep-graph path: round count is O(log² n) INDEPENDENT of component
+    diameter (vs the frontier variant's O(diameter)), so million-hop
+    chains converge in a few dozen rounds. Public algorithm: Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    MapReduce and Beyond" (SoCC 2014).
+
+    Each round is two window-min passes + distinct over the edge list —
+    keyed shuffles on node ids, no driver-side graph state; convergence is
+    detected by an edge-multiset signature (count + hash sum), one tiny
+    aggregate per round. At the fixed point the edge list is a star
+    forest: every non-root points directly at its component minimum."""
+    e = (
+        edges.select(F.greatest(F.col(a), F.col(b)).alias("u"),
+                     F.least(F.col(a), F.col(b)).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    from pyspark.sql.window import Window
+
+    def signature(df: DataFrame):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.hash("u", "v").cast("long")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    prev_sig = signature(e)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: strictly-larger neighbors of each center attach to
+        # the minimum of the closed neighborhood
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        w = Window.partitionBy("u")
+        ls = (
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = ls.filter(F.col("u") != F.col("v")).distinct()
+        # small-star: edges now all point big→small; every center and its
+        # smaller neighbors attach to the neighborhood minimum
+        ss = e1.withColumn("m", F.min("v").over(w))
+        e2 = (
+            ss.select("u", F.col("m").alias("v"))
+            .unionByName(
+                ss.filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = signature(e2)
+        e = e2
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_iter} rounds"
+        )
+    roots = e.select(F.col("v").alias("node")).subtract(
+        e.select(F.col("u").alias("node"))
+    )
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+        .unionByName(roots.select("node", F.col("node").alias("cluster")))
+    )

@@ -557,6 +557,117 @@ SELECT doc_id, md5(lower(trim(text))) AS fp, md5(substr(text, 1, 64)) AS prefix_
 FROM documents
 """
 
+
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters: top-token fraction and duplicate
+    adjacent-bigram fraction per document (functions/text.py
+    repetition_stats) — the repetition axis of corpus quality scoring."""
+    return textfns.repetition_stats(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text"
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, CAST(g.pos AS INT) AS pos, l[CAST(g.pos AS INT)] AS token
+  FROM t, generate_series(1, 4096) g(pos) WHERE g.pos <= len(l)),
+counts AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+per_tok AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c FROM counts GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, bg FROM (
+    SELECT doc_id,
+           token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+    FROM tok) WHERE bg IS NOT NULL),
+per_bi AS (
+  SELECT doc_id, COUNT(*) AS n_bi, COUNT(DISTINCT bg) AS n_bi_distinct
+  FROM bi GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(p.top_c AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS top_tok_frac,
+       CASE WHEN coalesce(b.n_bi, 0) = 0 THEN 0.0
+            ELSE 1.0 - CAST(b.n_bi_distinct AS DOUBLE) / CAST(b.n_bi AS DOUBLE)
+       END AS dup_bigram_frac
+FROM per_tok p LEFT JOIN per_bi b USING (doc_id)
+"""
+
+
+_MD5_ID_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~20% corpus sample: md5(id) mod 100 — a narrow
+    filter (no shuffle, scan-pushable), repeatable at any parallelism."""
+    from reactivedb_spark.operators.sampling import hash_sample
+
+    return hash_sample(load(spark, sf, "documents"), "doc_id", 20).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE {_MD5_ID_SQL} % 100 < 20
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-allocation stratified sample: 20 docs per language, chosen
+    by md5-hash order (deterministic class balancing for a training
+    mix); one window shuffle on the stratum key."""
+    from reactivedb_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf, "documents"), "doc_id", "lang", 20
+    ).select("doc_id", "lang", "source")
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang ORDER BY {_MD5_ID_SQL}, doc_id) AS rn
+  FROM documents) WHERE rn <= 20
+"""
+
+
+def q_graph_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-star/large-star connected components on a DEEP graph: orders
+    chained by orderkey within each priority form 5 components whose
+    diameter grows linearly with SF (thousands of hops at sf0.1) — far
+    past any label-propagation round budget; star contraction converges
+    in O(log² n) rounds regardless. The known chain structure gives an
+    exact non-recursive oracle: every node's cluster is its priority's
+    minimum orderkey."""
+    from reactivedb_spark.operators.graph import connected_components_star
+
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    nxt = F.lead("o_orderkey").over(
+        W.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    )
+    edges = (
+        o.select("o_orderkey", "o_orderpriority")
+        .withColumn("nxt", nxt)
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("o_orderkey").alias("doc_a"), F.col("nxt").alias("doc_b"))
+    )
+    return connected_components_star(edges)
+
+
+SQL_GRAPH_COMPONENTS_STAR = """
+WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0),
+sized AS (
+  SELECT o_orderkey, o_orderpriority,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+         MIN(o_orderkey) OVER (PARTITION BY o_orderpriority) AS mn
+  FROM o)
+-- chains with a single node produce no edges, so only priorities with
+-- >= 2 selected orders appear in the component labeling
+SELECT o_orderkey AS node, mn AS cluster FROM sized WHERE n >= 2
+"""
+
 # ---------------------------------------------------------------------------
 # multimodal (binary payload plumbing; decode stubbed deterministically)
 # ---------------------------------------------------------------------------
@@ -843,6 +954,10 @@ QUERIES = {
     "token_count": q_token_count,
     "token_bpe": q_token_bpe,
     "fingerprint": q_fingerprint,
+    "text_repetition": q_text_repetition,
+    "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
+    "graph_components_star": q_graph_components_star,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_embed": q_multimodal_embed,
@@ -873,6 +988,10 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "token_bpe": SQL_TOKEN_BPE,
     "fingerprint": SQL_FINGERPRINT,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "sample_hash": SQL_SAMPLE_HASH,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "graph_components_star": SQL_GRAPH_COMPONENTS_STAR,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
     "multimodal_embed": SQL_MULTIMODAL_EMBED,

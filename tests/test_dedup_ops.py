@@ -197,3 +197,31 @@ def test_lsh_stop_band_guard_drops_degenerate_bucket(spark):
     # jaccard_pairs forwards the guard
     jp = dedup.jaccard_pairs(df, "doc_id", "text", max_bucket=50)
     assert {(r.doc_a, r.doc_b) for r in jp.collect()} == {(2000, 2001)}
+
+
+def test_sampling_deterministic_and_stratified(spark):
+    """hash_sample: repartition-proof row subset; stratified_sample:
+    exactly n per stratum, stable across runs."""
+    from reactivedb_spark.operators.sampling import hash_sample, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3]) for i in range(300)], "doc_id long, lang string"
+    )
+    s1 = {r.doc_id for r in hash_sample(df, "doc_id", 20).collect()}
+    s2 = {r.doc_id for r in hash_sample(df.repartition(7), "doc_id", 20).collect()}
+    assert s1 == s2 and 0 < len(s1) < 300
+    # same hash family as the SQL oracle: md5-prefix int
+    import hashlib
+
+    expect = {i for i in range(300)
+              if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100 < 20}
+    assert s1 == expect
+
+    st = stratified_sample(df, "doc_id", "lang", 10)
+    per = {}
+    for r in st.collect():
+        per.setdefault(r.lang, set()).add(r.doc_id)
+    assert {k: len(v) for k, v in per.items()} == {"a": 10, "b": 10, "c": 10}
+    st2 = stratified_sample(df.repartition(5), "doc_id", "lang", 10)
+    assert {(r.doc_id, r.lang) for r in st2.collect()} == \
+           {(r.doc_id, r.lang) for r in st.collect()}

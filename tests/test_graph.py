@@ -28,3 +28,43 @@ def test_long_path_converges(spark):
     n = 40  # diameter 40: exercises repeated rounds + lineage cutting
     got = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_nonconvergence_raises_not_partial(spark):
+    """A chain deeper than the round budget must raise, not silently
+    return unconverged labels."""
+    import pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                               "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=3)
+
+
+class TestStarContraction:
+    def _star(self, spark, pairs):
+        from reactivedb_spark.operators.graph import connected_components_star
+
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        rows = connected_components_star(df).collect()
+        got = {}
+        for r in rows:
+            assert r.node not in got, f"duplicate label for node {r.node}"
+            got[r.node] = r.cluster
+        return got
+
+    def test_matches_frontier_on_mixed_graph(self, spark):
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (5, 6), (6, 7),
+                 (7, 5), (7, 20), (30, 31), (2, 0), (41, 40), (40, 42)]
+        assert self._star(spark, pairs) == _cc(spark, pairs)
+
+    def test_deep_chain_beyond_frontier_budget(self, spark):
+        """Diameter 200 — frontier propagation would need 200 rounds (it
+        raises at max_iter=50); star contraction converges in O(log²)."""
+        pairs = [(i, i + 1) for i in range(200)]
+        got = self._star(spark, pairs)
+        assert set(got.values()) == {0} and len(got) == 201
+
+    def test_star_shaped_input_converges_immediately(self, spark):
+        got = self._star(spark, [(0, i) for i in range(1, 8)])
+        assert got == {i: 0 for i in range(8)}
