@@ -111,6 +111,70 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.lower(F.trim(col)))
 
 
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k characteristic terms per document by tf·(N/df) — the
+    TF-IDF keyword extractor of a corpus-analysis pipeline, kept
+    oracle-exact by using the rational idf N/df directly instead of a
+    log (cross-engine log() can differ in the last ulp; a single
+    multiply-divide in fixed op order is bit-identical).
+
+    Plan: one token explode, two hash aggregations (tf per (doc, token),
+    df per token), a token-keyed join, one per-doc window for the top-k.
+    The doc-count scalar joins in as a broadcast 1-row aggregate — no
+    driver-side count."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double") * F.col("n_docs").cast("double")
+            / F.col("df_t").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col(id_col), F.col("token"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_t").cast("long").alias("df_t"),
+            "tfidf",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def top_ngrams(df, id_col: str, text_col: str, k: int = 20):
+    """Corpus-level top-k adjacent bigrams — the n-gram census of a
+    corpus report. One explode + per-doc window for adjacency, one
+    global hash aggregation, then TakeOrdered (orderBy+limit compiles to
+    a distributed top-k, never a full sort)."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tok = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "token"))
+    nxt = F.lead("token").over(Window.partitionBy(id_col).orderBy("pos"))
+    bi = (
+        tok.withColumn("nxt", nxt)
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "token", "nxt").alias("bigram"))
+    )
+    return (
+        bi.groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
+        .select("bigram", F.col("n").cast("long").alias("n"))
+    )
+
+
 def repetition_stats(df, id_col: str, text_col: str):
     """Gopher-style repetition signals per document (the repetition
     filters of large-corpus quality pipelines):

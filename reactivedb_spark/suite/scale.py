@@ -595,6 +595,92 @@ FROM per_tok p LEFT JOIN per_bi b USING (doc_id)
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (rational idf N/df — no
+    log, so the score is a fixed-op-order double identical in any
+    engine). Top-3 terms per document."""
+    return textfns.tfidf_top_terms(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text", k=3
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, l[CAST(g.pos AS INT)] AS token
+  FROM t, generate_series(1, 4096) g(pos) WHERE g.pos <= len(l)),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT f.doc_id, f.token, f.tf, d.df_t,
+         CAST(f.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(d.df_t AS DOUBLE) AS tfidf
+  FROM tf f JOIN dfreq d USING (token), n)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df_t AS BIGINT) AS df_t,
+       tfidf, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
+def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram census: global top-20 adjacent bigrams (orderBy +
+    limit compiles to distributed TakeOrdered, not a full sort)."""
+    return textfns.top_ngrams(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text", k=20
+    )
+
+
+SQL_TOP_BIGRAMS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, CAST(g.pos AS INT) AS pos, l[CAST(g.pos AS INT)] AS token
+  FROM t, generate_series(1, 4096) g(pos) WHERE g.pos <= len(l)),
+bi AS (
+  SELECT bg FROM (
+    SELECT token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+    FROM tok) WHERE bg IS NOT NULL)
+SELECT bg AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bi GROUP BY bg ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+def q_pack_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing per source shard (operators/
+    packing.py): streaming-chunker bin assignment by running token
+    total — keyed window, exact integer math."""
+    from reactivedb_spark.operators.packing import pack_by_budget
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", "source",
+        textfns.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return pack_by_budget(d, "doc_id", "source", "n_tokens", budget=2048)
+
+
+SQL_PACK_BUDGET = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS sz
+  FROM documents),
+c AS (
+  SELECT doc_id, source, sz,
+         SUM(sz) OVER (PARTITION BY source ORDER BY doc_id) - sz AS strt
+  FROM d)
+SELECT doc_id, source,
+       CAST(strt // 2048 AS BIGINT) AS bin_id,
+       CAST(strt % 2048 AS BIGINT) AS offset_in_bin,
+       sz AS size
+FROM c
+"""
+
+
 _MD5_ID_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
 
 
@@ -955,6 +1041,9 @@ QUERIES = {
     "token_bpe": q_token_bpe,
     "fingerprint": q_fingerprint,
     "text_repetition": q_text_repetition,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "top_bigrams": q_top_bigrams,
+    "pack_budget": q_pack_budget,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "graph_components_star": q_graph_components_star,
@@ -989,6 +1078,9 @@ ORACLES = {
     "token_bpe": SQL_TOKEN_BPE,
     "fingerprint": SQL_FINGERPRINT,
     "text_repetition": SQL_TEXT_REPETITION,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "top_bigrams": SQL_TOP_BIGRAMS,
+    "pack_budget": SQL_PACK_BUDGET,
     "sample_hash": SQL_SAMPLE_HASH,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "graph_components_star": SQL_GRAPH_COMPONENTS_STAR,
