@@ -175,6 +175,28 @@ def top_ngrams(df, id_col: str, text_col: str, k: int = 20):
     )
 
 
+# PII patterns: written to mean the same thing under Java regex (Spark)
+# and RE2 (DuckDB) — character classes, bounded repetition, \b only.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact email addresses and (toy) phone numbers — the PII-scrub
+    map of a training-data pipeline. A narrow per-row regex replace:
+    pushes into the scan stage, no shuffle, whole-stage codegen."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column):
+    """(n_emails, n_phones) match counts for audit/reporting."""
+    return (
+        F.regexp_count(col, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(col, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
 def repetition_stats(df, id_col: str, text_col: str):
     """Gopher-style repetition signals per document (the repetition
     filters of large-corpus quality pipelines):

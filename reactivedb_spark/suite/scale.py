@@ -681,6 +681,82 @@ FROM c
 """
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): flag
+    training docs sharing any 5-gram with a held-out eval slice
+    (doc_id % 19 == 3 plays the benchmark set). Broadcast semi-join on
+    the eval n-gram set — no corpus-side shuffle before the per-doc
+    hit aggregation."""
+    from reactivedb_spark.operators.contamination import ngram_overlap
+
+    docs = dedup.widen(load(spark, sf, "documents"))
+    bench = docs.filter(F.col("doc_id") % 19 == 3)
+    corpus = docs.filter(F.col("doc_id") % 19 != 3)
+    return ngram_overlap(corpus, bench, "doc_id", "text", n=5)
+
+
+SQL_DECONTAMINATE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(l[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS ng
+  FROM t, generate_series(1, 4096) s(i) WHERE i <= len(l) - 4),
+b AS (SELECT DISTINCT ng FROM g WHERE doc_id % 19 = 3),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.ng) AS n_hits
+  FROM g JOIN b USING (ng) WHERE g.doc_id % 19 <> 3 GROUP BY g.doc_id),
+base AS (
+  SELECT doc_id, CAST(count(DISTINCT ng) AS BIGINT) AS n_ngrams
+  FROM g WHERE doc_id % 19 <> 3 GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 0 AS n_ngrams FROM t
+  WHERE doc_id % 19 <> 3 AND len(l) < 5)
+SELECT base.doc_id, n_ngrams,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(n_hits, 0) > 0 AS INT) AS contaminated
+FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction: plant a synthetic email + phone per doc (the
+    fixture corpus has none), scrub both, and report match counts. A
+    narrow regex map — no shuffle anywhere in the plan."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "), F.col("text"),
+        ).alias("raw"),
+    )
+    n_emails, n_phones = textfns.pii_counts(F.col("raw"))
+    return d.select(
+        "doc_id",
+        F.substring(textfns.scrub_pii(F.col("raw")), 1, 120).alias("scrubbed"),
+        n_emails,
+        n_phones,
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH d AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS raw
+  FROM documents)
+SELECT doc_id,
+       substr(regexp_replace(regexp_replace(raw,
+                '{textfns.EMAIL_RE}', '<EMAIL>', 'g'),
+                '{textfns.PHONE_RE}', '<PHONE>', 'g'), 1, 120) AS scrubbed,
+       CAST(len(regexp_extract_all(raw, '{textfns.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{textfns.PHONE_RE}')) AS BIGINT) AS n_phones
+FROM d
+"""
+
+
 _MD5_ID_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
 
 
@@ -970,6 +1046,73 @@ FROM events GROUP BY user_id
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Native Structured Streaming session windows: replay events as a
+    file stream and sessionize per user with ``F.session_window`` (30-min
+    gap) — the streaming twin of the batch `sessionize` query. The
+    oracle recomputes the same sessions with a batch lag/cumsum in
+    DuckDB: a session splits when the gap is >= the timeout (session
+    windows are half-open [start, last + gap)), so micro-batch
+    boundaries must not change the answer.
+
+    Timestamps go through exact integer µs (timestamp_micros(ns div
+    1000)) so both engines bucket identical values."""
+    import os
+    import tempfile
+    import uuid
+
+    from reactivedb_spark.sources import stream_parquet_dir
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tstamp"),
+    )
+    root = tempfile.mkdtemp(prefix="rdb_sess_q_")
+    src = os.path.join(root, "in")
+    ev.repartition(3).write.mode("append").parquet(src)
+    name = "sess_" + uuid.uuid4().hex[:8]
+    sessions = (
+        stream_parquet_dir(spark, src, ev.schema)
+        .withWatermark("tstamp", "1 hour")
+        .groupBy(F.session_window("tstamp", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        sessions.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SQL_STREAMING_SESSIONIZE = """
+WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+g AS (
+  SELECT user_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL THEN 1
+              WHEN tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+s AS (
+  SELECT user_id, tus,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, CAST(min(tus) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     """The composed training-data cleanup (operators/corpus.py): quality
     gate → lang gate → exact dedup → LSH+Jaccard near-dup removal. The
@@ -1022,6 +1165,7 @@ WHERE doc_id NOT IN (SELECT doc_b FROM losers)
 
 QUERIES = {
     "streaming_aggregate": q_streaming_aggregate,
+    "streaming_sessionize": q_streaming_sessionize,
     "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1044,6 +1188,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "top_bigrams": q_top_bigrams,
     "pack_budget": q_pack_budget,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "graph_components_star": q_graph_components_star,
@@ -1059,6 +1205,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_aggregate": SQL_STREAMING_AGGREGATE,
+    "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
@@ -1081,6 +1228,8 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "pack_budget": SQL_PACK_BUDGET,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pii_scrub": SQL_PII_SCRUB,
     "sample_hash": SQL_SAMPLE_HASH,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "graph_components_star": SQL_GRAPH_COMPONENTS_STAR,
