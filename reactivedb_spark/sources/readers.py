@@ -6,7 +6,7 @@ schema inference at 100 TB is a full extra scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
@@ -22,13 +22,24 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
 
 
 def read_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Driver-fixture reader (TESTDATA.md tables)."""
+    """Driver-fixture reader (TESTDATA.md tables).
+
+    `events.ts` is normalized to int64 epoch-nanoseconds whatever the
+    physical parquet type: TIMESTAMP(NANOS) files read as long via the
+    legacy flag; TIMESTAMP(MICROS)/NTZ files are converted with
+    unix_micros (session TZ is UTC, so the NTZ→LTZ cast is the
+    identity on the underlying instant). Integer ns is the engine's
+    canonical event-time representation — exact cross-engine
+    arithmetic, no timezone semantics in the suite's oracles.
+    """
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it only as
-        # int64 nanoseconds via the legacy flag — which is also the
-        # deterministic representation the suite wants.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        df = df.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+        )
+    return df
 
 
 def stream_parquet_dir(spark: SparkSession, path: str, schema: T.StructType,

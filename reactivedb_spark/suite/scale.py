@@ -1072,8 +1072,14 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     ev.repartition(3).write.mode("append").parquet(src)
     name = "sess_" + uuid.uuid4().hex[:8]
     sessions = (
+        # The watermark must exceed the replay's disorder: round-robin
+        # files make every micro-batch span the whole fixture time range,
+        # so anything short drops "late" events and the answer stops
+        # being batch-composition-invariant. Production sets this to the
+        # real lateness bound; the correctness replay sets it past the
+        # data's span so nothing is dropped.
         stream_parquet_dir(spark, src, ev.schema)
-        .withWatermark("tstamp", "1 hour")
+        .withWatermark("tstamp", "3650 days")
         .groupBy(F.session_window("tstamp", "30 minutes"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
