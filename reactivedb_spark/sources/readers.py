@@ -26,19 +26,27 @@ def read_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     `events.ts` is normalized to int64 epoch-nanoseconds whatever the
     physical parquet type: TIMESTAMP(NANOS) files read as long via the
-    legacy flag; TIMESTAMP(MICROS)/NTZ files are converted with
-    unix_micros (session TZ is UTC, so the NTZ→LTZ cast is the
-    identity on the underlying instant). Integer ns is the engine's
-    canonical event-time representation — exact cross-engine
+    legacy flag; TIMESTAMP(MICROS) NTZ files go through a
+    session-timezone-independent field diff (timestampdiff on NTZ
+    operands — a TZ-dependent NTZ→LTZ cast would shift the epoch under
+    a non-UTC driver session); instant-typed TIMESTAMP uses
+    unix_micros, which is already TZ-independent. Integer ns is the
+    engine's canonical event-time representation — exact cross-engine
     arithmetic, no timezone semantics in the suite's oracles.
     """
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts", "").startswith("timestamp"):
-        df = df.withColumn(
-            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
-        )
+    if table == "events":
+        dt = dict(df.dtypes).get("ts", "")
+        if dt == "timestamp_ntz":
+            df = df.withColumn(
+                "ts",
+                (F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+                 * F.lit(1000)).cast("long"),
+            )
+        elif dt == "timestamp":
+            df = df.withColumn("ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
     return df
 
 
