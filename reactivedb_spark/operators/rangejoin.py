@@ -1,0 +1,69 @@
+"""Banded (bucketed) range join — interval/temporal joins at scale.
+
+A range join ``left ⋈ right ON key AND r.t ∈ [l.t + lower, l.t + upper]``
+has no native Spark operator: the DataFrame API plans it as an equi-join
+on the key with the range as a post-filter, which degenerates to a
+per-key nested loop when keys are hot (one power user's events make one
+task quadratic). The scale-safe plan used here is time banding:
+
+- bucket both sides by ``t div W`` with band width W = window span;
+- explode the LEFT side to the (at most 2-3) buckets its window covers,
+  the right side keeps exactly one bucket;
+- equi-join on ``(key, bucket)``, then apply the exact range predicate.
+
+Each join group is now bounded by ~2 band-widths of one key's rows
+regardless of how hot the key is, every pair appears exactly once (the
+right row lives in a single bucket), and the whole thing is one shuffle
+per side on (key, bucket) — AQE can further split stragglers since the
+bucket key is fine-grained. This is the standard interval-join design
+(Flink's interval join and Databricks' range-join optimization bin
+exactly this way).
+
+Times are int64 (the engine's canonical epoch-ns); ``div`` is integer
+division so 1.7e18-scale ns values never round through a double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def range_join(left: DataFrame, right: DataFrame, on: list[str],
+               left_time: str, right_time: str,
+               lower: int, upper: int, how: str = "inner",
+               bucket_width: int | None = None) -> DataFrame:
+    """Join rows where ``right.right_time`` falls in
+    ``[left.left_time + lower, left.left_time + upper]`` (inclusive),
+    matching on the ``on`` equi-keys. ``how`` ∈ {inner, left}: 'left'
+    keeps unmatched left rows (right columns NULL) — the attribution
+    use case wants purchases with zero preceding views kept.
+
+    Requires non-negative int64 times (epoch ns); ``lower <= upper``.
+    """
+    if lower > upper:
+        raise ValueError(f"empty range [{lower}, {upper}]")
+    w = int(bucket_width or max(upper - lower, 1))
+    lo_b = F.expr(f"(CAST({left_time} AS BIGINT) + ({lower})) div {w}")
+    hi_b = F.expr(f"(CAST({left_time} AS BIGINT) + ({upper})) div {w}")
+    l2 = left.withColumn("_band", F.explode(F.sequence(lo_b, hi_b)))
+    r2 = right.withColumn("_band", F.expr(f"CAST({right_time} AS BIGINT) div {w}"))
+    cond = [l2["_band"] == r2["_band"]] + [l2[c] == r2[c] for c in on]
+    in_range = (
+        r2[right_time] >= l2[left_time] + F.lit(lower)
+    ) & (r2[right_time] <= l2[left_time] + F.lit(upper))
+    if how == "inner":
+        out = l2.join(r2, cond, "inner").filter(in_range)
+        return out.drop(l2["_band"]).drop(r2["_band"]).drop(*[r2[c] for c in on])
+    if how == "left":
+        # left-outer over a banded join can't be expressed directly (an
+        # unmatched left row appears once per band): inner-join the
+        # matches, then add back left rows with no match via anti-join.
+        matches = l2.join(r2, cond, "inner").filter(in_range)
+        matches = matches.drop(l2["_band"]).drop(r2["_band"]).drop(*[r2[c] for c in on])
+        right_cols = [c for c in right.columns if c not in on and c != "_band"]
+        matched_keys = matches.select(*[F.col(c) for c in left.columns]).distinct()
+        unmatched = left.join(matched_keys, left.columns, "left_anti")
+        for c in right_cols:
+            unmatched = unmatched.withColumn(c, F.lit(None))
+        return matches.unionByName(unmatched)
+    raise ValueError(f"unsupported how={how!r}")

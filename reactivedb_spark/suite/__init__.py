@@ -9,7 +9,7 @@ nondeterminism (FP summation order, uuids, timestamps below µs) is
 designed out — see the determinism notes in each module.
 """
 
-from reactivedb_spark.suite import core, olap, scale
+from reactivedb_spark.suite import analytics, core, olap, scale
 
 
 def all_queries():
@@ -17,6 +17,7 @@ def all_queries():
     q.update(core.QUERIES)
     q.update(scale.QUERIES)
     q.update(olap.QUERIES)
+    q.update(analytics.QUERIES)
     return q
 
 
@@ -25,4 +26,5 @@ def all_oracles():
     o.update(core.ORACLES)
     o.update(scale.ORACLES)
     o.update(olap.ORACLES)
+    o.update(analytics.ORACLES)
     return o

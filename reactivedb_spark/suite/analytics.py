@@ -1,0 +1,218 @@
+"""Round-3 analytics extensions: distributed sketches, banded range
+joins, cohort retention, source-format round-trips, and a multi-hop
+engine DAG — each as a (Spark query, DuckDB oracle) pair.
+
+Determinism notes follow the suite convention (suite/__init__.py):
+integer/ns arithmetic everywhere time is involved, decimal sums for
+aggregated fractionals, md5-derived hashes for anything pseudo-random,
+and single-division doubles where a ratio is emitted.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reactivedb_spark.engine import Engine
+from reactivedb_spark.operators import rangejoin, sketch
+from reactivedb_spark.sources.readers import read_table
+from reactivedb_spark.suite._common import load
+
+NS_PER_WEEK = 7 * 24 * 3600 * 1_000_000_000
+NS_PER_DAY = 24 * 3600 * 1_000_000_000
+
+
+# -- HyperLogLog distinct (portable sketch) -----------------------------------
+
+def q_hll_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct users per event type via the md5-portable HLL sketch
+    (operators/sketch.py): two partial-aggregable groupBys, ≤256 longs
+    of state per group — the 100 TB shape for distinct counts."""
+    ev = load(spark, sf, "events")
+    return sketch.hll_distinct(ev, ["event_type"], "user_id")
+
+
+SQL_HLL_USERS = sketch.oracle_sql("events", ["event_type"], "user_id")
+
+
+# -- banded range join (attribution) ------------------------------------------
+
+def q_range_join_attrib(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution: for every purchase, how many views by the same user
+    in the preceding 7 days ([t-7d, t) half-open). Uses the banded
+    range join (operators/rangejoin.py) — equi-join on
+    (user, time-band), never a per-user nested loop — then a count and
+    a left join back so zero-view purchases survive."""
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    pairs = rangejoin.range_join(
+        purchases, views, on=["user_id"], left_time="pts", right_time="vts",
+        lower=-7 * NS_PER_DAY, upper=-1,
+    )
+    counts = pairs.groupBy("purchase_id").agg(F.count("*").cast("long").alias("n_views"))
+    return (
+        purchases.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id", "user_id",
+            F.coalesce(F.col("n_views"), F.lit(0)).cast("long").alias("n_views"),
+        )
+    )
+
+
+SQL_RANGE_JOIN_ATTRIB = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS pts
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, epoch_ns(ts) AS vts
+  FROM events WHERE event_type = 'view')
+SELECT p.purchase_id, p.user_id,
+       CAST(count(v.vts) AS BIGINT) AS n_views
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.vts >= p.pts - {7 * NS_PER_DAY}
+ AND v.vts < p.pts
+GROUP BY p.purchase_id, p.user_id
+"""
+
+
+# -- weekly cohort retention --------------------------------------------------
+
+def q_retention_weeks(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active week,
+    counted in every later week they appear. Plan: distinct (user,
+    week) → min-week per user → user-keyed shuffle join → count by
+    (cohort, week). Both joins are keyed on user_id, so at scale the
+    cohort map co-partitions with the activity relation — no broadcast
+    of a user-sized table."""
+    ev = load(spark, sf, "events")
+    active = ev.select(
+        "user_id", F.expr(f"ts div {NS_PER_WEEK}").cast("long").alias("week")
+    ).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+SQL_RETENTION_WEEKS = f"""
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {NS_PER_WEEK} AS week FROM events),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id)
+SELECT c.cohort_week, a.week, CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY c.cohort_week, a.week
+"""
+
+
+# -- JSONL source/sink round-trip ---------------------------------------------
+
+def q_source_jsonl(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-connector fidelity in the correctness gate: documents →
+    JSONL files → read back with an explicit schema (schema inference
+    at 100 TB is a full extra scan) → aggregate. The oracle reads the
+    original parquet, so any JSON quoting/escaping/precision loss in
+    either direction breaks the hash."""
+    docs = load(spark, sf, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="rdb_jsonl_"), "docs")
+    docs.write.mode("overwrite").json(path)
+    back = read_table(spark, path, fmt="json", schema=docs.schema)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+    )
+
+
+SQL_SOURCE_JSONL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents GROUP BY lang
+"""
+
+
+# -- multi-hop DAG through the engine -----------------------------------------
+
+DAG_CHAIN_CFG = {
+    "tables": [
+        {"Source": {"name": "orders_src", "columns": {
+            "okey": "Integer", "ckey": "Integer",
+            "price": "Float", "price_dec": "Decimal"}}},
+        {"Derived": {"name": "enriched",
+                     "transform_definition": {"FunctionTransform": {
+                         "source_table": "orders_src",
+                         "functions": ["ckey2 ~ ckey",
+                                       "margin ~ price * 0.9",
+                                       "pd ~ price_dec"]}}}},
+        {"Derived": {"name": "big_margin",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "enriched",
+                         "filter": "margin > 150000.0"}}}},
+        {"Derived": {"name": "by_cust",
+                     "transform_definition": {"AggregationTransform": {
+                         "source_table": "big_margin",
+                         "aggregated_column": "ckey2",
+                         "functions": ["n ~ memo.n + 1",
+                                       "total ~ memo.total + pd"]}}}},
+    ]
+}
+
+
+def q_dag_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-hop reactive DAG: Function → Filter → Aggregation chained
+    through the engine (topo-walk propagation, engine.py), the deepest
+    derived chain in the suite. Per-row double math is portable; the
+    aggregated sum folds decimals (exact, order-independent) per the
+    suite contract."""
+    eng = Engine(spark, DAG_CHAIN_CFG,
+                 workspace=tempfile.mkdtemp(prefix="rdb_dag_"))
+    orders = load(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_totalprice").cast("decimal(18,6)").cast("decimal(38,18)").alias("price_dec"),
+    )
+    eng.insert_df("orders_src", orders)
+    return eng.table("by_cust").select(
+        F.col("aggregatedColumn").alias("ckey"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+SQL_DAG_CHAIN = """
+SELECT o_custkey AS ckey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice * 0.9 > 150000.0
+GROUP BY o_custkey
+"""
+
+
+QUERIES = {
+    "hll_users": q_hll_users,
+    "range_join_attrib": q_range_join_attrib,
+    "retention_weeks": q_retention_weeks,
+    "source_jsonl": q_source_jsonl,
+    "dag_chain": q_dag_chain,
+}
+
+ORACLES = {
+    "hll_users": SQL_HLL_USERS,
+    "range_join_attrib": SQL_RANGE_JOIN_ATTRIB,
+    "retention_weeks": SQL_RETENTION_WEEKS,
+    "source_jsonl": SQL_SOURCE_JSONL,
+    "dag_chain": SQL_DAG_CHAIN,
+}

@@ -1,0 +1,109 @@
+"""Unit tests: portable HLL sketch (operators/sketch.py) and banded
+range join (operators/rangejoin.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactivedb_spark.operators import rangejoin, sketch
+
+
+def test_hll_accuracy_raw_regime(spark):
+    # 5000 distinct values >> 2.5*m=640 → raw estimator path
+    df = spark.range(5000).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    row = sketch.hll_distinct(df, ["g"], "v").collect()[0]
+    assert abs(row["est"] - 5000) / 5000 < 0.15  # ~2σ of 1.04/sqrt(256)
+
+
+def test_hll_accuracy_linear_regime(spark):
+    # 100 distinct « m → linear-counting correction path
+    df = spark.range(100).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    row = sketch.hll_distinct(df, ["g"], "v").collect()[0]
+    assert abs(row["est"] - 100) <= 10
+
+
+def test_hll_duplicates_dont_move_estimate(spark):
+    base = spark.range(1000).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    dup = base.unionAll(base).unionAll(base)
+    a = sketch.hll_distinct(base, ["g"], "v").collect()[0]
+    b = sketch.hll_distinct(dup, ["g"], "v").collect()[0]
+    assert a["est"] == b["est"] and a["sum_nonzero"] == b["sum_nonzero"]
+
+
+def test_hll_sketch_merge(spark):
+    """Register tables are mergeable: union + re-max == sketch of union."""
+    left = spark.range(0, 3000).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    right = spark.range(2000, 6000).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    merged_regs = (
+        sketch.hll_sketch(left, ["g"], "v")
+        .unionByName(sketch.hll_sketch(right, ["g"], "v"))
+        .groupBy("g", "bucket").agg(F.max("rho").alias("rho"))
+    )
+    direct = sketch.hll_estimate(
+        sketch.hll_sketch(left.unionAll(right), ["g"], "v"), ["g"]
+    ).collect()[0]
+    via_merge = sketch.hll_estimate(merged_regs, ["g"]).collect()[0]
+    assert direct == via_merge
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "k string, id long, t long")
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    rnd = random.Random(7)
+    left = _ev(spark, [("k%d" % rnd.randrange(3), i, rnd.randrange(0, 1000)) for i in range(80)])
+    right = _ev(spark, [("k%d" % rnd.randrange(3), 1000 + i, rnd.randrange(0, 1000)) for i in range(80)])
+    lo, hi = -50, 120
+    banded = rangejoin.range_join(
+        left.withColumnRenamed("id", "lid").withColumnRenamed("t", "lt"),
+        right.withColumnRenamed("id", "rid").withColumnRenamed("t", "rt"),
+        on=["k"], left_time="lt", right_time="rt", lower=lo, upper=hi,
+    ).select("lid", "rid")
+    naive = (
+        left.withColumnRenamed("id", "lid").withColumnRenamed("t", "lt")
+        .join(right.withColumnRenamed("id", "rid").withColumnRenamed("t", "rt"), "k")
+        .filter((F.col("rt") >= F.col("lt") + lo) & (F.col("rt") <= F.col("lt") + hi))
+        .select("lid", "rid")
+    )
+    assert sorted(map(tuple, banded.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_range_join_hot_key_exact_once(spark):
+    # one key owns every row — the banding must still emit each pair once
+    left = _ev(spark, [("hot", i, i * 10) for i in range(50)])
+    right = _ev(spark, [("hot", 100 + i, i * 10 + 5) for i in range(50)])
+    out = rangejoin.range_join(
+        left.withColumnRenamed("t", "lt"),
+        right.withColumnRenamed("id", "rid").withColumnRenamed("t", "rt"),
+        on=["k"], left_time="lt", right_time="rt", lower=0, upper=9,
+    )
+    rows = out.select("id", "rid").collect()
+    assert len(rows) == len(set(map(tuple, rows))) == 50  # i matches i only
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    left = _ev(spark, [("a", 1, 100), ("a", 2, 5000)])
+    right = _ev(spark, [("a", 9, 101)])
+    out = rangejoin.range_join(
+        left.withColumnRenamed("t", "lt"),
+        right.withColumnRenamed("id", "rid").withColumnRenamed("t", "rt"),
+        on=["k"], left_time="lt", right_time="rt", lower=0, upper=10, how="left",
+    )
+    got = {(r["id"], r["rid"]) for r in out.collect()}
+    assert got == {(1, 9), (2, None)}
+
+
+def test_range_join_bucket_width_override(spark):
+    left = _ev(spark, [("a", 1, 0), ("a", 2, 999)])
+    right = _ev(spark, [("a", 9, 500)])
+    for w in (10, 100, 5000):
+        out = rangejoin.range_join(
+            left.withColumnRenamed("t", "lt"),
+            right.withColumnRenamed("id", "rid").withColumnRenamed("t", "rt"),
+            on=["k"], left_time="lt", right_time="rt",
+            lower=0, upper=600, bucket_width=w,
+        )
+        assert {(r["id"], r["rid"]) for r in out.collect()} == {(1, 9)}
