@@ -256,30 +256,49 @@ def ivf_seed_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
     return cosine_topk(cand, id_col, vec_col, query_id, k=k)
 
 
+def _xl_array(vec_col: str) -> Column:
+    """Whole vector in fixed-point longs (same element path as exploded())."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: (x.cast("double").cast(_ELEM_DEC) * 100_000_000).cast("long"),
+    )
+
+
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(doc_a, doc_b, cos_sim) for pairs sharing an LSH bucket (a < b)."""
-    buckets = lsh_buckets(df, id_col, vec_col)
+    """(doc_a, doc_b, cos_sim) for pairs sharing an LSH bucket (a < b).
+
+    Array-native verify: each candidate pair is ONE row carrying two
+    fixed-point long arrays, and the dot product / norms are
+    ``zip_with``+``aggregate`` over those arrays — integer-exact (index
+    order, same sums as any order) and ~dims× smaller on the wire than
+    the earlier (pair × dimension) explode-join, whose intermediate was
+    |pairs|·dims rows through two shuffles. Buckets are persisted: the
+    candidate self-join reads them twice."""
+    buckets = lsh_buckets(df, id_col, vec_col).persist()
     a = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
     cand = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-    elem = exploded(df, id_col, vec_col)
-    n2 = norms2(elem, id_col)
-    ea = elem.select(F.col(id_col).alias("doc_a"), "j", F.col("xl").alias("xa"))
-    eb = elem.select(F.col(id_col).alias("doc_b"), "j", F.col("xl").alias("xb"))
-    dots = (
-        cand.join(ea, "doc_a")
-        .join(eb, ["doc_b", "j"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    n2 = F.aggregate(
+        F.transform(F.col("vl"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    na = n2.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("na2"))
-    nb = n2.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("nb2"))
+    vecs = df.select(F.col(id_col), _xl_array(vec_col).alias("vl")).withColumn("n2", n2)
+    va = vecs.select(F.col(id_col).alias("doc_a"), F.col("vl").alias("va"),
+                     F.col("n2").alias("na2"))
+    vb = vecs.select(F.col(id_col).alias("doc_b"), F.col("vl").alias("vb"),
+                     F.col("n2").alias("nb2"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            _cosine(F.col("dot"), F.col("na2"), F.col("nb2")).alias("cos_sim"),
+            _cosine(dot, F.col("na2"), F.col("nb2")).alias("cos_sim"),
         )
     )

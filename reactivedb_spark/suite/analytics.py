@@ -201,8 +201,147 @@ GROUP BY o_custkey
 """
 
 
+# -- streaming exact dedup ----------------------------------------------------
+
+def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exactly-once dedup: replay events DOUBLED (every row
+    twice, split across micro-batches) through ``dropDuplicates`` on
+    event_id — state-store-backed keyed dedup, the streaming twin of
+    exact dedup. The oracle is a plain DISTINCT, so duplicate delivery
+    across batch boundaries must be invisible in the result."""
+    from reactivedb_spark.sources import stream_parquet_dir
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "event_type")
+    doubled = ev.unionAll(ev)
+    root = tempfile.mkdtemp(prefix="rdb_sdedup_")
+    src = os.path.join(root, "in")
+    doubled.repartition(4).write.mode("append").parquet(src)
+    import uuid
+
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_parquet_dir(spark, src, doubled.schema)
+        .dropDuplicates(["event_id"])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT event_id, user_id, event_type FROM events
+"""
+
+
+# -- equi-depth deciles (ntile) -----------------------------------------------
+
+def q_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment equi-depth histogram: NTILE(10) over order value by
+    customer market segment — exact distributed quantiles as one keyed
+    window shuffle (rank math, no sketch error, portable everywhere).
+    Ties broken by orderkey so both engines bin identically."""
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+SQL_PRICE_DECILES = """
+SELECT c_mktsegment, decile, CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM (
+  SELECT c.c_mktsegment, o.o_totalprice,
+         ntile(10) OVER (PARTITION BY c.c_mktsegment
+                         ORDER BY o.o_totalprice, o.o_orderkey) AS decile
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment, decile
+"""
+
+
+# -- lead/lag deltas ----------------------------------------------------------
+
+def q_event_deltas(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-event gaps and value deltas (lead/lag windows) —
+    integer-ns gaps, per-row double subtraction (portable), one keyed
+    window shuffle."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        (F.col("ts") - F.lag("ts").over(w)).cast("long").alias("gap_ns"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+SQL_EVENT_DELTAS = """
+WITH o AS (SELECT event_id, user_id, event_type, "value", epoch_ns(ts) AS tns
+           FROM events)
+SELECT event_id, user_id,
+       CAST(tns - lag(tns) OVER w AS BIGINT) AS gap_ns,
+       "value" - lag("value") OVER w AS value_delta,
+       lead(event_type) OVER w AS next_type
+FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+"""
+
+
+# -- grouping sets ------------------------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup): totals by
+    (status, priority), by status alone, and grand total, with
+    grouping_id to disambiguate NULLs — one pass, Spark expands the
+    sets map-side. Sums fold decimals per the suite contract."""
+    o = load(spark, sf, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+                 AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES = {
     "hll_users": q_hll_users,
+    "streaming_dedup": q_streaming_dedup,
+    "price_deciles": q_price_deciles,
+    "event_deltas": q_event_deltas,
+    "grouping_sets": q_grouping_sets,
     "range_join_attrib": q_range_join_attrib,
     "retention_weeks": q_retention_weeks,
     "source_jsonl": q_source_jsonl,
@@ -211,6 +350,10 @@ QUERIES = {
 
 ORACLES = {
     "hll_users": SQL_HLL_USERS,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
+    "price_deciles": SQL_PRICE_DECILES,
+    "event_deltas": SQL_EVENT_DELTAS,
+    "grouping_sets": SQL_GROUPING_SETS,
     "range_join_attrib": SQL_RANGE_JOIN_ATTRIB,
     "retention_weeks": SQL_RETENTION_WEEKS,
     "source_jsonl": SQL_SOURCE_JSONL,
