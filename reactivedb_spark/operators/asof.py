@@ -34,13 +34,24 @@ def asof_join(
     value_cols: Sequence[str],
     tie_break: Optional[str] = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: Optional[int] = None,
 ) -> DataFrame:
-    """Backward inclusive as-of join.
+    """Inclusive as-of join, ``direction`` ∈ {backward, forward}.
+
+    backward: greatest right time ≤ left time; forward: smallest right
+    time ≥ left time (same union + ordered-window plan, time order
+    reversed). ``tolerance`` (same units as ``time_col``, typically ns)
+    NULLs the attached values when the matched right row is further than
+    that from the left time — pandas ``merge_asof(tolerance=...)``
+    semantics.
 
     Returns all left columns plus ``<value_col><suffix>`` for each right
-    value column (NULL when no right row is at-or-before the left time).
+    value column (NULL when no right row qualifies).
     """
     on = list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
     if tie_break is not None:
         w_dedup = W.partitionBy(*on, time_col).orderBy(F.col(tie_break).desc())
         right = (
@@ -69,16 +80,35 @@ def asof_join(
     )
     unioned = r_tagged.unionByName(l_tagged)
 
-    # right rows sort before left rows at equal time → inclusive (>=)
+    # right rows sort before left rows at equal time → inclusive;
+    # forward walks time descending so "last right seen" = nearest ≥
+    torder = F.col(time_col) if direction == "backward" else F.col(time_col).desc()
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col(time_col), F.col("_is_right").desc())
+        .orderBy(torder, F.col("_is_right").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    rt = F.when(F.col("_is_right") == 1, F.col(time_col))
     filled = unioned.select(
-        "*", *[F.last(ov, ignorenulls=True).over(w).alias(f"_f_{ov}") for ov in out_vals]
+        "*",
+        *[F.last(ov, ignorenulls=True).over(w).alias(f"_f_{ov}") for ov in out_vals],
+        F.last(rt, ignorenulls=True).over(w).alias("_f_rtime"),
     )
-    return filled.filter(F.col("_is_right") == 0).select(
-        *[F.col(c) for c in left_cols],
-        *[F.col(f"_f_{ov}").alias(ov) for ov in out_vals],
-    )
+    out = filled.filter(F.col("_is_right") == 0)
+    if tolerance is not None:
+        gap = (
+            F.col(time_col) - F.col("_f_rtime")
+            if direction == "backward"
+            else F.col("_f_rtime") - F.col(time_col)
+        )
+        within = F.col("_f_rtime").isNotNull() & (gap <= F.lit(tolerance))
+        out = out.select(
+            *[F.col(c) for c in left_cols],
+            *[F.when(within, F.col(f"_f_{ov}")).alias(ov) for ov in out_vals],
+        )
+    else:
+        out = out.select(
+            *[F.col(c) for c in left_cols],
+            *[F.col(f"_f_{ov}").alias(ov) for ov in out_vals],
+        )
+    return out

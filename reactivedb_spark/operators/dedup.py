@@ -247,6 +247,10 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     chosen strategy (both are exact set computations)."""
     if tok is None:
         tok = tokens(df, id_col, text_col, distinct=True)
+    # tok feeds at least three branches (minhash signatures inside
+    # lsh_candidates, the vocab count, the per-doc sets) — persist so
+    # the tokenize+distinct shuffle runs once, not per branch
+    tok = tok.persist()
     cand = lsh_candidates(df, id_col, text_col, tok=tok, max_bucket=max_bucket)
     if vocab is None:
         # strategy pick needs the vocab size; callers that already know it
@@ -262,7 +266,9 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         broadcast_sets = n_docs * per_doc <= BROADCAST_SETS_LIMIT
     hint = F.broadcast if broadcast_sets else (lambda d: d)
     if use_bitset:
-        sets = _token_bitsets(tok, id_col, vocab)
+        # both join sides (doc_a / doc_b) read the per-doc set relation:
+        # persist it so the token aggregation runs once, not per side
+        sets = _token_bitsets(tok, id_col, vocab).persist()
         sa = sets.select(F.col(id_col).alias("doc_a"), F.col("mask").alias("ma"))
         sb = sets.select(F.col(id_col).alias("doc_b"), F.col("mask").alias("mb"))
         inter = F.aggregate(
@@ -286,7 +292,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     else:
         sets = tok.groupBy(id_col).agg(
             F.collect_set("token").alias("toks"), F.count("*").cast("long").alias("n_tok")
-        )
+        ).persist()
         sa = sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"),
                          F.col("n_tok").alias("n_a"))
         sb = sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"),

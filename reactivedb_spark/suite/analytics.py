@@ -305,6 +305,84 @@ FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
 """
 
 
+# -- forward as-of join with tolerance ----------------------------------------
+
+def q_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of with a 3-day tolerance: for each click, the user's
+    NEXT purchase within 3 days (conversion attribution). Same union +
+    ordered-window plan as backward as-of, time order reversed; the
+    tolerance NULLs matches beyond the window. Oracle: DuckDB ASOF with
+    ``<=`` plus the same tolerance filter."""
+    from reactivedb_spark.operators.asof import asof_join
+
+    ev = load(spark, sf, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr("CAST(ts div 1000 AS BIGINT)").alias("tus"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tus"
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tus", F.col("value").alias("next_purchase"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], time_col="tus",
+        value_cols=["next_purchase"], tie_break="p_event_id", suffix="",
+        direction="forward", tolerance=3 * 24 * 3600 * 1_000_000,
+    )
+    return out.select("event_id", "user_id", "tus", "next_purchase")
+
+
+SQL_ASOF_FORWARD = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, "value", epoch_us(ts) AS tus FROM events),
+clicks AS (
+  SELECT event_id, user_id, tus FROM base WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, tus, "value" AS next_purchase, event_id FROM base
+  WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) = 1)
+SELECT c.event_id, c.user_id, c.tus,
+       CASE WHEN p.tus - c.tus <= {3 * 24 * 3600 * 1_000_000}
+            THEN p.next_purchase END AS next_purchase
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.tus <= p.tus
+"""
+
+
+# -- skew-salted aggregation --------------------------------------------------
+
+def q_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage salted aggregation (operators/skew.py) over lineitem's
+    3 ultra-hot return-flag keys — a hot key spreads over 16 reducers in
+    stage 1, stage 2 combines one row per (key, salt). The oracle is the
+    plain GROUP BY: salting must be invisible in the result (decimal
+    sums, order-independent)."""
+    from reactivedb_spark.operators.skew import salted_sum_count
+
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("price"),
+    )
+    out = salted_sum_count(li, ["l_returnflag"], ["qty", "price"])
+    return out.select(
+        "l_returnflag", "n",
+        F.col("sum_qty").cast("decimal(38,2)").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("decimal(38,6)").cast("double").alias("sum_price"),
+    )
+
+
+SQL_SKEW_SALTED_AGG = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # -- grouping sets ------------------------------------------------------------
 
 def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
@@ -341,6 +419,8 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "price_deciles": q_price_deciles,
     "event_deltas": q_event_deltas,
+    "asof_forward": q_asof_forward,
+    "skew_salted_agg": q_skew_salted_agg,
     "grouping_sets": q_grouping_sets,
     "range_join_attrib": q_range_join_attrib,
     "retention_weeks": q_retention_weeks,
@@ -353,6 +433,8 @@ ORACLES = {
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "price_deciles": SQL_PRICE_DECILES,
     "event_deltas": SQL_EVENT_DELTAS,
+    "asof_forward": SQL_ASOF_FORWARD,
+    "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "grouping_sets": SQL_GROUPING_SETS,
     "range_join_attrib": SQL_RANGE_JOIN_ATTRIB,
     "retention_weeks": SQL_RETENTION_WEEKS,

@@ -46,3 +46,33 @@ def test_action_registry_from_config(spark, tmp_path, workspace):
 
     out = act.batch_fn(pd.DataFrame([{"name": "x", "grade": 95}]))
     assert out["grade"].tolist() == [85]
+
+
+def test_asof_forward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 99, "l3")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, 1), (1, 18, 200.0, 2)],
+        "k long, t long, v double, rid long",
+    )
+    out = asof_join(left, right, on=["k"], time_col="t",
+                    value_cols=["v"], tie_break="rid", direction="forward")
+    got = {r["tag"]: r["v_asof"] for r in out.collect()}
+    assert got == {
+        "l1": 100.0,   # equal time matches (inclusive)
+        "l2": None,    # no right row at-or-after 20
+        "l3": None,
+    }
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "near"), (1, 500, "far")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame([(1, 90, 7.0, 1)], "k long, t long, v double, rid long")
+    out = asof_join(left, right, on=["k"], time_col="t",
+                    value_cols=["v"], tie_break="rid", tolerance=50)
+    got = {r["tag"]: r["v_asof"] for r in out.collect()}
+    assert got == {"near": 7.0, "far": None}  # gap 410 > 50 → NULL
