@@ -187,6 +187,118 @@ def png_decode_bytes(payload: bytes) -> dict:
     }
 
 
+# -- real WAV codec (pure stdlib: struct over RIFF chunks) -------------------
+
+def wav_encode_bytes(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """Minimal real PCM16 mono WAV writer: each input byte becomes one
+    int16 sample ``(b - 128) * 256`` (centered, full-scale). Canonical
+    RIFF/fmt/data layout — any WAV reader parses it."""
+    import struct
+
+    pcm = b"".join(struct.pack("<h", (b - 128) * 256) for b in samples)
+    data_len = len(pcm)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_len) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_len) + pcm
+    )
+
+
+def wav_decode_bytes(payload: bytes) -> dict:
+    """REAL WAV decoder: walks RIFF chunks with struct, parses fmt
+    (format/channels/rate/bits) and the PCM16 data chunk. Returns header
+    fields plus exact integer sample stats (sum of |sample| and count) —
+    integer so any engine reproduces them bit-for-bit."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(payload)
+    fmt_info, pcm = None, None
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + clen]
+        if tag == b"fmt ":
+            audio_fmt, n_ch, rate, _byte_rate, _block, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            fmt_info = (audio_fmt, n_ch, rate, bits)
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_info is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, n_ch, rate, bits = fmt_info
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAV supported")
+    samples = struct.unpack(f"<{len(pcm) // 2}h", pcm[: len(pcm) // 2 * 2])
+    return {
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_samples": len(samples) // n_ch,
+        "amp_sum": sum(abs(s) for s in samples),
+    }
+
+
+def encode_wav(df: DataFrame, id_col: str, text_col: str = "text",
+               sample_rate: int = 8000) -> DataFrame:
+    """(id, payload): REAL PCM16 WAV per row whose samples derive from
+    the UTF-8 bytes of ``text_col`` (Arrow-batched)."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                wav_encode_bytes((t or "").encode("utf-8"), sample_rate)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    _register_self_by_value()
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def decode_wav(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """(id, n_channels, sample_rate, n_samples, amp_sum): REAL decode of
+    the actual bytes — header fields from the parsed fmt chunk, stats
+    from the unpacked PCM samples."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_channels", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("amp_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                info = wav_decode_bytes(bytes(payload))
+                rows.append(
+                    (rid, info["n_channels"], info["sample_rate"],
+                     info["n_samples"], info["amp_sum"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_channels", "sample_rate", "n_samples", "amp_sum"],
+            )
+
+    _register_self_by_value()
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def decode_bytes(payload: bytes) -> dict:
     """Dispatching decoder: REAL parse for formats we have a codec for
     (PNG), deterministic stub otherwise."""

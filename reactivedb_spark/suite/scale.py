@@ -869,6 +869,35 @@ FROM documents d LEFT JOIN sums s USING (doc_id)
 """
 
 
+def q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio codec round-trip: text bytes → PCM16 mono WAV
+    (canonical RIFF/fmt/data) → struct-parsed decode. ``amp_sum`` sums
+    |sample| over the unpacked PCM data; the oracle recomputes the
+    expected header fields and amplitude sum from the same source text —
+    a chunk mis-parse or sample unpack bug breaks the match."""
+    d = load(spark, sf, "documents")
+    pay = multimodal.encode_wav(d, "doc_id", "text", sample_rate=8000)
+    return multimodal.decode_wav(pay, "doc_id")
+
+
+SQL_MULTIMODAL_WAV_DECODE = """
+WITH series AS (SELECT g.pos FROM generate_series(1, 4096) g(pos)),
+b AS (
+  -- fixture text is pure ASCII: char codes == UTF-8 payload bytes
+  SELECT doc_id, ascii(substr(text, CAST(s.pos AS INT), 1)) AS code
+  FROM documents, series s WHERE s.pos <= length(text)),
+sums AS (
+  SELECT doc_id, SUM(abs(code - 128) * 256) AS amp_sum,
+         count(*) AS n FROM b GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_samples,
+       CAST(coalesce(s.amp_sum, 0) AS BIGINT) AS amp_sum
+FROM documents d LEFT JOIN sums s USING (doc_id)
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling (one-to-many mapInPandas): every 100-byte window of
     the payload is a fake 'frame'; emitted as (doc_id, frame_no,
@@ -1201,6 +1230,7 @@ QUERIES = {
     "graph_components_star": q_graph_components_star,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_embed": q_multimodal_embed,
     "multimodal_frames": q_multimodal_frames,
     "window_rank": q_window_rank,
@@ -1241,6 +1271,7 @@ ORACLES = {
     "graph_components_star": SQL_GRAPH_COMPONENTS_STAR,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
+    "multimodal_wav_decode": SQL_MULTIMODAL_WAV_DECODE,
     "multimodal_embed": SQL_MULTIMODAL_EMBED,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "window_rank": SQL_WINDOW_RANK,

@@ -142,3 +142,39 @@ class TestRealPngCodec:
             df.withColumn("payload", F.encode("text", "UTF-8")), "doc_id"
         ).collect()
         assert all(r.format in ("png", "jpeg", "webp") for r in stub)
+
+
+def test_wav_roundtrip_pure_python():
+    from reactivedb_spark.functions.multimodal import wav_decode_bytes, wav_encode_bytes
+
+    payload = wav_encode_bytes(b"hello", sample_rate=44100)
+    info = wav_decode_bytes(payload)
+    assert info["n_channels"] == 1
+    assert info["sample_rate"] == 44100
+    assert info["bits"] == 16
+    assert info["n_samples"] == 5
+    assert info["amp_sum"] == sum(abs(b - 128) * 256 for b in b"hello")
+
+
+def test_wav_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from reactivedb_spark.functions.multimodal import wav_decode_bytes
+
+    with _pytest.raises(ValueError):
+        wav_decode_bytes(b"not a wav at all")
+
+
+def test_wav_decoder_word_alignment():
+    """Odd-length chunks are padded to word boundaries; the walker must
+    skip the pad byte or it misreads every subsequent tag."""
+    import struct
+
+    from reactivedb_spark.functions.multimodal import wav_decode_bytes, wav_encode_bytes
+
+    base = wav_encode_bytes(b"ab")
+    # inject an odd-length junk chunk between WAVE and fmt
+    junk = b"junk" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+    payload = base[:12] + junk + base[12:]
+    info = wav_decode_bytes(payload)
+    assert info["n_samples"] == 2
