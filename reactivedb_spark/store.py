@@ -126,6 +126,27 @@ class ParquetSnapshotStore:
             self._read_cache[key] = df
         return df
 
+    def current_version(self, name: str) -> int:
+        return self._versions[name]
+
+    def read_at(self, name: str, version: int) -> DataFrame:
+        """Snapshot (time-travel) read of a specific table version.
+
+        The store retains exactly one generation behind the current
+        pointer (``_flip`` keeps it for in-flight readers), so valid
+        versions are ``current`` and ``current - 1`` — the same
+        single-generation time travel a vacuumed Delta table offers.
+        Older versions raise: their dirs are gone."""
+        if version == self._versions[name]:
+            return self.read(name)
+        path = self._dir(name, version)
+        if not self._has_files(path):
+            raise ValueError(
+                f"version {version} of table {name!r} is not retained "
+                f"(current={self._versions[name]}; one back-version is kept)"
+            )
+        return self.spark.read.schema(self._schemas[name]).parquet(path)
+
     # -- writes ------------------------------------------------------------
     def stage(self, name: str, df: DataFrame) -> DataFrame:
         """Materialize a delta to scratch parquet and read it back (pins

@@ -124,3 +124,33 @@ class TestRollbackReadCache:
         st.end_commit()
         # same (table, version, n_files=1) key — must see the NEW file
         assert [r.x for r in st.read("t").collect()] == [2]
+
+
+class TestTimeTravel:
+    def test_read_at_previous_version(self, spark, workspace):
+        """One generation of snapshot time travel: after a version flip
+        the prior snapshot stays readable at current-1."""
+        from pyspark.sql import types as T
+
+        from reactivedb_spark.store import ParquetSnapshotStore
+
+        store = ParquetSnapshotStore(spark, workspace)
+        schema = T.StructType([T.StructField("x", T.LongType())])
+        store.init_table("t", schema)
+        store.replace("t", spark.range(3).select(F_col_x()))
+        v1 = store.current_version("t")
+        store.replace("t", spark.range(10).select(F_col_x()))
+        v2 = store.current_version("t")
+        assert v2 == v1 + 1
+        assert store.read_at("t", v2).count() == 10
+        assert store.read_at("t", v1).count() == 3
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            store.read_at("t", v1 - 1)
+
+
+def F_col_x():
+    from pyspark.sql import functions as F
+
+    return F.col("id").alias("x")
