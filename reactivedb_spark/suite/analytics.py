@@ -142,6 +142,87 @@ FROM documents GROUP BY lang
 """
 
 
+# -- CSV source/sink round-trip -----------------------------------------------
+
+def q_source_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV connector fidelity: orders' key/string/date-derived columns →
+    CSV files → explicit-schema read-back → aggregate vs the parquet
+    original. Integer/string columns only by design: CSV is not a
+    round-trip-safe carrier for binary doubles, which is itself part of
+    the documented connector contract (parquet/JSONL carry doubles)."""
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="rdb_csv_"), "orders")
+    o.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_table(spark, path, fmt="csv", schema=o.schema, header="true")
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.count(F.col("o_custkey")).cast("long").alias("n_cust"),
+    )
+
+
+SQL_SOURCE_CSV = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(count(o_custkey) AS BIGINT) AS n_cust
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+# -- unigram LM document scoring ----------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained unigram language-model score per document:
+    Σ ln p(token) over the doc's tokens (with multiplicity), the
+    classic LM-quality signal for corpus filtering. Plan: one token
+    count aggregation (tiny — the vocabulary), broadcast-joined back to
+    the token stream, one per-doc sum. Determinism: ln() may differ by
+    1 ulp across libms, so each term is cast to DECIMAL(28,14) (pinning
+    ~1e-14 drift) before the exact decimal sum; the final round(6)
+    absorbs what remains."""
+    tok = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    ).persist()
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("n_tok"))
+    total = tok.count()
+    probs = counts.select(
+        "token",
+        F.log(F.col("n_tok").cast("double") / F.lit(float(total)))
+        .cast("decimal(28,14)").alias("lp"),
+    )
+    return (
+        tok.join(F.broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("lp").cast("double"), 6).alias("logprob"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+    FROM documents) WHERE token <> ''),
+probs AS (
+  SELECT token,
+         CAST(ln(CAST(count(*) AS DOUBLE) /
+                 CAST((SELECT count(*) FROM tok) AS DOUBLE)) AS DECIMAL(28,14)) AS lp
+  FROM tok GROUP BY token)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(p.lp) AS DOUBLE), 6) AS logprob
+FROM tok t JOIN probs p USING (token)
+GROUP BY t.doc_id
+"""
+
+
 # -- multi-hop DAG through the engine -----------------------------------------
 
 DAG_CHAIN_CFG = {
@@ -425,6 +506,8 @@ QUERIES = {
     "range_join_attrib": q_range_join_attrib,
     "retention_weeks": q_retention_weeks,
     "source_jsonl": q_source_jsonl,
+    "source_csv": q_source_csv,
+    "unigram_logprob": q_unigram_logprob,
     "dag_chain": q_dag_chain,
 }
 
@@ -439,5 +522,7 @@ ORACLES = {
     "range_join_attrib": SQL_RANGE_JOIN_ATTRIB,
     "retention_weeks": SQL_RETENTION_WEEKS,
     "source_jsonl": SQL_SOURCE_JSONL,
+    "source_csv": SQL_SOURCE_CSV,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "dag_chain": SQL_DAG_CHAIN,
 }
