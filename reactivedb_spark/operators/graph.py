@@ -63,6 +63,52 @@ def connected_components(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
+def pagerank(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
+             damping: float = 0.85, iters: int = 5) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected edge list:
+    ``pr = (1-d)/N + d · Σ_in pr/deg``, ``iters`` synchronous rounds.
+
+    Spark-first shape: each round is one broadcast-free equi-join
+    (rank × symmetrized edges on the source node) plus one keyed sum —
+    the same two-shuffle economics as the CC rounds; ``localCheckpoint``
+    caps lineage growth so round N+1's plan doesn't re-derive round N.
+
+    Cross-engine determinism: per-edge ``pr/deg`` and the final affine
+    update are IEEE double ops (identical everywhere); only the
+    *summation order* is engine-dependent, so each contribution is cast
+    to DECIMAL(28,14) and summed exactly. The oracle unrolls the same
+    rounds as chained CTEs. Symmetrized graphs have no dangling nodes
+    (every node has degree ≥ 1), so no dangling-mass term is needed.
+    """
+    sym = (
+        edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+        .unionByName(edges.select(F.col(b).alias("s"), F.col(a).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("s").agg(F.count("*").cast("long").alias("deg"))
+    n = deg.count()
+    base = (1.0 - damping) / n
+    ranks = deg.select(F.col("s").alias("node"), F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks["node"] == deg["s"])
+            .select(F.col("node"), (F.col("pr") / F.col("deg").cast("double")).alias("share"))
+            .join(sym, F.col("node") == sym["s"])
+            .select(F.col("d").alias("node"), F.col("share").cast("decimal(28,14)").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.col("csum").cast("double")).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round(F.col("pr"), 9).alias("pr"))
+
+
 def connected_components_star(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
                               max_iter: int = 50) -> DataFrame:
     """(node, cluster) via alternating large-star/small-star contraction —

@@ -223,6 +223,51 @@ GROUP BY t.doc_id
 """
 
 
+# -- PageRank (fixed-iteration, iterative-algorithm flagship) -----------------
+
+def q_pagerank_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """5-round PageRank over the bipartite customer–order graph
+    (operators/graph.py:pagerank): the iterative-algorithm flagship —
+    each round two keyed shuffles, lineage cut per round. The oracle
+    unrolls the same 5 synchronous rounds as chained CTEs with the
+    identical decimal-sum / IEEE-double update."""
+    from reactivedb_spark.operators.graph import pagerank
+
+    o = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("doc_a"),
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("doc_b"),
+    )
+    pr = pagerank(o, iters=5)
+    return pr.select(F.col("node").cast("long").alias("node"), "pr")
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    base = repr(1.0 - damping)  # 1.0-0.85 != 0.15 in doubles: emit the exact value
+    ctes = [
+        "e0 AS (SELECT o_custkey AS s, o_orderkey + 10000000 AS d FROM orders)",
+        "sym AS (SELECT DISTINCT s, d FROM (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0))",
+        "deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY s)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        "p0 AS (SELECT s AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"p{i - 1}"
+        ctes.append(
+            f"p{i} AS (SELECT sym.d AS node, "
+            f"({base} / (SELECT n FROM nn)) + {damping!r} * "
+            f"CAST(sum(CAST({prev}.pr / CAST(deg.deg AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS pr "
+            f"FROM {prev} JOIN deg ON {prev}.node = deg.s "
+            f"JOIN sym ON {prev}.node = sym.s GROUP BY sym.d)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(pr, 9) AS pr FROM p{iters}"
+    )
+
+
+SQL_PAGERANK_ORDERS = _pagerank_sql()
+
+
 # -- multi-hop DAG through the engine -----------------------------------------
 
 DAG_CHAIN_CFG = {
@@ -508,6 +553,7 @@ QUERIES = {
     "source_jsonl": q_source_jsonl,
     "source_csv": q_source_csv,
     "unigram_logprob": q_unigram_logprob,
+    "pagerank_orders": q_pagerank_orders,
     "dag_chain": q_dag_chain,
 }
 
@@ -524,5 +570,6 @@ ORACLES = {
     "source_jsonl": SQL_SOURCE_JSONL,
     "source_csv": SQL_SOURCE_CSV,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "pagerank_orders": SQL_PAGERANK_ORDERS,
     "dag_chain": SQL_DAG_CHAIN,
 }

@@ -68,3 +68,17 @@ class TestStarContraction:
     def test_star_shaped_input_converges_immediately(self, spark):
         got = self._star(spark, [(0, i) for i in range(1, 8)])
         assert got == {i: 0 for i in range(8)}
+
+
+def test_pagerank_star_center_dominates(spark):
+    from reactivedb_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iters=10).collect()}
+    assert set(pr) == set(range(6))
+    assert all(pr[0] > pr[i] for i in range(1, 6))   # hub outranks leaves
+    assert abs(sum(pr.values()) - 1.0) < 1e-6        # mass conserved
+    leaf_vals = {round(pr[i], 12) for i in range(1, 6)}
+    assert len(leaf_vals) == 1                        # symmetric leaves tie
