@@ -366,6 +366,77 @@ SELECT DISTINCT event_id, user_id, event_type FROM events
 """
 
 
+# -- stream-stream interval join ----------------------------------------------
+
+def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join: purchases and views replayed as TWO
+    independent file streams, inner-joined per user with a time-range
+    condition (view within the 7 days before the purchase) — Structured
+    Streaming's watermark-bounded two-sided state join, the streaming
+    twin of the batch banded range join. The oracle is the equivalent
+    batch join: micro-batch interleaving must not change the pairs.
+    Watermarks exceed the replay's disorder (round-robin files span the
+    whole fixture range) so no pair is dropped; production sets them to
+    the real lateness bound to bound state."""
+    import uuid
+
+    from reactivedb_spark.sources import stream_parquet_dir
+
+    ev = load(spark, sf, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tstamp"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("tstamp").alias("p_ts"),
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("tstamp").alias("v_ts"),
+    )
+    root = tempfile.mkdtemp(prefix="rdb_ssj_")
+    p_src, v_src = os.path.join(root, "p"), os.path.join(root, "v")
+    purchases.repartition(3).write.mode("append").parquet(p_src)
+    views.repartition(3).write.mode("append").parquet(v_src)
+    ps = stream_parquet_dir(spark, p_src, purchases.schema).withWatermark("p_ts", "3650 days")
+    vs = stream_parquet_dir(spark, v_src, views.schema).withWatermark("v_ts", "3650 days")
+    joined = ps.join(
+        vs,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "view_id")
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+SQL_STREAMING_STREAM_JOIN = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS pts
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT event_id AS view_id, user_id, epoch_ns(ts) AS vts
+  FROM events WHERE event_type = 'view')
+SELECT p.purchase_id, v.view_id
+FROM p JOIN v ON v.user_id = p.user_id
+ AND v.vts >= p.pts - {7 * NS_PER_DAY}
+ AND v.vts < p.pts
+"""
+
+
 # -- equi-depth deciles (ntile) -----------------------------------------------
 
 def q_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
@@ -543,6 +614,7 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 QUERIES = {
     "hll_users": q_hll_users,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_stream_join": q_streaming_stream_join,
     "price_deciles": q_price_deciles,
     "event_deltas": q_event_deltas,
     "asof_forward": q_asof_forward,
@@ -560,6 +632,7 @@ QUERIES = {
 ORACLES = {
     "hll_users": SQL_HLL_USERS,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    "streaming_stream_join": SQL_STREAMING_STREAM_JOIN,
     "price_deciles": SQL_PRICE_DECILES,
     "event_deltas": SQL_EVENT_DELTAS,
     "asof_forward": SQL_ASOF_FORWARD,
