@@ -104,26 +104,33 @@ def stateful_running_totals(stream_df: DataFrame, key_col: str, value_col: str):
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
+    # integer value columns accumulate exactly (batch composition can
+    # never change the total); double stays double for float feeds
+    vtype = stream_df.schema[value_col].dataType
+    is_int = isinstance(vtype, (T.LongType, T.IntegerType))
+    total_t = T.LongType() if is_int else T.DoubleType()
     out_schema = T.StructType(
         [
             stream_df.schema[key_col],
             T.StructField("n", T.LongType()),
-            T.StructField("total", T.DoubleType()),
+            T.StructField("total", total_t),
         ]
     )
     state_schema = T.StructType(
-        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+        [T.StructField("n", T.LongType()), T.StructField("total", total_t)]
     )
     vcol = value_col
     kcol = key_col
+    zero = 0 if is_int else 0.0
+    conv = int if is_int else float
 
     def update(key, pdfs, state: GroupState):
         import pandas as _pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, zero)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[vcol].sum())
+            total += conv(pdf[vcol].sum())
         state.update((n, total))
         yield _pd.DataFrame({kcol: [key[0]], "n": [n], "total": [total]})
 

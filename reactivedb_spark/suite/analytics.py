@@ -437,6 +437,61 @@ FROM p JOIN v ON v.user_id = p.user_id
 """
 
 
+# -- custom stateful operator (applyInPandasWithState) in the gate ------------
+
+def q_streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator in the correctness gate:
+    per-user running (count, total) via ``applyInPandasWithState``
+    (streaming/listen.py) over a 3-batch replay. Values ride as exact
+    integer micro-units so state accumulation is batch-composition-proof;
+    the final state per user (picked by max_by over the monotone count)
+    must equal the plain batch GROUP BY of the oracle."""
+    import uuid
+
+    from reactivedb_spark.sources import stream_parquet_dir
+    from reactivedb_spark.streaming.listen import stateful_running_totals
+
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long").alias("vl"),
+    )
+    root = tempfile.mkdtemp(prefix="rdb_sst_")
+    src = os.path.join(root, "in")
+    ev.repartition(3).write.mode("append").parquet(src)
+    totals = stateful_running_totals(
+        stream_parquet_dir(spark, src, ev.schema), "user_id", "vl"
+    )
+    name = "sst_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max_by("total", "n").cast("long").alias("total_micro"),
+        )
+    )
+
+
+SQL_STREAMING_STATEFUL_TOTALS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST("value" AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+         AS total_micro
+FROM events GROUP BY user_id
+"""
+
+
 # -- equi-depth deciles (ntile) -----------------------------------------------
 
 def q_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
@@ -615,6 +670,7 @@ QUERIES = {
     "hll_users": q_hll_users,
     "streaming_dedup": q_streaming_dedup,
     "streaming_stream_join": q_streaming_stream_join,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
     "price_deciles": q_price_deciles,
     "event_deltas": q_event_deltas,
     "asof_forward": q_asof_forward,
@@ -633,6 +689,7 @@ ORACLES = {
     "hll_users": SQL_HLL_USERS,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_stream_join": SQL_STREAMING_STREAM_JOIN,
+    "streaming_stateful_totals": SQL_STREAMING_STATEFUL_TOTALS,
     "price_deciles": SQL_PRICE_DECILES,
     "event_deltas": SQL_EVENT_DELTAS,
     "asof_forward": SQL_ASOF_FORWARD,
