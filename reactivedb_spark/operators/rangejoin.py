@@ -42,6 +42,13 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
     """
     if lower > upper:
         raise ValueError(f"empty range [{lower}, {upper}]")
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    if overlap:
+        # ambiguous output columns break the left-mode add-back join and
+        # make inner-mode outputs unselectable by name — fail loudly
+        raise ValueError(
+            f"left/right share non-key columns {sorted(overlap)}; rename one side"
+        )
     w = int(bucket_width or max(upper - lower, 1))
     lo_b = F.expr(f"(CAST({left_time} AS BIGINT) + ({lower})) div {w}")
     hi_b = F.expr(f"(CAST({left_time} AS BIGINT) + ({upper})) div {w}")

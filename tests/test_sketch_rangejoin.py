@@ -107,3 +107,13 @@ def test_range_join_bucket_width_override(spark):
             lower=0, upper=600, bucket_width=w,
         )
         assert {(r["id"], r["rid"]) for r in out.collect()} == {(1, 9)}
+
+
+def test_range_join_rejects_colliding_columns(spark):
+    import pytest as _pytest
+
+    left = _ev(spark, [("a", 1, 5)])
+    right = _ev(spark, [("a", 2, 6)])  # same id/t names as left
+    with _pytest.raises(ValueError, match="share non-key columns"):
+        rangejoin.range_join(left, right, on=["k"], left_time="t",
+                             right_time="t", lower=0, upper=10)
