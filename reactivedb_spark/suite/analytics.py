@@ -604,6 +604,38 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+# -- bloom-pruned semi join ---------------------------------------------------
+
+def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/bloom.py): lineitems of
+    high-value orders. The 4 KiB md5-bit filter built from the small
+    side prunes the big scan map-side before the shuffle; the exact
+    semi-join afterward removes false positives, so the oracle is the
+    plain semi-join — the filter must be invisible in the result."""
+    from reactivedb_spark.operators.bloom import bloom_semi_join
+
+    li = load(spark, sf, "lineitem")
+    big_orders = load(spark, sf, "orders").filter(
+        F.col("o_totalprice") > 400000.0
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    kept = bloom_semi_join(li, big_orders, "l_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)").cast("double").alias("sum_qty"),
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000.0)
+GROUP BY l_returnflag
+"""
+
+
 # -- skew-salted aggregation --------------------------------------------------
 
 def q_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -675,6 +707,7 @@ QUERIES = {
     "event_deltas": q_event_deltas,
     "asof_forward": q_asof_forward,
     "skew_salted_agg": q_skew_salted_agg,
+    "bloom_semi_join": q_bloom_semi_join,
     "grouping_sets": q_grouping_sets,
     "range_join_attrib": q_range_join_attrib,
     "retention_weeks": q_retention_weeks,
@@ -694,6 +727,7 @@ ORACLES = {
     "event_deltas": SQL_EVENT_DELTAS,
     "asof_forward": SQL_ASOF_FORWARD,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "grouping_sets": SQL_GROUPING_SETS,
     "range_join_attrib": SQL_RANGE_JOIN_ATTRIB,
     "retention_weeks": SQL_RETENTION_WEEKS,

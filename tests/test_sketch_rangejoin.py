@@ -117,3 +117,32 @@ def test_range_join_rejects_colliding_columns(spark):
     with _pytest.raises(ValueError, match="share non-key columns"):
         rangejoin.range_join(left, right, on=["k"], left_time="t",
                              right_time="t", lower=0, upper=10)
+
+
+def test_bloom_no_false_negatives(spark):
+    from reactivedb_spark.operators import bloom
+
+    small = spark.range(500).select((F.col("id") * 13).alias("k"))
+    words = bloom.build_bloom(small, "k", m_bits=1 << 12)
+    hits = small.filter(bloom.bloom_might_contain(F.col("k"), words)).count()
+    assert hits == 500  # every true member passes
+
+
+def test_bloom_semi_join_exact(spark):
+    from reactivedb_spark.operators import bloom
+
+    small = spark.range(50).select((F.col("id") * 3).alias("k"))
+    big = spark.range(5000).select((F.col("id") % 200).alias("k"), F.col("id").alias("v"))
+    got = sorted(tuple(r) for r in bloom.bloom_semi_join(big, small, "k").collect())
+    want = sorted(tuple(r) for r in big.join(small.distinct(), "k", "left_semi").collect())
+    assert got == want
+
+
+def test_bloom_prunes_most_nonmembers(spark):
+    from reactivedb_spark.operators import bloom
+
+    small = spark.range(100).select(F.col("id").alias("k"))
+    probe = spark.range(100, 10100).select(F.col("id").alias("k"))  # disjoint
+    words = bloom.build_bloom(small, "k")  # 32768 bits, 100 keys
+    fp = probe.filter(bloom.bloom_might_contain(F.col("k"), words)).count()
+    assert fp < 100  # < 1% false positives at this density
