@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 
 def asof_join(
@@ -62,11 +62,26 @@ def asof_join(
     out_vals = [f"{v}{suffix}" for v in value_cols]
     left_cols = left.columns
 
+    # All right values travel inside ONE struct alongside their own row
+    # time. Two reasons: (a) row semantics — the nearest right ROW wins
+    # even if one of its values is NULL (last(ignorenulls) per value
+    # would skip it and reach back to a farther row, diverging from
+    # merge_asof / DuckDB ASOF); (b) the tolerance gate must test the
+    # time of the row the values actually came from, not a separately
+    # tracked nearest-row time.
+    rrow_type = T.StructType(
+        [T.StructField("_t", right.schema[time_col].dataType)]
+        + [T.StructField(ov, right.schema[v].dataType)
+           for v, ov in zip(value_cols, out_vals)]
+    )
     r_tagged = right.select(
         *on,
         F.col(time_col).alias(time_col),
         F.lit(1).alias("_is_right"),
-        *[F.col(v).alias(ov) for v, ov in zip(value_cols, out_vals)],
+        F.struct(
+            F.col(time_col).alias("_t"),
+            *[F.col(v).alias(ov) for v, ov in zip(value_cols, out_vals)],
+        ).alias("_rrow"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in on and c != time_col],
     )
@@ -74,8 +89,7 @@ def asof_join(
         *on,
         F.col(time_col),
         F.lit(0).alias("_is_right"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(ov)
-          for v, ov in zip(value_cols, out_vals)],
+        F.lit(None).cast(rrow_type).alias("_rrow"),
         *[F.col(c) for c in left_cols if c not in on and c != time_col],
     )
     unioned = r_tagged.unionByName(l_tagged)
@@ -88,27 +102,24 @@ def asof_join(
         .orderBy(torder, F.col("_is_right").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    rt = F.when(F.col("_is_right") == 1, F.col(time_col))
     filled = unioned.select(
-        "*",
-        *[F.last(ov, ignorenulls=True).over(w).alias(f"_f_{ov}") for ov in out_vals],
-        F.last(rt, ignorenulls=True).over(w).alias("_f_rtime"),
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_f")
     )
     out = filled.filter(F.col("_is_right") == 0)
     if tolerance is not None:
         gap = (
-            F.col(time_col) - F.col("_f_rtime")
+            F.col(time_col) - F.col("_f._t")
             if direction == "backward"
-            else F.col("_f_rtime") - F.col(time_col)
+            else F.col("_f._t") - F.col(time_col)
         )
-        within = F.col("_f_rtime").isNotNull() & (gap <= F.lit(tolerance))
+        within = F.col("_f").isNotNull() & (gap <= F.lit(tolerance))
         out = out.select(
             *[F.col(c) for c in left_cols],
-            *[F.when(within, F.col(f"_f_{ov}")).alias(ov) for ov in out_vals],
+            *[F.when(within, F.col(f"_f.{ov}")).alias(ov) for ov in out_vals],
         )
     else:
         out = out.select(
             *[F.col(c) for c in left_cols],
-            *[F.col(f"_f_{ov}").alias(ov) for ov in out_vals],
+            *[F.col(f"_f.{ov}").alias(ov) for ov in out_vals],
         )
     return out

@@ -27,6 +27,18 @@ DEFAULT_BITS = 1 << 15  # 32768 bits = 4 KiB
 DEFAULT_K = 4
 
 
+def _round_bits(m_bits: int) -> int:
+    """Filters are stored as 64-bit words, and the probe side derives
+    the modulus from ``len(words) * 64`` — so build and probe must agree
+    on a word-aligned bit count. Round up here, in the one place both
+    paths go through, or a non-multiple-of-64 ``m_bits`` would give the
+    build a smaller hash space than the probe (silent false negatives).
+    """
+    if m_bits <= 0:
+        raise ValueError(f"m_bits must be positive, got {m_bits}")
+    return (m_bits + 63) // 64 * 64
+
+
 def _probe_positions(col: Column, k: int, m_bits: int) -> list[Column]:
     """k bit positions per value: independent seeded md5 slices, each
     reduced mod m_bits. Portable: substr + conv + mod."""
@@ -46,8 +58,10 @@ def _shiftleft_col(value: Column, count: Column) -> Column:
 def build_bloom(df: DataFrame, col: str, m_bits: int = DEFAULT_BITS,
                 k: int = DEFAULT_K) -> list[int]:
     """Pack the key set into an ``m_bits``-bit filter; returns the
-    ``m_bits/64`` words (driver-side, a few KB — never the keys)."""
-    n_words = (m_bits + 63) // 64
+    ``m_bits/64`` words (driver-side, a few KB — never the keys).
+    ``m_bits`` is rounded up to a multiple of 64 (word storage)."""
+    m_bits = _round_bits(m_bits)
+    n_words = m_bits // 64
     pos = _probe_positions(F.col(col), k, m_bits)
     exploded = df.select(F.explode(F.array(*pos)).alias("p")).select(
         (F.col("p") / 64).cast("long").alias("w"),

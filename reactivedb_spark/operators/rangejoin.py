@@ -25,7 +25,7 @@ division so 1.7e18-scale ns values never round through a double.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def range_join(left: DataFrame, right: DataFrame, on: list[str],
@@ -37,6 +37,11 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
     matching on the ``on`` equi-keys. ``how`` ∈ {inner, left}: 'left'
     keeps unmatched left rows (right columns NULL) — the attribution
     use case wants purchases with zero preceding views kept.
+
+    'left' is exact for arbitrary left rows: duplicates and NULL-valued
+    columns are both preserved with plain left-outer multiplicity (each
+    left row is identified by a per-duplicate row number and the
+    unmatched add-back anti-joins null-safely on that identity).
 
     Requires non-negative int64 times (epoch ns); ``lower <= upper``.
     """
@@ -50,6 +55,16 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
             f"left/right share non-key columns {sorted(overlap)}; rename one side"
         )
     w = int(bucket_width or max(upper - lower, 1))
+    if how == "left":
+        # Left rows need a unique identity for the unmatched add-back:
+        # a per-duplicate sequence number over rows that are identical in
+        # every column. Deterministic (unlike monotonically_increasing_id
+        # recomputed across plan branches) and, joined null-safely below,
+        # immune to both failure modes of an all-columns anti-join:
+        # duplicate left rows collapsing to one match key, and NULL
+        # columns never equalling themselves (NULL = NULL is NULL).
+        dup_w = W.partitionBy(*[F.col(c) for c in left.columns]).orderBy(F.lit(1))
+        left = left.withColumn("_rj_dup", F.row_number().over(dup_w))
     lo_b = F.expr(f"(CAST({left_time} AS BIGINT) + ({lower})) div {w}")
     hi_b = F.expr(f"(CAST({left_time} AS BIGINT) + ({upper})) div {w}")
     l2 = left.withColumn("_band", F.explode(F.sequence(lo_b, hi_b)))
@@ -64,13 +79,16 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
     if how == "left":
         # left-outer over a banded join can't be expressed directly (an
         # unmatched left row appears once per band): inner-join the
-        # matches, then add back left rows with no match via anti-join.
+        # matches, then add back left rows with no match via a null-safe
+        # anti-join on the unique (all columns, _rj_dup) identity.
         matches = l2.join(r2, cond, "inner").filter(in_range)
         matches = matches.drop(l2["_band"]).drop(r2["_band"]).drop(*[r2[c] for c in on])
         right_cols = [c for c in right.columns if c not in on and c != "_band"]
         matched_keys = matches.select(*[F.col(c) for c in left.columns]).distinct()
-        unmatched = left.join(matched_keys, left.columns, "left_anti")
+        anti = [left[c].eqNullSafe(matched_keys[c]) for c in left.columns]
+        unmatched = left.join(matched_keys, anti, "left_anti")
         for c in right_cols:
-            unmatched = unmatched.withColumn(c, F.lit(None))
-        return matches.unionByName(unmatched)
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(right.schema[c].dataType))
+        return matches.unionByName(unmatched).drop("_rj_dup")
     raise ValueError(f"unsupported how={how!r}")

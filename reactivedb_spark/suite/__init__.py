@@ -11,20 +11,34 @@ designed out — see the determinism notes in each module.
 
 from reactivedb_spark.suite import analytics, core, olap, scale
 
+# Registration order is part of the external contract: the driver's
+# correctness gate checks the FIRST 50 registered queries. Newest /
+# least-recently-verified families register first (analytics, olap,
+# sessionize, then the §2 core parity set); the long-green dedup /
+# similarity / multimodal scale family fills the tail. dict.update on an
+# existing key keeps its original position, so pre-seeding `sessionize`
+# pins it inside the window even though it lives in scale.QUERIES.
+_PRIORITY = ("sessionize",)
+
 
 def all_queries():
     q = {}
+    q.update(analytics.QUERIES)
+    q.update(olap.QUERIES)
+    for name in _PRIORITY:
+        q[name] = scale.QUERIES[name]
     q.update(core.QUERIES)
     q.update(scale.QUERIES)
-    q.update(olap.QUERIES)
-    q.update(analytics.QUERIES)
     return q
 
 
 def all_oracles():
     o = {}
+    o.update(analytics.ORACLES)
+    o.update(olap.ORACLES)
+    for name in _PRIORITY:
+        if name in scale.ORACLES:
+            o[name] = scale.ORACLES[name]
     o.update(core.ORACLES)
     o.update(scale.ORACLES)
-    o.update(olap.ORACLES)
-    o.update(analytics.ORACLES)
     return o

@@ -67,6 +67,24 @@ def test_asof_forward_inclusive(spark):
     }
 
 
+def test_asof_nearest_row_wins_even_with_null_value(spark):
+    """merge_asof semantics: the nearest right ROW is the match; a NULL
+    value on it is attached as NULL, never skipped for a farther row —
+    and the tolerance gate tests THAT row's time."""
+    left = spark.createDataFrame([(1, 100, "x")], "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 7.0, 1), (1, 95, None, 2)], "k long, t long, v double, rid long"
+    )
+    out = asof_join(left, right, on=["k"], time_col="t",
+                    value_cols=["v"], tie_break="rid")
+    assert out.collect()[0]["v_asof"] is None  # nearest row (t=95) has NULL v
+    # with tolerance=50: nearest row t=95 is within 50 → NULL value kept,
+    # NOT the t=10 row's 7.0 (which is beyond tolerance)
+    out_tol = asof_join(left, right, on=["k"], time_col="t",
+                        value_cols=["v"], tie_break="rid", tolerance=50)
+    assert out_tol.collect()[0]["v_asof"] is None
+
+
 def test_asof_tolerance_nulls_far_matches(spark):
     left = spark.createDataFrame(
         [(1, 100, "near"), (1, 500, "far")], "k long, t long, tag string"

@@ -96,6 +96,36 @@ def test_range_join_left_keeps_unmatched(spark):
     assert got == {(1, 9), (2, None)}
 
 
+def test_range_join_left_duplicate_rows_kept(spark):
+    # two IDENTICAL unmatched left rows must both survive the add-back,
+    # and two identical matched rows must both emit their matches
+    left = _ev(spark, [("a", 1, 5000), ("a", 1, 5000), ("a", 2, 100), ("a", 2, 100)])
+    right = _ev(spark, [("a", 9, 101)])
+    out = rangejoin.range_join(
+        left.withColumnRenamed("t", "lt"),
+        right.withColumnRenamed("id", "rid").withColumnRenamed("t", "rt"),
+        on=["k"], left_time="lt", right_time="rt", lower=0, upper=10, how="left",
+    )
+    got = sorted((r["id"], r["rid"]) for r in out.collect())
+    assert got == [(1, None), (1, None), (2, 9), (2, 9)]
+
+
+def test_range_join_left_null_columns_not_duplicated(spark):
+    # a MATCHED left row containing a NULL column must not also be
+    # re-emitted as unmatched (NULL = NULL is NULL under plain equality)
+    left = spark.createDataFrame(
+        [("a", None, 100), ("a", 7, 5000)], "k string, id long, lt long"
+    )
+    right = spark.createDataFrame([("a", 9, 101)], "k string, rid long, rt long")
+    out = rangejoin.range_join(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        lower=0, upper=10, how="left",
+    )
+    got = sorted([(r["id"], r["rid"]) for r in out.collect()],
+                 key=lambda p: (p[0] is None, p[0] or 0))
+    assert got == [(7, None), (None, 9)]
+
+
 def test_range_join_bucket_width_override(spark):
     left = _ev(spark, [("a", 1, 0), ("a", 2, 999)])
     right = _ev(spark, [("a", 9, 500)])
@@ -135,6 +165,30 @@ def test_bloom_semi_join_exact(spark):
     big = spark.range(5000).select((F.col("id") % 200).alias("k"), F.col("id").alias("v"))
     got = sorted(tuple(r) for r in bloom.bloom_semi_join(big, small, "k").collect())
     want = sorted(tuple(r) for r in big.join(small.distinct(), "k", "left_semi").collect())
+    assert got == want
+
+
+def test_bloom_unaligned_m_bits_no_false_negatives(spark):
+    # m_bits not divisible by 64 must round up so build and probe share
+    # one hash space (probe derives the modulus from len(words)*64)
+    from reactivedb_spark.operators import bloom
+
+    small = spark.range(300).select((F.col("id") * 7).alias("k"))
+    words = bloom.build_bloom(small, "k", m_bits=100)  # → 128 bits
+    assert len(words) == 2
+    hits = small.filter(bloom.bloom_might_contain(F.col("k"), words)).count()
+    assert hits == 300
+    got = sorted(
+        tuple(r)
+        for r in bloom.bloom_semi_join(
+            spark.range(2000).select(F.col("id").alias("k")), small, "k", m_bits=100
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.range(2000).select(F.col("id").alias("k"))
+        .join(small.distinct(), "k", "left_semi").collect()
+    )
     assert got == want
 
 
