@@ -51,14 +51,18 @@ def _warm_streaming(spark) -> None:
 
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
+    from reactivedb_spark.cache import cache_scope
 
     results: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
         t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
+        # cache_scope releases relations the operators pin for multi-branch
+        # reuse as soon as the query materializes; clearCache sweeps
+        # anything persisted outside pin() so successive timings stay
+        # independent (corpus_clean persists its survivor set)
+        with cache_scope():
+            _force(fn(spark, sf_dir))
         results[name] = round(time.perf_counter() - t0, 3)
-        # drop persisted relations a query may have cached so successive
-        # timings stay independent (corpus_clean persists its survivor set)
         spark.catalog.clearCache()
     return results
 

@@ -398,12 +398,31 @@ def decode_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def _png_gray_plane(payload: bytes):
+    """(gray_pixels, width, height) for a decodable PNG payload, else
+    None. Gray reduction: integer mean over channels (alpha included —
+    deterministic and cheap; a real pipeline would use luma weights)."""
+    if payload[:8] != PNG_MAGIC:
+        return None
+    try:
+        info = png_decode_bytes(payload)
+    except (ValueError, NotImplementedError):
+        return None
+    ch = _PNG_CHANNELS[info["color_type"]]
+    px = info["pixels"]
+    if ch != 1:
+        px = bytes(sum(px[i:i + ch]) // ch for i in range(0, len(px), ch))
+    return px, info["width"], info["height"]
+
+
 def resize(df: DataFrame, id_col: str, payload_col: str = "payload",
            target: int = 64) -> DataFrame:
-    """STUB resize: returns (id, payload) with the payload downsampled by
-    taking every k-th byte so the output is ≤ ``target``² bytes — a real
-    pipeline swaps in PIL/opencv behind the same mapInPandas shape.
-    Exercises binary-in/binary-out Arrow batching."""
+    """Resize to ≤ ``target``×``target``: for PNG payloads this is a REAL
+    image resize — decode (inflate + de-filter), grayscale-reduce,
+    nearest-neighbor sample the pixel GRID, re-encode as a valid PNG.
+    Non-PNG payloads keep the byte-subsample fallback (honest stub: the
+    JPEG/WebP codecs aren't in this container). Binary-in/binary-out
+    Arrow batching either way."""
     out_schema = T.StructType(
         [df.schema[id_col], T.StructField("payload", T.BinaryType())]
     )
@@ -415,19 +434,35 @@ def resize(df: DataFrame, id_col: str, payload_col: str = "payload",
                 continue
             outs = []
             for b in pdf[payload_col]:
-                b = b or b""
-                step = max(1, (len(b) + limit - 1) // limit)
-                outs.append(bytes(b[::step]))
+                b = bytes(b or b"")
+                plane = _png_gray_plane(b)
+                if plane is not None:
+                    px, w, h = plane
+                    tw, th = min(target, w), min(target, h)
+                    # nearest-neighbor: source index floor(i * src / dst)
+                    rows = bytearray()
+                    for y in range(th):
+                        sy = y * h // th
+                        base = sy * w
+                        rows += bytes(px[base + (x * w // tw)] for x in range(tw))
+                    outs.append(png_encode_bytes(bytes(rows), tw))
+                else:
+                    step = max(1, (len(b) + limit - 1) // limit)
+                    outs.append(bytes(b[::step]))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": outs})
 
+    _register_self_by_value()
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
 def extract_features(df: DataFrame, id_col: str, payload_col: str = "payload",
                      dim: int = 8) -> DataFrame:
-    """STUB feature extractor: deterministic ``dim``-float vector from byte
-    histograms (bucket means / 255) — the embedding-column producer shape;
-    a real deployment runs a vision/audio model per Arrow batch here."""
+    """Feature extractor: deterministic ``dim``-float vector of strided
+    bucket means / 255. For PNG payloads the buckets run over the REAL
+    DECODED grayscale pixels (inflate + de-filter + channel mean) — true
+    image-content features; other payloads fall back to the raw-byte
+    histogram (honest stub — a real deployment runs a vision/audio model
+    per Arrow batch behind this same signature)."""
     out_schema = T.StructType(
         [df.schema[id_col], T.StructField("features", T.ArrayType(T.FloatType()))]
     )
@@ -438,10 +473,12 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str = "payload",
                 continue
             feats = []
             for b in pdf[payload_col]:
-                b = b or b""
+                b = bytes(b or b"")
+                plane = _png_gray_plane(b)
+                data = plane[0] if plane is not None else b
                 buckets = [0.0] * dim
                 counts = [0] * dim
-                for i, byte in enumerate(b):
+                for i, byte in enumerate(data):
                     buckets[i % dim] += byte
                     counts[i % dim] += 1
                 feats.append(

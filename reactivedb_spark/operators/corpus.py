@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from reactivedb_spark import cache
 from reactivedb_spark.functions import text as textfns
 from reactivedb_spark.operators import dedup
 
@@ -50,12 +51,12 @@ def clean_corpus(
     # survivors are read by three downstream consumers (token relation,
     # pair verify, final anti-join): persist once instead of re-running
     # the gates + dedup scan per consumer
-    exact = gated.join(reps, id_col).persist()
+    exact = cache.pin(gated.join(reps, id_col))
     # near-dup removal among survivors: drop the larger id of any pair
     # above the threshold. ONE token relation feeds minhash→LSH and the
     # Jaccard verify (min() is duplicate-insensitive, so the distinct
     # relation serves both stages).
-    tok = dedup.tokens(exact, id_col, text_col, distinct=True).persist()
+    tok = cache.pin(dedup.tokens(exact, id_col, text_col, distinct=True))
     pairs = dedup.jaccard_pairs(
         exact, id_col, text_col, threshold=jaccard_threshold, tok=tok
     )

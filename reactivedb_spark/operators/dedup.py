@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from reactivedb_spark import cache
+
 MINHASH_K = 6  # number of hash functions
 LSH_BANDS = 3  # bands of size MINHASH_K / LSH_BANDS
 SIMHASH_BITS = 32  # one per md5 hex char
@@ -246,11 +248,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Returns (doc_a, doc_b, jaccard double) — values independent of the
     chosen strategy (both are exact set computations)."""
     if tok is None:
-        tok = tokens(df, id_col, text_col, distinct=True)
-    # tok feeds at least three branches (minhash signatures inside
-    # lsh_candidates, the vocab count, the per-doc sets) — persist so
-    # the tokenize+distinct shuffle runs once, not per branch
-    tok = tok.persist()
+        # tok feeds at least three branches (minhash signatures inside
+        # lsh_candidates, the vocab count, the per-doc sets) — pin so
+        # the tokenize+distinct shuffle runs once, not per branch. A
+        # caller-provided tok is NOT re-persisted: its cache lifecycle
+        # belongs to the caller (see cache.pin's ownership contract).
+        tok = cache.pin(tokens(df, id_col, text_col, distinct=True))
     cand = lsh_candidates(df, id_col, text_col, tok=tok, max_bucket=max_bucket)
     if vocab is None:
         # strategy pick needs the vocab size; callers that already know it
@@ -267,8 +270,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     hint = F.broadcast if broadcast_sets else (lambda d: d)
     if use_bitset:
         # both join sides (doc_a / doc_b) read the per-doc set relation:
-        # persist it so the token aggregation runs once, not per side
-        sets = _token_bitsets(tok, id_col, vocab).persist()
+        # pin it so the token aggregation runs once, not per side
+        sets = cache.pin(_token_bitsets(tok, id_col, vocab))
         sa = sets.select(F.col(id_col).alias("doc_a"), F.col("mask").alias("ma"))
         sb = sets.select(F.col(id_col).alias("doc_b"), F.col("mask").alias("mb"))
         inter = F.aggregate(
@@ -290,9 +293,9 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .withColumn("n_b", popcnt(F.col("mb")))
         )
     else:
-        sets = tok.groupBy(id_col).agg(
+        sets = cache.pin(tok.groupBy(id_col).agg(
             F.collect_set("token").alias("toks"), F.count("*").cast("long").alias("n_tok")
-        ).persist()
+        ))
         sa = sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"),
                          F.col("n_tok").alias("n_a"))
         sb = sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"),
@@ -355,9 +358,11 @@ def simhash_pairs(sig: DataFrame, id_col: str = "doc_id",
     the O(n²) cross join it replaces.
     """
     # the signature relation feeds three plan branches (distinct values,
-    # doc_a expansion, doc_b expansion): persist it or the whole upstream
-    # signature computation runs three times (the cosine_topk lesson)
-    sig = sig.persist()
+    # doc_a expansion, doc_b expansion): pin it or the whole upstream
+    # signature computation runs three times (the cosine_topk lesson).
+    # Pin a fresh projection, not the caller's frame — persisting the
+    # argument would mutate cache state the caller owns.
+    sig = cache.pin(sig.select("*"))
     n_bands = max_hamming + 1
     base, extra = divmod(bits, n_bands)
     sizes = [base + (1 if i < extra else 0) for i in range(n_bands)]

@@ -26,6 +26,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from reactivedb_spark import cache
+
 N_PLANES = 8
 _ELEM_DEC = "decimal(12,8)"
 
@@ -90,7 +92,7 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10)
     the corpus dot-product side), so it is persisted — without it the
     scan + posexplode would run once per branch. The query's own norm is
     folded into the q branch (Σ ql²) rather than being a third scan."""
-    elem = exploded(df, id_col, vec_col).persist()
+    elem = cache.pin(exploded(df, id_col, vec_col))
     q = elem.filter(F.col(id_col) == F.lit(query_id)).select(
         F.col("j"), F.col("xl").alias("ql")
     )
@@ -274,7 +276,7 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     the earlier (pair × dimension) explode-join, whose intermediate was
     |pairs|·dims rows through two shuffles. Buckets are persisted: the
     candidate self-join reads them twice."""
-    buckets = lsh_buckets(df, id_col, vec_col).persist()
+    buckets = cache.pin(lsh_buckets(df, id_col, vec_col))
     a = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
     cand = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")

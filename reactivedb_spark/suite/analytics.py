@@ -15,6 +15,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from reactivedb_spark import cache
 from reactivedb_spark.engine import Engine
 from reactivedb_spark.operators import rangejoin, sketch
 from reactivedb_spark.sources.readers import read_table
@@ -174,29 +175,46 @@ FROM orders GROUP BY o_orderstatus, o_orderpriority
 
 # -- unigram LM document scoring ----------------------------------------------
 
-def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+VOCAB_BROADCAST_LIMIT = 32 << 20  # bytes of estimated vocabulary relation
+
+
+def q_unigram_logprob(spark: SparkSession, sf: str,
+                      broadcast_vocab: bool | None = None) -> DataFrame:
     """Corpus-trained unigram language-model score per document:
     Σ ln p(token) over the doc's tokens (with multiplicity), the
     classic LM-quality signal for corpus filtering. Plan: one token
-    count aggregation (tiny — the vocabulary), broadcast-joined back to
-    the token stream, one per-doc sum. Determinism: ln() may differ by
+    count aggregation (the vocabulary) joined back to the token stream,
+    one per-doc sum. The vocabulary is corpus-derived — on web-scale
+    text distinct tokens run to 10⁸+ — so it is broadcast only when its
+    estimated size fits ``VOCAB_BROADCAST_LIMIT`` (same gate shape as
+    ``dedup.jaccard_pairs``); above that the join shuffles on ``token``,
+    which both sides already produce. Determinism: ln() may differ by
     1 ulp across libms, so each term is cast to DECIMAL(28,14) (pinning
     ~1e-14 drift) before the exact decimal sum; the final round(6)
     absorbs what remains."""
-    tok = (
+    tok = cache.pin(
         load(spark, sf, "documents")
         .select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token"))
         .filter(F.col("token") != "")
-    ).persist()
+    )
     counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("n_tok"))
-    total = tok.count()
+    # one job over the persisted tokens yields both gate inputs
+    stats = tok.agg(
+        F.count("*").alias("n_total"),
+        F.count_distinct("token").alias("n_vocab"),
+    ).collect()[0]
+    total, n_vocab = int(stats["n_total"]), int(stats["n_vocab"])
+    if broadcast_vocab is None:
+        # ~64 B/row upper estimate: token string + decimal + row overhead
+        broadcast_vocab = n_vocab * 64 <= VOCAB_BROADCAST_LIMIT
+    hint = F.broadcast if broadcast_vocab else (lambda d: d)
     probs = counts.select(
         "token",
         F.log(F.col("n_tok").cast("double") / F.lit(float(total)))
         .cast("decimal(28,14)").alias("lp"),
     )
     return (
-        tok.join(F.broadcast(probs), "token")
+        tok.join(hint(probs), "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -698,7 +716,55 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+def q_multimodal_pixel_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL pixel-content features end-to-end: text bytes → genuine
+    grayscale PNG (stdlib encoder) → REAL decode (CRC walk, inflate,
+    de-filter) → strided bucket means over the DECODED pixel plane
+    (functions/multimodal.py:extract_features, PNG path). The encoder
+    zero-pads the last row, so the pixel count is 16·height and every
+    bucket sees exactly n_pix/8 samples — the oracle recomputes the
+    identical means from the source text with explicit zero padding; a
+    decoder bug (filter, inflate, geometry) shifts the means and breaks
+    the match. Output exploded long-form (doc_id, j, feat): scalar
+    columns hash-compare robustly across engines."""
+    d = load(spark, sf, "documents")
+    from reactivedb_spark.functions import multimodal
+
+    pay = multimodal.encode_png(d, "doc_id", "text", width=16)
+    feats = multimodal.extract_features(pay, "doc_id")
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("j", "feat")
+    ).select(
+        "doc_id",
+        F.col("j").cast("long").alias("j"),
+        F.col("feat").cast("double").alias("feat"),
+    )
+
+
+SQL_MULTIMODAL_PIXEL_FEATURES = """
+WITH dims AS (
+  SELECT doc_id, length(text) AS len,
+         16 * greatest((length(text) + 15) // 16, 1) AS n_pix
+  FROM documents),
+series AS (SELECT g.pos FROM generate_series(0, 4095) g(pos)),
+pix AS (
+  -- fixture text is pure ASCII: char codes == UTF-8 payload bytes;
+  -- positions beyond len are the encoder's zero row-padding
+  SELECT d.doc_id, s.pos % 8 AS j,
+         CASE WHEN s.pos < d.len
+              THEN ascii(substr(doc.text, CAST(s.pos + 1 AS INT), 1))
+              ELSE 0 END AS code
+  FROM dims d JOIN documents doc USING (doc_id)
+  CROSS JOIN series s WHERE s.pos < d.n_pix)
+SELECT doc_id, CAST(j AS BIGINT) AS j,
+       CAST(CAST((CAST(SUM(code) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 255.0
+                 AS REAL) AS DOUBLE) AS feat
+FROM pix GROUP BY doc_id, j
+"""
+
+
 QUERIES = {
+    "multimodal_pixel_features": q_multimodal_pixel_features,
     "hll_users": q_hll_users,
     "streaming_dedup": q_streaming_dedup,
     "streaming_stream_join": q_streaming_stream_join,
@@ -719,6 +785,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_pixel_features": SQL_MULTIMODAL_PIXEL_FEATURES,
     "hll_users": SQL_HLL_USERS,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_stream_join": SQL_STREAMING_STREAM_JOIN,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from reactivedb_spark import cache
 from reactivedb_spark.functions import multimodal, text as textfns
 from reactivedb_spark.functions.text import LANG_MARKERS, LANG_ORDER
 from reactivedb_spark.operators import dedup, similarity
@@ -291,7 +292,7 @@ def q_multimodal_embed(spark: SparkSession, sf: str) -> DataFrame:
     d = multimodal.with_payload(load(spark, sf, "documents"), "text")
     # persist: the cosine's query/corpus/norm branches would otherwise
     # re-run the Python feature extractor once each
-    feats = multimodal.extract_features(d, "doc_id").persist()
+    feats = cache.pin(multimodal.extract_features(d, "doc_id"))
     return similarity.cosine_topk(feats, "doc_id", "features", 0, k=10)
 
 

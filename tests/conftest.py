@@ -11,3 +11,10 @@ def spark():
 @pytest.fixture()
 def workspace(tmp_path):
     return str(tmp_path / "ws")
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")

@@ -1,0 +1,24 @@
+"""Broadcast size-gates: no corpus-derived relation may be broadcast
+unconditionally. (The dedup.jaccard_pairs gate is covered in
+test_dedup_ops.py; this file covers the remaining gated sites.)"""
+
+from reactivedb_spark.suite.analytics import q_unigram_logprob
+
+
+def test_unigram_vocab_gate_non_broadcast_matches(spark, sf_dir):
+    """Above the gate the vocabulary join must be a shuffle join (the
+    vocab is corpus-sized at web scale) and values must be identical to
+    the broadcast plan. autoBroadcastJoinThreshold is disabled so
+    Catalyst cannot silently re-broadcast from stats and mask the gate."""
+    want = {r["doc_id"]: (r["n_tokens"], r["logprob"])
+            for r in q_unigram_logprob(spark, sf_dir, broadcast_vocab=True).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = q_unigram_logprob(spark, sf_dir, broadcast_vocab=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        got = {r["doc_id"]: (r["n_tokens"], r["logprob"]) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want and len(want) > 0

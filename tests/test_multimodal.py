@@ -178,3 +178,46 @@ def test_wav_decoder_word_alignment():
     payload = base[:12] + junk + base[12:]
     info = wav_decode_bytes(payload)
     assert info["n_samples"] == 2
+
+
+def test_pixel_features_use_decoded_pixels(spark):
+    """PNG payloads: features come from the DECODED pixel plane (with the
+    encoder's zero row-padding), not the encoded bytes."""
+    from reactivedb_spark.functions import multimodal as mm
+
+    text = "abcdefghij"  # 10 bytes → width 16, height 1, 6 zero-pad pixels
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    pay = mm.encode_png(df, "doc_id", "text", width=16)
+    got = mm.extract_features(pay, "doc_id").collect()[0]["features"]
+    pixels = text.encode().ljust(16, b"\x00")
+    want = []
+    for j in range(8):
+        sel = [pixels[i] for i in range(16) if i % 8 == j]
+        want.append(float(sum(sel) / len(sel) / 255.0))
+    import numpy as np
+
+    assert np.allclose(got, np.array(want, dtype="float32"), rtol=0, atol=0)
+
+
+def test_resize_png_real_grid_downsample(spark):
+    """PNG resize: nearest-neighbor over the decoded pixel GRID, output a
+    valid PNG with the target geometry."""
+    from reactivedb_spark.functions import multimodal as mm
+
+    # 4x4 image with distinct values 0..15
+    px = bytes(range(16))
+    payload = mm.png_encode_bytes(px, 4)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    out = bytes(mm.resize(df, "doc_id", target=2).collect()[0]["payload"])
+    info = mm.png_decode_bytes(out)
+    assert (info["width"], info["height"]) == (2, 2)
+    # nearest-neighbor picks (0,0),(0,2),(2,0),(2,2) → values 0,2,8,10
+    assert list(info["pixels"]) == [0, 2, 8, 10]
+
+
+def test_resize_non_png_falls_back_to_byte_subsample(spark):
+    from reactivedb_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame([(1, bytes(range(256)) * 64)], "doc_id long, payload binary")
+    out = bytes(mm.resize(df, "doc_id", target=8).collect()[0]["payload"])
+    assert len(out) <= 64 and out[0] == 0
