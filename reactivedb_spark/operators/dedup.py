@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from reactivedb_spark import cache
+from reactivedb_spark import cache, stats
 
 MINHASH_K = 6  # number of hash functions
 LSH_BANDS = 3  # bands of size MINHASH_K / LSH_BANDS
@@ -43,19 +43,41 @@ def normalize_text(col):
     return F.lower(F.trim(col))
 
 
+def _estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Scan-partition estimate from the source files' total size vs
+    ``spark.sql.files.maxPartitionBytes`` — no job, no plan compile.
+    Returns None when the source isn't local files (cluster storage,
+    non-file sources): callers fall back to the df.rdd probe there."""
+    total = stats.scan_size_bytes(df)
+    if total is None:
+        return None
+    try:
+        mpb = stats.parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:
+        mpb = 128 << 20
+    return max(1, -(-total // max(mpb, 1)))
+
+
 def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Spread a narrow SCAN across all cores before a heavy expansion
     (token explode, per-token hashing). A small corpus arrives as one
     parquet file = ONE scan partition, which would pin the entire
     downstream pipeline to a single task.
 
-    Apply this to raw table scans only: the partition probe goes through
-    ``df.rdd``, which is cheap for a scan but forces a full non-AQE plan
-    compile (and can cost tens of seconds) on complex/cached plans — those
-    already get their parallelism from their own shuffles. At cluster
-    scale a big input arrives already-split and this is a no-op."""
+    Apply this to raw table scans only. The partition count comes from a
+    static file-size estimate when the source is stat-able local files
+    (free — no job, no plan compile); only otherwise does it fall back
+    to the ``df.rdd`` probe, which forces a non-AQE plan compile (cheap
+    on a scan, tens of seconds on complex plans — those already get
+    their parallelism from their own shuffles). At cluster scale a big
+    input arrives already-split and this is a no-op."""
     p = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
+    est = _estimate_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est >= p:
         return df
     return df.repartition(p)
 
@@ -247,13 +269,18 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Returns (doc_a, doc_b, jaccard double) — values independent of the
     chosen strategy (both are exact set computations)."""
+    # tok feeds at least three branches (minhash signatures inside
+    # lsh_candidates, the vocab count, the per-doc sets) — pin so the
+    # tokenize+distinct shuffle runs once, not per branch. An
+    # already-persisted caller tok is left alone (its cache lifecycle
+    # belongs to the caller, e.g. corpus_clean); an unpersisted caller
+    # tok gets a FRESH pinned projection so the caller's own frame's
+    # cache state is never mutated (e.g. ngram_jaccard_pairs' shingles,
+    # which would otherwise recompute per branch — an 8× slowdown).
     if tok is None:
-        # tok feeds at least three branches (minhash signatures inside
-        # lsh_candidates, the vocab count, the per-doc sets) — pin so
-        # the tokenize+distinct shuffle runs once, not per branch. A
-        # caller-provided tok is NOT re-persisted: its cache lifecycle
-        # belongs to the caller (see cache.pin's ownership contract).
         tok = cache.pin(tokens(df, id_col, text_col, distinct=True))
+    elif not (tok.storageLevel.useMemory or tok.storageLevel.useDisk):
+        tok = cache.pin(tok.select("*"))
     cand = lsh_candidates(df, id_col, text_col, tok=tok, max_bucket=max_bucket)
     if vocab is None:
         # strategy pick needs the vocab size; callers that already know it

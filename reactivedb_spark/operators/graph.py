@@ -24,8 +24,13 @@ def connected_components(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
                          max_iter: int = 50) -> DataFrame:
     """(node, cluster) for every node in the undirected edge list;
     ``cluster`` = min node id in the component (deterministic labels)."""
-    sym = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).unionByName(
-        edges.select(F.col(b).alias("s"), F.col(a).alias("d"))
+    # checkpoint the one-sided projection FIRST: the union's two branches
+    # would otherwise each recompute the upstream edge derivation (for
+    # dedup graphs that is the whole LSH + Jaccard-verify pipeline — 2×
+    # the most expensive relation in the query)
+    e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
+    sym = e0.unionByName(
+        e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).localCheckpoint()
     labels = (
         sym.select(F.col("s").alias("node")).distinct()
@@ -80,9 +85,11 @@ def pagerank(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
     rounds as chained CTEs. Symmetrized graphs have no dangling nodes
     (every node has degree ≥ 1), so no dangling-mass term is needed.
     """
+    # one-sided projection checkpointed first — see connected_components:
+    # the union's branches must not recompute the edge derivation twice
+    e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
     sym = (
-        edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
-        .unionByName(edges.select(F.col(b).alias("s"), F.col(a).alias("d")))
+        e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .localCheckpoint()
     )

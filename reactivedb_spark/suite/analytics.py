@@ -15,7 +15,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from reactivedb_spark import cache
+from reactivedb_spark import cache, stats
 from reactivedb_spark.engine import Engine
 from reactivedb_spark.operators import rangejoin, sketch
 from reactivedb_spark.sources.readers import read_table
@@ -520,10 +520,11 @@ def q_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     o = load(spark, sf, "orders")
+    # customer grows with the corpus — size-gated hint, not unconditional
     c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(stats.broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .withColumn("decile", F.ntile(10).over(w))
         .groupBy("c_mktsegment", "decile")
         .agg(
@@ -763,8 +764,54 @@ FROM pix GROUP BY doc_id, j
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image resize end-to-end: text bytes → grayscale PNG (width
+    16) → decode → nearest-neighbor grid downsample to ≤8×8 → re-encode
+    → decode again. The oracle recomputes the exact nearest-neighbor
+    pixel picks (source index ``(y·h)//th·16 + (x·16)//8``) from the
+    source text with zero padding — any resize-geometry or resampling
+    bug shifts ``pix_sum`` or the reported dimensions and breaks the
+    match."""
+    from reactivedb_spark.functions import multimodal
+
+    d = load(spark, sf, "documents")
+    pay = multimodal.encode_png(d, "doc_id", "text", width=16)
+    rez = multimodal.resize(pay, "doc_id", target=8)
+    return multimodal.decode_png(rez, "doc_id")
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH dims AS (
+  SELECT doc_id, length(text) AS len,
+         greatest((length(text) + 15) // 16, 1) AS h
+  FROM documents),
+d2 AS (SELECT doc_id, len, h, least(8, h) AS th FROM dims),
+grid AS (
+  SELECT gy.y, gx.x
+  FROM generate_series(0, 7) gy(y) CROSS JOIN generate_series(0, 7) gx(x)),
+pix AS (
+  -- nearest-neighbor source position: row (y*h)//th, column (x*16)//8 = 2x;
+  -- positions beyond len are the encoder's zero padding
+  SELECT d.doc_id, d.th,
+         CASE WHEN ((g.y * d.h) // d.th) * 16 + 2 * g.x < d.len
+              THEN ascii(substr(t.text,
+                   CAST(((g.y * d.h) // d.th) * 16 + 2 * g.x + 1 AS INT), 1))
+              ELSE 0 END AS code
+  FROM d2 d JOIN documents t USING (doc_id) CROSS JOIN grid g
+  WHERE g.y < d.th)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(any_value(th) AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(0 AS BIGINT) AS color_type,
+       CAST(SUM(code) AS BIGINT) AS pix_sum
+FROM pix GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_pixel_features": q_multimodal_pixel_features,
+    "multimodal_resize": q_multimodal_resize,
     "hll_users": q_hll_users,
     "streaming_dedup": q_streaming_dedup,
     "streaming_stream_join": q_streaming_stream_join,
@@ -786,6 +833,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_pixel_features": SQL_MULTIMODAL_PIXEL_FEATURES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "hll_users": SQL_HLL_USERS,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_stream_join": SQL_STREAMING_STREAM_JOIN,

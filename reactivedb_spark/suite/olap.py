@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from reactivedb_spark import stats
 from reactivedb_spark.suite._common import load
 
 
@@ -60,10 +61,11 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
-    """3-way join rollup: lineitem ⋈ orders ⋈ customer ⋈ nation. The
-    dimension sides are explicitly broadcast — at any scale factor nation
-    is tiny and customer ≪ lineitem, so Catalyst plans two broadcast hash
-    joins and one shuffle (the final groupBy)."""
+    """3-way join rollup: lineitem ⋈ orders ⋈ customer ⋈ nation. nation
+    is a CONSTANT dimension (25 rows at every scale factor) → always
+    broadcast; customer GROWS with the corpus (15 B rows at 100 TB) →
+    size-gated hint (stats.broadcast_if_small), above the gate it
+    shuffle-joins and AQE decides from runtime stats."""
     li = load(spark, sf, "lineitem").select(
         "l_orderkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)").alias("rev"),
@@ -73,7 +75,7 @@ def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     nation = load(spark, sf, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(stats.broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(

@@ -22,3 +22,21 @@ def test_unigram_vocab_gate_non_broadcast_matches(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == want and len(want) > 0
+
+
+def test_broadcast_if_small_gates_on_file_size(spark, sf_dir):
+    from reactivedb_spark import stats
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    hinted = stats.broadcast_if_small(c)
+    # small fixture → hint applied (plan object differs from input)
+    assert hinted._jdf is not c._jdf
+    # a 1-byte limit → too big → returned unhinted
+    assert stats.broadcast_if_small(c, limit=1)._jdf is c._jdf
+
+
+def test_broadcast_if_small_unknown_source_not_hinted(spark):
+    from reactivedb_spark import stats
+
+    df = spark.range(10)  # no backing files
+    assert stats.broadcast_if_small(df)._jdf is df._jdf
