@@ -10,9 +10,14 @@ correctness (and false negatives are impossible).
 
 Spark has ``spark.sql.optimizer.runtime.bloomFilter.enabled`` for this
 pattern inside Catalyst; this operator is the explicit, engine-portable
-version: bit positions come from the same md5→int64 trick as the
-dedup/sketch families, so any engine (or an external writer) can build
-or probe the same filter.
+version: bit positions are seeded XXH64 hashes (the public xxHash
+algorithm — Spark's ``xxhash64``, and standard implementations in
+DuckDB/ClickHouse/etc.), so any engine or external writer can build or
+probe the same filter. xxhash64 is JVM-native and an order of magnitude
+cheaper per probe than the md5-substring-conv chain the dedup/sketch
+families use — and unlike there, nothing here needs md5's cross-engine
+ORACLE reproducibility: the exact semi-join makes results independent
+of the hash function.
 
 Build side is distributed: each key explodes to its k bit positions,
 one ``bit_or`` aggregation packs them into ``m/64`` longs, and only
@@ -40,11 +45,11 @@ def _round_bits(m_bits: int) -> int:
 
 
 def _probe_positions(col: Column, k: int, m_bits: int) -> list[Column]:
-    """k bit positions per value: independent seeded md5 slices, each
-    reduced mod m_bits. Portable: substr + conv + mod."""
+    """k bit positions per value: independent seed-prefixed xxhash64
+    values, each reduced to [0, m_bits) with a sign-safe mod (xxhash64
+    is signed int64)."""
     return [
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"b{i}_"), col.cast("string"))), 1, 15), 16, 10)
-        .cast("long") % m_bits
+        F.pmod(F.xxhash64(F.lit(i), col.cast("string")), F.lit(m_bits)).cast("long")
         for i in range(1, k + 1)
     ]
 

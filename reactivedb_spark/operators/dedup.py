@@ -208,6 +208,10 @@ def _token_bitsets(tok: DataFrame, id_col: str, vocab: int) -> DataFrame:
     dictionary (deterministic: ids assigned in token sort order).
     Set ops become bitwise: |A∩B| = Σ bit_count(a&b)."""
     n_buckets = (vocab + 63) // 64
+    # Window.orderBy without partitioning = a single-partition sort of
+    # the token dictionary. Bounded by construction: this path only runs
+    # when vocab ≤ BITSET_VOCAB_LIMIT (4096 rows), so the "sort
+    # everything on one task" anti-pattern never sees corpus-sized data.
     w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("token")
     dict_df = (
         tok.select("token").distinct()

@@ -627,7 +627,7 @@ FROM clicks c ASOF LEFT JOIN purchases p
 
 def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-pruned semi join (operators/bloom.py): lineitems of
-    high-value orders. The 4 KiB md5-bit filter built from the small
+    high-value orders. The 4 KiB xxhash64-bit filter built from the small
     side prunes the big scan map-side before the shuffle; the exact
     semi-join afterward removes false positives, so the oracle is the
     plain semi-join — the filter must be invisible in the result."""
