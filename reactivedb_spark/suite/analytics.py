@@ -19,7 +19,7 @@ from reactivedb_spark import cache, stats
 from reactivedb_spark.engine import Engine
 from reactivedb_spark.operators import rangejoin, sketch
 from reactivedb_spark.sources.readers import read_table
-from reactivedb_spark.suite._common import load
+from reactivedb_spark.suite._common import load, streaming_shuffle
 
 NS_PER_WEEK = 7 * 24 * 3600 * 1_000_000_000
 NS_PER_DAY = 24 * 3600 * 1_000_000_000
@@ -363,19 +363,20 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     import uuid
 
     name = "dedup_" + uuid.uuid4().hex[:8]
-    q = (
-        stream_parquet_dir(spark, src, doubled.schema)
-        .dropDuplicates(["event_id"])
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with streaming_shuffle(spark):
+        q = (
+            stream_parquet_dir(spark, src, doubled.schema)
+            .dropDuplicates(["event_id"])
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -427,17 +428,18 @@ def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "view_id")
     name = "ssj_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with streaming_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -481,17 +483,18 @@ def q_streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
         stream_parquet_dir(spark, src, ev.schema), "user_id", "vl"
     )
     name = "sst_" + uuid.uuid4().hex[:8]
-    q = (
-        totals.writeStream.format("memory").queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with streaming_shuffle(spark):
+        q = (
+            totals.writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")

@@ -15,7 +15,7 @@ from reactivedb_spark import cache
 from reactivedb_spark.functions import multimodal, text as textfns
 from reactivedb_spark.functions.text import LANG_MARKERS, LANG_ORDER
 from reactivedb_spark.operators import dedup, similarity
-from reactivedb_spark.suite._common import load
+from reactivedb_spark.suite._common import load, streaming_shuffle
 
 EMB_DIM = 64
 HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
@@ -1052,6 +1052,10 @@ def q_streaming_aggregate(spark: SparkSession, sf: str) -> DataFrame:
     # one write job → 3 round-robin files → 3 micro-batches (batch
     # composition doesn't matter: the result must be batch-invariant)
     ev.repartition(3).write.mode("append").parquet(src)
+    # NOT wrapped in streaming_shuffle: this replay is compute-bound
+    # (foreachBatch runs full engine commits over 50k-row batches), so
+    # narrowing the shuffle hurts; the state-store-bound replays
+    # (dedup/join/sessionize/stateful) are the ones that benefit.
     q = stream_into(eng, "events", stream_parquet_dir(spark, src, ev.schema),
                     checkpoint_dir=os.path.join(root, "ckpt"),
                     trigger_once=True)  # availableNow: drain and stop
@@ -1113,17 +1117,18 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.session_window("tstamp", "30 minutes"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    q = (
-        sessions.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with streaming_shuffle(spark):
+        q = (
+            sessions.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name).select(
         "user_id",
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
