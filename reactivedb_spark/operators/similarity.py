@@ -304,3 +304,36 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             _cosine(dot, F.col("na2"), F.col("nb2")).alias("cos_sim"),
         )
     )
+
+
+def knn_join(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+    """Approximate k-NN self-join: for EVERY vector, its top-``k``
+    neighbors by cosine among vectors sharing its hyperplane-LSH bucket
+    — the all-pairs scale path of ANN (vs ``cosine_topk``'s one-query
+    form). Returns (doc_a, doc_b, rank, cos_sim), rank 1-based by
+    (cos_sim desc, doc_b asc) — a deterministic total order.
+
+    Plan: the bucketed candidate pairs + array-native exact verify come
+    from ``cosine_pairs`` (one bucket-keyed shuffle, one row per pair);
+    the pair relation is pinned before symmetrization so the verify work
+    runs ONCE, not once per union branch (the connected_components
+    lesson); the per-vector top-k is a keyed window — one shuffle on
+    doc_a, no driver-side state. Vectors whose bucket holds no other
+    vector yield no rows (approximate-by-design: LSH recall, not a
+    correctness gap — the oracle applies the same candidate rule)."""
+    pairs = cache.pin(cosine_pairs(df, id_col, vec_col))
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "cos_sim",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_a").orderBy(F.col("cos_sim").desc(), F.col("doc_b"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_a", "doc_b", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )

@@ -156,3 +156,85 @@ FROM (
            AS est_raw
   FROM est)
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation / heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_pos(col: Column, i: int, width: int) -> Column:
+    """Row-``i`` cell position: the same portable md5→int64 trick as the
+    HLL/dedup families, seeded per row, reduced mod width."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"c{i}_"), col.cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long") % width
+    )
+
+
+def cms_sketch(df: DataFrame, value_col: str,
+               depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch of the value stream (WITH multiplicity):
+    (row, pos, cnt) cells, at most ``depth × width`` rows total.
+
+    One narrow explode (depth structs per value) and one partial-
+    aggregable groupBy — map-side combine collapses each partition to
+    ≤ d·w cells before the shuffle, so a frequency summary of billions
+    of rows travels as a few thousand longs. Cells are MERGEABLE by
+    (row, pos) sum: union two sketch tables and re-sum to combine
+    corpora or engines (same merge algebra as the HLL register table).
+    """
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            _cms_pos(F.col(value_col), i, width).alias("pos"),
+        )
+        for i in range(1, depth + 1)
+    ])
+    return (
+        df.select(F.explode(rows).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame, item_col: str,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(item, est): the classic min-over-rows point estimate for each
+    item — an overestimate-only bound (est ≥ true count, within εN with
+    probability 1-δ for d=ln(1/δ), w=e/ε).
+
+    The sketch side is broadcast: bounded by construction at d·w cells
+    (a few KB) regardless of corpus size, so the estimate pass is
+    map-side against the item stream — no corpus-sized shuffle."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     _cms_pos(F.col(item_col), i, width).alias("pos"))
+            for i in range(1, depth + 1)
+        ])).alias("c"),
+    ).select(item_col, F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    joined = probes.join(F.broadcast(sketch), ["row", "pos"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def cms_topk(df: DataFrame, value_col: str, k: int = 20,
+             depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Heavy hitters: estimated counts of the distinct values, top-k by
+    (est desc, value asc) — deterministic total order. The candidate set
+    here is the distinct value relation; a production pipeline at 100 TB
+    feeds a pre-filtered candidate stream instead (the sketch itself
+    never stores values, which is the point)."""
+    sk = cms_sketch(df, value_col, depth, width)
+    items = df.select(value_col).distinct()
+    est = cms_estimate(sk, items, value_col, depth, width)
+    return est.orderBy(F.col("est").desc(), F.col(value_col)).limit(k)

@@ -812,9 +812,106 @@ FROM pix GROUP BY doc_id
 """
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketch.py): token
+    frequencies summarized into a 4×1024-cell sketch (one partial-
+    aggregable groupBy — the whole corpus travels as ≤4096 longs), then
+    the min-over-rows point estimate for each distinct token, top-20 by
+    (est desc, token). The oracle replays the identical md5 cell
+    algebra, so every overestimate collision must reproduce exactly —
+    a hash, width, or merge bug shifts a cell and breaks the match."""
+    from reactivedb_spark.operators.sketch import cms_topk
+
+    tok = (
+        load(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return cms_topk(tok, "token", k=20)
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH tok AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+    FROM documents) WHERE token <> ''),
+cells AS (
+  SELECT g.i AS row,
+         ('0x' || substr(md5('c' || g.i || '_' || token), 1, 15))::BIGINT % 1024 AS pos,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN generate_series(1, 4) g(i)
+  GROUP BY 1, 2),
+items AS (SELECT DISTINCT token FROM tok),
+probes AS (
+  SELECT token, g.i AS row,
+         ('0x' || substr(md5('c' || g.i || '_' || token), 1, 15))::BIGINT % 1024 AS pos
+  FROM items CROSS JOIN generate_series(1, 4) g(i)),
+est AS (
+  SELECT p.token, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM probes p LEFT JOIN cells c USING (row, pos)
+  GROUP BY p.token)
+SELECT token, CAST(est AS BIGINT) AS est
+FROM est ORDER BY est DESC, token LIMIT 20
+"""
+
+
+def q_ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate k-NN self-join (operators/similarity.py:knn_join):
+    every vector's top-5 cosine neighbors among its LSH bucket-mates —
+    the all-pairs ANN operator (vs the one-query ``similarity_topk``).
+    The oracle replays the identical bucket/candidate/fixed-point-dot
+    algebra and the same (cos_sim desc, doc_b) rank order."""
+    from reactivedb_spark.operators import dedup
+    from reactivedb_spark.operators.similarity import knn_join
+
+    return knn_join(
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding", k=5
+    )
+
+
+def _sql_ann_knn_join() -> str:
+    from reactivedb_spark.suite import scale as _scale
+
+    return (
+        "WITH " + _scale._ELEM_CTE + ", " + _scale._BUCKETS_CTE + """,
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+n2 AS (SELECT vec_id, SUM(xl * xl) AS n2 FROM elem GROUP BY vec_id),
+dotp AS (
+  SELECT c.doc_a, c.doc_b, SUM(ea.xl * eb.xl) AS dot
+  FROM cand c
+  JOIN elem ea ON ea.vec_id = c.doc_a
+  JOIN elem eb ON eb.vec_id = c.doc_b AND eb.j = ea.j
+  GROUP BY c.doc_a, c.doc_b),
+pairs AS (
+  SELECT d.doc_a, d.doc_b,
+         round((CAST(d.dot AS DOUBLE) / 1e16)
+               / (sqrt(CAST(na.n2 AS DOUBLE) / 1e16)
+                  * sqrt(CAST(nb.n2 AS DOUBLE) / 1e16)), 9) AS cos_sim
+  FROM dotp d
+  JOIN n2 na ON na.vec_id = d.doc_a
+  JOIN n2 nb ON nb.vec_id = d.doc_b),
+sym AS (
+  SELECT doc_a, doc_b, cos_sim FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b, cos_sim FROM pairs),
+ranked AS (
+  SELECT doc_a, doc_b, cos_sim,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY cos_sim DESC, doc_b) AS rnk
+  FROM sym)
+SELECT doc_a, doc_b, CAST(rnk AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rnk <= 5
+"""
+    )
+
+
 QUERIES = {
     "multimodal_pixel_features": q_multimodal_pixel_features,
     "multimodal_resize": q_multimodal_resize,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "ann_knn_join": q_ann_knn_join,
     "hll_users": q_hll_users,
     "streaming_dedup": q_streaming_dedup,
     "streaming_stream_join": q_streaming_stream_join,
@@ -837,6 +934,8 @@ QUERIES = {
 ORACLES = {
     "multimodal_pixel_features": SQL_MULTIMODAL_PIXEL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "ann_knn_join": _sql_ann_knn_join(),
     "hll_users": SQL_HLL_USERS,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_stream_join": SQL_STREAMING_STREAM_JOIN,

@@ -200,3 +200,65 @@ def test_bloom_prunes_most_nonmembers(spark):
     words = bloom.build_bloom(small, "k")  # 32768 bits, 100 keys
     fp = probe.filter(bloom.bloom_might_contain(F.col("k"), words)).count()
     assert fp < 100  # < 1% false positives at this density
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS point estimates are ≥ the true count, exact when no collision."""
+    from reactivedb_spark.operators import sketch
+
+    rows = [("a",)] * 50 + [("b",)] * 10 + [(f"x{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = sketch.cms_sketch(df, "v")
+    est = {r["v"]: r["est"]
+           for r in sketch.cms_estimate(sk, df.select("v").distinct(), "v").collect()}
+    true = {"a": 50, "b": 10, **{f"x{i}": 1 for i in range(200)}}
+    assert all(est[v] >= c for v, c in true.items())
+    # heavy values are found regardless of collisions on the tail
+    top = sketch.cms_topk(df, "v", k=2).collect()
+    assert [r["v"] for r in top] == ["a", "b"]
+
+
+def test_cms_cells_merge_by_sum(spark):
+    """Sketch of a union == (row,pos)-summed union of sketches."""
+    from pyspark.sql import functions as F
+
+    from reactivedb_spark.operators import sketch
+
+    left = spark.range(500).select(F.concat(F.lit("t"), (F.col("id") % 37)).alias("v"))
+    right = spark.range(300).select(F.concat(F.lit("t"), (F.col("id") % 11)).alias("v"))
+    direct = sketch.cms_sketch(left.unionAll(right), "v")
+    merged = (
+        sketch.cms_sketch(left, "v").unionByName(sketch.cms_sketch(right, "v"))
+        .groupBy("row", "pos").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_knn_join_matches_bruteforce_within_buckets(spark):
+    """knn_join == per-vector top-k of the bucket-restricted brute force."""
+    import itertools
+    import math
+
+    from reactivedb_spark.operators import similarity
+
+    rows = [(i, [math.sin(i * 1.3 + d) for d in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["doc_a"], r["rank"]): r["doc_b"]
+           for r in similarity.knn_join(df, "vec_id", "embedding", k=3).collect()}
+
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in similarity.lsh_buckets(df, "vec_id", "embedding").collect()}
+    pairs = {}
+    for r in similarity.cosine_pairs(df, "vec_id", "embedding").collect():
+        pairs[(r["doc_a"], r["doc_b"])] = r["cos_sim"]
+        pairs[(r["doc_b"], r["doc_a"])] = r["cos_sim"]
+    want = {}
+    for a, b in itertools.permutations(buckets, 2):
+        if buckets[a] == buckets[b]:
+            cands = sorted(
+                ((-pairs[(a, x)], x) for x in buckets
+                 if x != a and buckets[x] == buckets[a]),
+            )
+            for rank, (_, x) in enumerate(cands[:3], start=1):
+                want[(a, rank)] = x
+    assert got == want and len(got) > 0
