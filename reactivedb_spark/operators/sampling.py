@@ -44,3 +44,22 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    rate: float) -> DataFrame:
+    """Weighted Bernoulli (probability-proportional-to-size) sample:
+    each row is kept independently with probability
+    ``min(1, rate × weight)`` — the importance-sampling step of a
+    training-mix pipeline (oversample high-quality/high-value rows at a
+    controlled budget; E[sample] = rate × Σ min-capped weights).
+
+    Deterministic: the uniform draw is md5(id) → 60-bit integer / 2⁶⁰,
+    so every engine and re-run keeps the same rows; the comparison uses
+    only IEEE multiply/divide/compare (no libm), so the pick is
+    bit-identical cross-engine — unlike exp/pow-based reservoir
+    priorities (Efraimidis–Spirakis), whose libm rounding may diverge
+    by 1 ulp between engines. A narrow filter: pushes to the scan, no
+    shuffle, repartition-proof."""
+    u = _hash64(F.col(id_col)).cast("double") / F.lit(float(1 << 60))
+    return df.filter(u < F.lit(rate) * F.col(weight_col).cast("double"))

@@ -907,11 +907,89 @@ FROM ranked WHERE rnk <= 5
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted Bernoulli (PPS) sample (operators/sampling.py:
+    weighted_sample): orders kept with probability ∝ o_totalprice —
+    the importance-sampling step of a training-mix pipeline. The draw
+    is md5-seeded and the comparison is pure IEEE arithmetic (no libm),
+    so both engines keep the identical row set."""
+    from reactivedb_spark.operators.sampling import weighted_sample
+
+    o = load(spark, sf, "orders")
+    return weighted_sample(o, "o_orderkey", "o_totalprice", rate=1e-6).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+
+
+SQL_SAMPLE_WEIGHTED = """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      / 1152921504606846976.0
+      < CAST(1e-6 AS DOUBLE) * CAST(o_totalprice AS DOUBLE)
+"""
+
+
+def q_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the event-time operator
+    class the reference lacks entirely (SURVEY.md §2.4), as a streaming
+    replay: events through ``F.window(tstamp, '1 hour')`` (epoch-aligned)
+    with per-hour count and exact uid sum. The streaming twin of the
+    batch ``events_hourly``; the oracle buckets the same integer µs by
+    hour, so micro-batch composition must be invisible."""
+    import uuid
+
+    from reactivedb_spark.sources import stream_parquet_dir
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tstamp"),
+    )
+    root = tempfile.mkdtemp(prefix="rdb_tumb_")
+    src = os.path.join(root, "in")
+    ev.repartition(3).write.mode("append").parquet(src)
+    name = "tumb_" + uuid.uuid4().hex[:8]
+    agg = (
+        stream_parquet_dir(spark, src, ev.schema)
+        .withWatermark("tstamp", "3650 days")
+        .groupBy(F.window("tstamp", "1 hour"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("uid_sum"),
+        )
+    )
+    with streaming_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window.start")).alias("hour_start_us"), "n", "uid_sum"
+    )
+
+
+SQL_STREAMING_TUMBLING = """
+SELECT (epoch_ns(ts) // 1000) // 3600000000 * 3600000000 AS hour_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS uid_sum
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "multimodal_pixel_features": q_multimodal_pixel_features,
     "multimodal_resize": q_multimodal_resize,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "ann_knn_join": q_ann_knn_join,
+    "sample_weighted": q_sample_weighted,
+    "streaming_tumbling": q_streaming_tumbling,
     "hll_users": q_hll_users,
     "streaming_dedup": q_streaming_dedup,
     "streaming_stream_join": q_streaming_stream_join,
@@ -936,6 +1014,8 @@ ORACLES = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "ann_knn_join": _sql_ann_knn_join(),
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
+    "streaming_tumbling": SQL_STREAMING_TUMBLING,
     "hll_users": SQL_HLL_USERS,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_stream_join": SQL_STREAMING_STREAM_JOIN,

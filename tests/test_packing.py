@@ -31,3 +31,24 @@ def test_pack_deterministic_under_repartition(spark):
     b = {(r.doc_id, r.bin_id, r.offset_in_bin)
          for r in pack_by_budget(df.repartition(13), "doc_id", "src", "sz", 64).collect()}
     assert a == b and len(a) == 200
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from reactivedb_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate([0.0, 0.1, 0.5, 1.0, 5.0] * 200)],
+        "id long, w double",
+    )
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", rate=0.5).collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "id", "w", rate=0.5).collect())
+    assert a == b and len(a) > 0          # deterministic across runs
+    assert 0 not in a                     # zero weight is never kept
+    # rate*w >= 1 ⇒ always kept (u < 1 for every 60-bit hash)
+    always = {r["id"] for r in df.filter(F.col("w") >= 2.0).collect()}
+    assert always <= set(a)
+    # higher rate is a superset (same u per id, larger threshold)
+    big = sorted(r["id"] for r in weighted_sample(df, "id", "w", rate=0.9).collect())
+    assert set(a) <= set(big)
