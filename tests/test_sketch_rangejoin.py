@@ -262,3 +262,25 @@ def test_knn_join_matches_bruteforce_within_buckets(spark):
             for rank, (_, x) in enumerate(cands[:3], start=1):
                 want[(a, rank)] = x
     assert got == want and len(got) > 0
+
+
+def test_new_ops_plan_shapes(spark):
+    """Physical-plan audit: knn_join's candidate generation is a bucket
+    equi-join (never a cartesian), and cms_estimate probes a BROADCAST
+    sketch (construction-bounded at d*w cells)."""
+    import math
+
+    from reactivedb_spark.operators import similarity, sketch
+
+    rows = [(i, [math.sin(i * 1.3 + d) for d in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    knn_plan = similarity.knn_join(df, "vec_id", "embedding", k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in knn_plan
+    assert "BroadcastNestedLoopJoin" not in knn_plan
+
+    vals = spark.range(200).selectExpr("concat('t', id % 17) AS v")
+    sk = sketch.cms_sketch(vals, "v")
+    est_plan = sketch.cms_estimate(sk, vals.select("v").distinct(), "v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in est_plan
