@@ -42,3 +42,55 @@ def pack_by_budget(df: DataFrame, id_col: str, stratum_col: str,
         (F.col("_start") % int(budget)).alias("offset_in_bin"),
         "size",
     )
+
+
+def chunk_tokens(df, id_col: str, text_col: str,
+                 chunk_size: int = 64, overlap: int = 16):
+    """Split each document's token stream into fixed-size chunks with
+    overlap — the context-window preprocessing step of a training
+    pipeline (stride = chunk_size - overlap; the final short chunk is
+    kept; empty docs yield no chunks).
+
+    Pure column expressions: one ``split`` per row, chunk starts from a
+    ``sequence`` explode, ``slice`` + ``concat_ws`` rebuild the chunk —
+    no UDF, no shuffle at all (the explode is answer-sized and stays in
+    the scan stage; chunk counts are bounded by token counts). Returns
+    (id, chunk_no [0-based], n_tokens, chunk_text).
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), " "), lambda x: x != "")
+    n = F.size("_toks")
+    # chunk starts: 0, stride, 2*stride, ... while start < n (a full
+    # trailing window ends the walk: last start <= n-1, and any start
+    # past n - chunk_size would only repeat covered tokens unless the
+    # doc is shorter than one chunk)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1))
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_nc", n_chunks)
+        .filter(F.col("_nc") > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_no"),
+            F.col("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.slice(
+                F.col("_toks"), F.col("chunk_no") * stride + 1, chunk_size
+            ).alias("_chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_no",
+            F.size("_chunk").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+        )
+    )

@@ -1204,6 +1204,47 @@ WHERE doc_id NOT IN (SELECT doc_b FROM losers)
 )
 
 
+
+
+def q_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (operators/packing.py:
+    chunk_tokens): each document's token stream split into 64-token
+    windows with 16-token overlap — the context-window preprocessing
+    step of a training pipeline. Pure column expressions (split +
+    sequence explode + slice), no UDF and no shuffle; the oracle
+    replays the identical chunk-count/slice arithmetic over the same
+    whitespace tokens."""
+    from reactivedb_spark.operators.packing import chunk_tokens
+
+    return chunk_tokens(
+        load(spark, sf, "documents"), "doc_id", "text",
+        chunk_size=64, overlap=16,
+    )
+
+
+SQL_CHUNK_WINDOWS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+  FROM documents),
+d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, t, n,
+         greatest(CAST(ceil((n - 16) / 48.0) AS INT), 1) AS nc
+  FROM d),
+e AS (
+  SELECT doc_id, t, g.i AS chunk_no
+  FROM c CROSS JOIN generate_series(0, 1023) g(i) WHERE g.i < nc),
+s AS (
+  SELECT doc_id, chunk_no,
+         list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64) AS chunk
+  FROM e)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM s
+"""
+
+
 QUERIES = {
     "streaming_aggregate": q_streaming_aggregate,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1243,6 +1284,7 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "chunk_windows": q_chunk_windows,
 }
 
 ORACLES = {
@@ -1284,4 +1326,5 @@ ORACLES = {
     "topk_orders": SQL_TOPK_ORDERS,
     "events_hourly": SQL_EVENTS_HOURLY,
     "sessionize": SQL_SESSIONIZE,
+    "chunk_windows": SQL_CHUNK_WINDOWS,
 }

@@ -52,3 +52,32 @@ def test_weighted_sample_deterministic_and_weight_monotone(spark):
     # higher rate is a superset (same u per id, larger threshold)
     big = sorted(r["id"] for r in weighted_sample(df, "id", "w", rate=0.9).collect())
     assert set(a) <= set(big)
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from reactivedb_spark.operators.packing import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_tokens(df, "doc_id", "text", chunk_size=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_no"]): (r["n_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 1: starts 0 and 48 → 64 + 52 tokens; chunk 1 starts at t48
+    assert rows[(1, 0)][0] == 64 and rows[(1, 0)][1].startswith("t0 t1 ")
+    assert rows[(1, 1)][0] == 52 and rows[(1, 1)][1].startswith("t48 t49 ")
+    # consecutive chunks share the 16-token overlap
+    assert rows[(1, 0)][1].split()[48:] == rows[(1, 1)][1].split()[:16]
+    # doc 2: shorter than one chunk → one short chunk; doc 3: no chunks
+    assert rows[(2, 0)] == (2, "a b")
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from reactivedb_spark.operators.packing import chunk_tokens
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, "doc_id", "text", chunk_size=8, overlap=8)
