@@ -1245,6 +1245,43 @@ FROM s
 """
 
 
+
+
+def q_source_orc(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source round-trip (the columnar alternative Spark bundles):
+    orders written to ORC and read back with an explicit schema, then
+    aggregated. Unlike the CSV connector, ORC carries decimals/doubles
+    losslessly, so the round-trip includes o_totalprice — the oracle
+    aggregates the parquet original and every value must survive the
+    format hop bit-exactly."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from reactivedb_spark.sources.readers import read_table
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="rdb_orc_"), "orders")
+    o.write.mode("overwrite").orc(path)
+    back = read_table(spark, path, fmt="orc", schema=o.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)").cast("double").alias("revenue"),
+    )
+
+
+SQL_SOURCE_ORC = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "streaming_aggregate": q_streaming_aggregate,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1285,6 +1322,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "chunk_windows": q_chunk_windows,
+    "source_orc": q_source_orc,
 }
 
 ORACLES = {
@@ -1327,4 +1365,5 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "sessionize": SQL_SESSIONIZE,
     "chunk_windows": SQL_CHUNK_WINDOWS,
+    "source_orc": SQL_SOURCE_ORC,
 }
