@@ -1282,6 +1282,56 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+
+
+def q_embedding_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space near-dup CLUSTERS: connected components over the
+    cosine ≥ 0.3 pair graph (the fixture embeddings are near-orthogonal random vectors — production embeddings cluster much tighter and use ≥ 0.95+) — operator composition (LSH buckets →
+    array-native verify → frontier CC), the image/audio analogue of
+    ``dedup_clusters``. Oracle: recursive reachability CTE over the
+    identical fixed-point pair algebra."""
+    from reactivedb_spark.operators.graph import connected_components
+
+    pairs = similarity.cosine_pairs(
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding"
+    ).filter(F.col("cos_sim") >= 0.3).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("vec_id"), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+SQL_EMBEDDING_CLUSTERS = (
+    "WITH RECURSIVE " + _ELEM_CTE + ", " + _BUCKETS_CTE + """,
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+n2 AS (SELECT vec_id, SUM(xl * xl) AS n2 FROM elem GROUP BY vec_id),
+dotp AS (
+  SELECT c.doc_a, c.doc_b, SUM(ea.xl * eb.xl) AS dot
+  FROM cand c
+  JOIN elem ea ON ea.vec_id = c.doc_a
+  JOIN elem eb ON eb.vec_id = c.doc_b AND eb.j = ea.j
+  GROUP BY c.doc_a, c.doc_b),
+edges AS (
+  SELECT d.doc_a, d.doc_b
+  FROM dotp d
+  JOIN n2 na ON na.vec_id = d.doc_a
+  JOIN n2 nb ON nb.vec_id = d.doc_b
+  WHERE round((CAST(d.dot AS DOUBLE) / 1e16)
+              / (sqrt(CAST(na.n2 AS DOUBLE) / 1e16)
+                 * sqrt(CAST(nb.n2 AS DOUBLE) / 1e16)), 9) >= 0.3),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+reach AS (
+  SELECT s AS v, s AS r FROM sym
+  UNION
+  SELECT y.d AS v, re.r FROM reach re JOIN sym y ON y.s = re.v)
+SELECT v AS vec_id, CAST(min(r) AS BIGINT) AS cluster
+FROM reach GROUP BY v
+"""
+)
+
+
 QUERIES = {
     "streaming_aggregate": q_streaming_aggregate,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1323,6 +1373,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "chunk_windows": q_chunk_windows,
     "source_orc": q_source_orc,
+    "embedding_clusters": q_embedding_clusters,
 }
 
 ORACLES = {
@@ -1366,4 +1417,5 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "source_orc": SQL_SOURCE_ORC,
+    "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
 }
