@@ -221,3 +221,48 @@ def test_resize_non_png_falls_back_to_byte_subsample(spark):
     df = spark.createDataFrame([(1, bytes(range(256)) * 64)], "doc_id long, payload binary")
     out = bytes(mm.resize(df, "doc_id", target=8).collect()[0]["payload"])
     assert len(out) <= 64 and out[0] == 0
+
+
+def _rgb_png(pixels_rgb, width):
+    """Minimal RGB (color type 2) PNG builder for tests: filter 0 rows."""
+    import struct
+    import zlib
+
+    from reactivedb_spark.functions.multimodal import PNG_MAGIC
+
+    stride = width * 3
+    height = len(pixels_rgb) // stride
+    raw = b"".join(
+        b"\x00" + pixels_rgb[r * stride:(r + 1) * stride] for r in range(height)
+    )
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_rgb_png_gray_reduction_in_features_and_resize(spark):
+    """Color-type-2 payloads go through the channel-mean gray reduction
+    before features/resize — not the raw interleaved samples."""
+    from reactivedb_spark.functions import multimodal as mm
+
+    # 2x2 RGB: pixels (10,20,30) (60,70,80) / (110,120,130) (200,210,220)
+    rgb = bytes([10, 20, 30, 60, 70, 80, 110, 120, 130, 200, 210, 220])
+    payload = _rgb_png(rgb, 2)
+    gray = [20, 70, 120, 210]  # integer channel means
+
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    feats = mm.extract_features(df, "doc_id", dim=4).collect()[0]["features"]
+    import numpy as np
+
+    want = np.array([g / 255.0 for g in gray], dtype="float32")
+    assert np.allclose(feats, want, rtol=0, atol=0)
+
+    out = bytes(mm.resize(df, "doc_id", target=1).collect()[0]["payload"])
+    info = mm.png_decode_bytes(out)
+    assert (info["width"], info["height"], info["color_type"]) == (1, 1, 0)
+    assert list(info["pixels"]) == [20]  # NN pick = top-left gray pixel
