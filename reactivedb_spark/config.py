@@ -68,6 +68,17 @@ class ActionTransformConfig:
 
 
 @dataclass(frozen=True)
+class DedupTransformConfig:
+    """Extension transform (no reference analogue — SURVEY.md §7 phase 6:
+    the training-data operators exposed through the same config surface):
+    the derived table holds ONE representative row per distinct normalized
+    ``key`` value, first writer wins."""
+
+    source_table: str
+    key: str
+
+
+@dataclass(frozen=True)
 class DerivedTableConfig:
     name: str
     transform: object
@@ -134,6 +145,8 @@ def parse_transform(spec, name: str):
         )
     if kind == "ActionTransform":
         return ActionTransformConfig(body["name"], body["source_table"])
+    if kind == "DedupTransform":
+        return DedupTransformConfig(body["source_table"], body["key"])
     raise ConfigError(f"table {name}: unknown transform type {kind!r}")
 
 

@@ -17,6 +17,9 @@ SEQ = "_seq"
 # "Index" row: partition pruning / data skipping instead of indexes).
 PARTITION_BUCKET = "_kb"
 N_KEY_BUCKETS = 32
+# DedupTransform merge key (extension transform — no reference analogue):
+# md5 of the normalized key column, one representative row per value.
+DEDUP_KEY = "dedupKey"
 
 SYSTEM_COLUMNS = {ENTRY_ID, SOURCE_ENTRY_ID, MATCHING_KEY, AGGREGATED_COLUMN,
-                  SEQ, PARTITION_BUCKET}
+                  SEQ, PARTITION_BUCKET, DEDUP_KEY}

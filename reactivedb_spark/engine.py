@@ -35,6 +35,7 @@ from reactivedb_spark.config import (
     ActionTransformConfig,
     AggregationTransformConfig,
     DbConfig,
+    DedupTransformConfig,
     FilterTransformConfig,
     FunctionTransformConfig,
     UnionTransformConfig,
@@ -49,6 +50,7 @@ from reactivedb_spark.errors import (
 )
 from reactivedb_spark.operators import action as action_op
 from reactivedb_spark.operators import aggregation as agg_op
+from reactivedb_spark.operators import dedup_transform as dedup_tr_op
 from reactivedb_spark.operators import filter as filter_op
 from reactivedb_spark.operators import function as function_op
 from reactivedb_spark.operators import union as union_op
@@ -200,6 +202,9 @@ class Engine:
             elif isinstance(tr, AggregationTransformConfig):
                 schema = agg_op.output_schema(tr, pschemas[tr.source_table])
                 key_column = C.AGGREGATED_COLUMN
+            elif isinstance(tr, DedupTransformConfig):
+                schema = dedup_tr_op.output_schema(tr, pschemas[tr.source_table])
+                key_column = C.DEDUP_KEY
             elif isinstance(tr, ActionTransformConfig):
                 if tr.name not in self._actions:
                     raise ConfigError(f"action {tr.name!r} not registered")
@@ -446,6 +451,8 @@ class Engine:
             return self._apply_union(child, tr, parent, d)
         if isinstance(tr, AggregationTransformConfig):
             return self._apply_aggregation(child, tr, parent, d)
+        if isinstance(tr, DedupTransformConfig):
+            return self._apply_dedup(child, tr, parent, d)
         raise ConfigError(f"unknown transform on {child!r}")
 
     def _apply_rowwise(self, child: str, tr, d: Delta) -> Optional[Delta]:
@@ -606,6 +613,71 @@ class Engine:
         if staged is None and old_staged is None:
             return None
         return Delta(inserts=staged, deletes=old_staged)
+
+    def _apply_dedup(self, child: str, tr: DedupTransformConfig, parent: str, d: Delta) -> Optional[Delta]:
+        """First-writer-wins exact dedup as keyed reactive state
+        (operators/dedup_transform.py for the declared semantics).
+
+        Inserts are O(delta): the delta's own representatives anti-join
+        the affected state buckets on the hash key — existing keys are
+        untouched (first wins), so no parent rescan and no state
+        rewrite beyond genuinely new keys. Deletes cascade by
+        provenance, then ONLY the keys that lost their representative
+        re-derive one from the remaining parent rows (the same
+        affected-keys re-scan shape as the aggregation delete path)."""
+        out = Delta()
+        if d.inserts is not None:
+            reps = dedup_tr_op.representatives(tr, d.inserts)
+            keys = reps.select(C.DEDUP_KEY).distinct()
+            buckets = self._affected_buckets(child, keys, C.DEDUP_KEY)
+            state = self.store.read(child)
+            state_aff = state.filter(F.col(C.PARTITION_BUCKET).isin(buckets))
+            new = reps.join(
+                state_aff.select(C.DEDUP_KEY), C.DEDUP_KEY, "left_anti"
+            )
+            staged = self._stage_nonempty(
+                child, self._with_bucket(self._with_entry_id(new), C.DEDUP_KEY)
+            )
+            if staged is not None:
+                self._replace_keyed(
+                    child,
+                    state_aff.unionByName(staged).sortWithinPartitions(C.DEDUP_KEY),
+                    buckets,
+                )
+                out.inserts = staged
+        if d.deletes is not None:
+            dd = self._delete_by_provenance(child, d.deletes)
+            if dd is not None:
+                out.deletes = dd
+                # keys that lost their representative: re-derive from the
+                # remaining parent rows (parent state is already committed
+                # minus the deleted rows at this point in the cascade)
+                lost = dd.select(C.DEDUP_KEY).distinct()
+                parent_rows = self.store.read(parent)
+                cand = (
+                    parent_rows.withColumn(C.DEDUP_KEY, dedup_tr_op.key_expr(tr.key))
+                    .join(F.broadcast(lost), C.DEDUP_KEY, "left_semi")
+                    .drop(C.DEDUP_KEY)
+                )
+                reps = dedup_tr_op.representatives(tr, cand)
+                staged2 = self._stage_nonempty(
+                    child, self._with_bucket(self._with_entry_id(reps), C.DEDUP_KEY)
+                )
+                if staged2 is not None:
+                    buckets2 = self._affected_buckets(child, lost, C.DEDUP_KEY)
+                    state2 = self.store.read(child).filter(
+                        F.col(C.PARTITION_BUCKET).isin(buckets2)
+                    )
+                    self._replace_keyed(
+                        child,
+                        state2.unionByName(staged2).sortWithinPartitions(C.DEDUP_KEY),
+                        buckets2,
+                    )
+                    out.inserts = (
+                        staged2 if out.inserts is None
+                        else out.inserts.unionByName(staged2)
+                    )
+        return out if (out.inserts is not None or out.deletes is not None) else None
 
     # -- read path (query verbs, SURVEY.md §2.2) ---------------------------
     def table(self, name: str) -> DataFrame:

@@ -1332,6 +1332,46 @@ FROM reach GROUP BY v
 )
 
 
+
+
+def q_dedup_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-level DedupTransform end-to-end (SURVEY.md §7 phase 6 —
+    extension operators in the reference's YAML surface): documents
+    inserted through the reactive engine in doc_id order; the derived
+    table keeps the FIRST writer per normalized body. Determinism: the
+    list-insert path assigns ``_seq`` in list order, so the
+    representative is exactly min(doc_id) per key — which is the
+    oracle's GROUP BY."""
+    import tempfile as _tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {"tables": [
+        {"Source": {"name": "documents", "columns": {
+            "doc_id": "Integer", "body": "Str"}}},
+        {"Derived": {"name": "unique_docs",
+                     "transform_definition": {"DedupTransform": {
+                         "source_table": "documents", "key": "body"}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_ddtq_"))
+    rows = [
+        {"doc_id": int(r["doc_id"]), "body": r["text"]}
+        for r in load(spark, sf, "documents")
+        .select("doc_id", "text").orderBy("doc_id").collect()
+    ]
+    eng.insert("documents", rows)
+    return eng.table("unique_docs").select(
+        "dedupKey", F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+SQL_DEDUP_TRANSFORM = """
+SELECT md5(lower(trim(text))) AS dedupKey,
+       CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "streaming_aggregate": q_streaming_aggregate,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1374,6 +1414,7 @@ QUERIES = {
     "chunk_windows": q_chunk_windows,
     "source_orc": q_source_orc,
     "embedding_clusters": q_embedding_clusters,
+    "dedup_transform": q_dedup_transform,
 }
 
 ORACLES = {
@@ -1418,4 +1459,5 @@ ORACLES = {
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "source_orc": SQL_SOURCE_ORC,
     "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
+    "dedup_transform": SQL_DEDUP_TRANSFORM,
 }
