@@ -79,6 +79,16 @@ class DedupTransformConfig:
 
 
 @dataclass(frozen=True)
+class SampleTransformConfig:
+    """Extension transform #2: deterministic hash sample — keep a row iff
+    ``md5(key) mod 100 < rate_pct`` (repeatable, join-consistent)."""
+
+    source_table: str
+    key: str
+    rate_pct: int
+
+
+@dataclass(frozen=True)
 class DerivedTableConfig:
     name: str
     transform: object
@@ -147,6 +157,10 @@ def parse_transform(spec, name: str):
         return ActionTransformConfig(body["name"], body["source_table"])
     if kind == "DedupTransform":
         return DedupTransformConfig(body["source_table"], body["key"])
+    if kind == "SampleTransform":
+        return SampleTransformConfig(
+            body["source_table"], body["key"], int(body["rate_pct"])
+        )
     raise ConfigError(f"table {name}: unknown transform type {kind!r}")
 
 

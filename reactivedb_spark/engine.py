@@ -38,6 +38,7 @@ from reactivedb_spark.config import (
     DedupTransformConfig,
     FilterTransformConfig,
     FunctionTransformConfig,
+    SampleTransformConfig,
     UnionTransformConfig,
     load_config,
     parse_config,
@@ -51,6 +52,7 @@ from reactivedb_spark.errors import (
 from reactivedb_spark.operators import action as action_op
 from reactivedb_spark.operators import aggregation as agg_op
 from reactivedb_spark.operators import dedup_transform as dedup_tr_op
+from reactivedb_spark.operators import sample_transform as sample_tr_op
 from reactivedb_spark.operators import filter as filter_op
 from reactivedb_spark.operators import function as function_op
 from reactivedb_spark.operators import union as union_op
@@ -205,6 +207,8 @@ class Engine:
             elif isinstance(tr, DedupTransformConfig):
                 schema = dedup_tr_op.output_schema(tr, pschemas[tr.source_table])
                 key_column = C.DEDUP_KEY
+            elif isinstance(tr, SampleTransformConfig):
+                schema = sample_tr_op.output_schema(tr, pschemas[tr.source_table])
             elif isinstance(tr, ActionTransformConfig):
                 if tr.name not in self._actions:
                     raise ConfigError(f"action {tr.name!r} not registered")
@@ -445,7 +449,8 @@ class Engine:
 
     def _apply_child(self, child: str, parent: str, d: Delta) -> Optional[Delta]:
         tr = self.tables[child].transform
-        if isinstance(tr, (FunctionTransformConfig, FilterTransformConfig, ActionTransformConfig)):
+        if isinstance(tr, (FunctionTransformConfig, FilterTransformConfig,
+                           ActionTransformConfig, SampleTransformConfig)):
             return self._apply_rowwise(child, tr, d)
         if isinstance(tr, UnionTransformConfig):
             return self._apply_union(child, tr, parent, d)
@@ -464,6 +469,8 @@ class Engine:
                 derived = function_op.apply_delta(tr, d.inserts)
             elif isinstance(tr, FilterTransformConfig):
                 derived = filter_op.apply_delta(tr, d.inserts)
+            elif isinstance(tr, SampleTransformConfig):
+                derived = sample_tr_op.apply_delta(tr, d.inserts)
             else:
                 act = self._actions[tr.name]
                 derived = action_op.apply_delta(tr, act, d.inserts, self.tables[child].schema)

@@ -1372,6 +1372,45 @@ FROM documents GROUP BY 1
 """
 
 
+
+
+def q_sample_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-level SampleTransform end-to-end (extension transform #2):
+    documents through the reactive engine into a 25% hash-sampled
+    derived table — the oracle applies the identical md5 gate, so the
+    engine-maintained sample must equal the declarative one row for
+    row."""
+    import tempfile as _tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {"tables": [
+        {"Source": {"name": "documents", "columns": {
+            "doc_id": "Integer", "body": "Str"}}},
+        {"Derived": {"name": "docs_sample",
+                     "transform_definition": {"SampleTransform": {
+                         "source_table": "documents", "key": "doc_id",
+                         "rate_pct": 25}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_stq_"))
+    src = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("body"),
+    )
+    eng.insert_df("documents", src)
+    return eng.table("docs_sample").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("body").cast("long").alias("body_len"),
+    )
+
+
+SQL_SAMPLE_TRANSFORM = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS body_len
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 25
+"""
+
+
 QUERIES = {
     "streaming_aggregate": q_streaming_aggregate,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1415,6 +1454,7 @@ QUERIES = {
     "source_orc": q_source_orc,
     "embedding_clusters": q_embedding_clusters,
     "dedup_transform": q_dedup_transform,
+    "sample_transform": q_sample_transform,
 }
 
 ORACLES = {
@@ -1460,4 +1500,5 @@ ORACLES = {
     "source_orc": SQL_SOURCE_ORC,
     "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
     "dedup_transform": SQL_DEDUP_TRANSFORM,
+    "sample_transform": SQL_SAMPLE_TRANSFORM,
 }

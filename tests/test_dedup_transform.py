@@ -110,3 +110,50 @@ def test_unknown_key_column_rejected(spark):
     ]}
     with pytest.raises(ConfigError):
         Engine(spark, bad, workspace=tempfile.mkdtemp(prefix="rdb_ddt_"))
+
+
+# -- SampleTransform (extension transform #2, stateless rowwise) -------------
+
+SAMPLE_CFG = {
+    "tables": [
+        {"Source": {"name": "docs", "columns": {
+            "doc_id": "Integer", "body": "Str"}}},
+        {"Derived": {"name": "docs_sample",
+                     "transform_definition": {"SampleTransform": {
+                         "source_table": "docs", "key": "doc_id",
+                         "rate_pct": 30}}}},
+    ]
+}
+
+
+def test_sample_transform_deterministic_gate_and_cascade(spark):
+    import hashlib
+
+    eng = Engine(spark, SAMPLE_CFG,
+                 workspace=tempfile.mkdtemp(prefix="rdb_st_"))
+    eng.insert("docs", [{"doc_id": i, "body": f"b{i}"} for i in range(100)])
+
+    def gate(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100 < 30
+
+    want = {i for i in range(100) if gate(i)}
+    got = {r["doc_id"] for r in eng.table("docs_sample").collect()}
+    assert got == want and 0 < len(got) < 100
+    # deletes cascade by provenance
+    victim = next(iter(want))
+    eng.delete("docs", "doc_id", victim)
+    got2 = {r["doc_id"] for r in eng.table("docs_sample").collect()}
+    assert got2 == want - {victim}
+
+
+def test_sample_transform_rejects_bad_rate(spark):
+    from reactivedb_spark.errors import ConfigError
+
+    bad = {"tables": [
+        {"Source": {"name": "t", "columns": {"a": "Integer"}}},
+        {"Derived": {"name": "d", "transform_definition": {
+            "SampleTransform": {"source_table": "t", "key": "a",
+                                "rate_pct": 150}}}},
+    ]}
+    with pytest.raises(ConfigError):
+        Engine(spark, bad, workspace=tempfile.mkdtemp(prefix="rdb_st_"))
