@@ -14,11 +14,19 @@ from reactivedb_spark.suite import analytics, core, olap, scale
 # Registration order is part of the external contract: the driver's
 # correctness gate checks the FIRST 50 registered queries. Newest /
 # least-recently-verified families register first (analytics, olap,
-# sessionize, then the §2 core parity set); the long-green dedup /
-# similarity / multimodal scale family fills the tail. dict.update on an
-# existing key keeps its original position, so pre-seeding `sessionize`
-# pins it inside the window even though it lives in scale.QUERIES.
-_PRIORITY = ("sessionize",)
+# the never-driver-checked round-4 scale additions, then the §2 core
+# parity set); the long-green dedup / similarity / multimodal scale
+# family fills the tail. dict.update on an existing key keeps its
+# original position, so pre-seeding names here pins them inside the
+# window even though they live in scale.QUERIES.
+_PRIORITY = (
+    "sessionize",
+    "chunk_windows",
+    "source_orc",
+    "embedding_clusters",
+    "dedup_transform",
+    "sample_transform",
+)
 
 
 def all_queries():
