@@ -120,6 +120,53 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def span_census(df: DataFrame, id_col: str, text_col: str, n: int = 8,
+                min_docs: int = 2, top: int | None = 20) -> DataFrame:
+    """Cross-document duplicated-span census: every ``n``-word sliding
+    window that occurs in at least ``min_docs`` distinct documents, with
+    its document and occurrence counts — the detection half of
+    substring-level deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": repeated spans are memorization
+    fuel even when whole-document dedup passes).
+
+    Plan: one narrow explode (start offsets against ``slice()`` of the
+    split word array — no UDF, no quadratic join), then ONE partial-
+    aggregable groupBy on the span text. Distinct-doc counting rides the
+    same shuffle. ``top`` (ordered by n_docs desc, n_occurrences desc,
+    span) returns via TakeOrderedAndProject; pass ``top=None`` for the
+    full census relation (the input to an actual span-removal pass).
+
+    Emits (span, n_docs, n_occurrences).
+    """
+    words = F.split(F.col(text_col), " ")
+    base = (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(
+            "_id",
+            "_w",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1))).alias("_p"),
+        )
+        .select(
+            "_id",
+            F.array_join(F.slice(F.col("_w"), F.col("_p"), n), " ").alias("span"),
+        )
+    )
+    out = (
+        base.groupBy("span")
+        .agg(
+            F.count_distinct("_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    if top is not None:
+        out = out.orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("span")
+        ).limit(top)
+    return out
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.0, **kwargs) -> DataFrame:
     """Exact character-n-gram Jaccard on LSH candidates: the same

@@ -1,0 +1,201 @@
+"""Numeric distribution operators: fixed-width histograms, rank-based
+winsorization, and single-pass column profiling.
+
+All three are one-aggregation plans (plus one keyed window for the
+winsorize cuts) built from rank math and exact decimal sums — no
+sketches, no interpolation arithmetic, so every result is bit-portable
+against any ANSI engine.
+
+Scale notes (100 TB):
+- ``histogram``: bin assignment is a per-row scalar expression (pushes
+  past the scan's column pruning); the aggregate is partial-aggregable
+  with at most ``nbins`` groups — map-side combine collapses each
+  partition before the shuffle.
+- ``winsorize_sum``: quantile cuts come from ``ntile`` over a window
+  PARTITIONED BY the group key — rank math on a keyed sort, the same
+  plan class as ``price_deciles``; no global single-partition sort.
+- ``profile``: ONE pass over the table computing every column's
+  aggregates simultaneously (count/nulls/distinct/min/max), then a
+  constant-width unpivot of the single result row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+from pyspark.sql import types as T
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Fixed-width histogram of ``col`` over [lo, hi): bin index
+    ``floor((x - lo) / width)`` clamped to [0, nbins-1] (outliers land
+    in the edge bins). Emits (bin, bin_lo, n, sum_v) where ``sum_v``
+    accumulates exactly as DECIMAL(18,2)→(38,2). ``lo``/``hi`` are
+    caller constants — the same IEEE literals appear in the oracle, so
+    bin edges are bit-identical cross-engine."""
+    width = (hi - lo) / nbins
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.lit(nbins - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
+    return (
+        df.select(bin_.alias("bin"), x.alias("v"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").alias("sum_v"),
+        )
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias("bin_lo"),
+            "n",
+            "sum_v",
+        )
+    )
+
+
+def histogram_oracle_sql(src: str, col: str, lo: float, hi: float, nbins: int) -> str:
+    width = (hi - lo) / nbins
+    return f"""
+WITH b AS (
+  SELECT least({nbins - 1}, greatest(0,
+           CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) / {width!r}) AS BIGINT))) AS bin,
+         CAST({col} AS DOUBLE) AS v
+  FROM {src})
+SELECT bin, {lo!r} + CAST(bin AS DOUBLE) * {width!r} AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_v
+FROM b GROUP BY bin
+"""
+
+
+def winsorize_sum(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    tiebreak_col: str,
+    ntiles: int = 20,
+) -> DataFrame:
+    """Winsorized per-group totals: within each group, values in the
+    bottom/top ``1/ntiles`` tail (by ``ntile`` rank, ties broken by
+    ``tiebreak_col``) are clipped to the tail-adjacent extremes — the
+    robust-mean pattern for outlier-heavy measures. Rank-based cuts
+    (max of tile 1 / min of tile ``ntiles``), not interpolated
+    percentiles, so the cut values are data elements and bit-portable.
+    Emits (group, n, sum_raw, sum_winsor)."""
+    w = W.partitionBy(group_col).orderBy(F.col(col), F.col(tiebreak_col))
+    tiled = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(col).cast("double").alias("v"),
+        F.ntile(ntiles).over(w).alias("_tile"),
+    )
+    cuts = tiled.groupBy("grp").agg(
+        F.max(F.when(F.col("_tile") == 1, F.col("v"))).alias("_lo_cut"),
+        F.min(F.when(F.col("_tile") == ntiles, F.col("v"))).alias("_hi_cut"),
+    )
+    clipped = (
+        tiled.join(cuts, "grp")
+        .select(
+            "grp",
+            "v",
+            F.least(F.greatest(F.col("v"), F.col("_lo_cut")), F.col("_hi_cut")).alias("w"),
+        )
+    )
+    return (
+        clipped.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").alias("sum_raw"),
+            F.sum(F.col("w").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").alias("sum_winsor"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def winsorize_oracle_sql(
+    src: str, group_col: str, col: str, tiebreak_col: str, ntiles: int = 20
+) -> str:
+    return f"""
+WITH tiled AS (
+  SELECT {group_col} AS grp, CAST({col} AS DOUBLE) AS v,
+         ntile({ntiles}) OVER (PARTITION BY {group_col}
+                               ORDER BY {col}, {tiebreak_col}) AS tile
+  FROM {src}),
+cuts AS (
+  SELECT grp,
+         max(CASE WHEN tile = 1 THEN v END) AS lo_cut,
+         min(CASE WHEN tile = {ntiles} THEN v END) AS hi_cut
+  FROM tiled GROUP BY grp),
+clipped AS (
+  SELECT t.grp, t.v, least(greatest(t.v, c.lo_cut), c.hi_cut) AS w
+  FROM tiled t JOIN cuts c ON c.grp = t.grp)
+SELECT grp AS {group_col}, CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_raw,
+       CAST(CAST(sum(CAST(w AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_winsor
+FROM clipped GROUP BY grp
+"""
+
+
+_NUMERIC = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+            T.DoubleType, T.FloatType, T.DecimalType)
+
+
+def profile(df: DataFrame) -> DataFrame:
+    """Single-pass data-quality profile: one row per column with
+    (col_name, n_rows, n_nulls, n_distinct, min_v, max_v). min/max are
+    DOUBLE and only populated for numeric columns (bigints are exact
+    below 2^53 in the fixtures; string/date extremes are engine-
+    formatting-dependent and deliberately omitted). ONE aggregation
+    job — every column's stats are computed in the same pass."""
+    aggs: list = [F.count("*").cast("long").alias("_n")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"{c}__dist"))
+        is_num = isinstance(f.dataType, _NUMERIC)
+        aggs.append(
+            (F.min(F.col(c).cast("double")) if is_num else F.lit(None).cast("double"))
+            .alias(f"{c}__min")
+        )
+        aggs.append(
+            (F.max(F.col(c).cast("double")) if is_num else F.lit(None).cast("double"))
+            .alias(f"{c}__max")
+        )
+    row = df.agg(*aggs)
+    stack_args = []
+    for f in df.schema.fields:
+        c = f.name
+        stack_args.append(f"'{c}', `{c}__nulls`, `{c}__dist`, `{c}__min`, `{c}__max`")
+    n_cols = len(df.schema.fields)
+    return row.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            f"stack({n_cols}, " + ", ".join(stack_args)
+            + ") AS (col_name, n_nulls, n_distinct, min_v, max_v)"
+        ),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
+
+
+def profile_oracle_sql(src: str, fields: list[tuple[str, bool]]) -> str:
+    """``fields`` is [(column, is_numeric), ...] in schema order."""
+    selects = []
+    for c, is_num in fields:
+        mn = f"min(CAST({c} AS DOUBLE))" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"max(CAST({c} AS DOUBLE))" if is_num else "CAST(NULL AS DOUBLE)"
+        selects.append(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_v, {mx} AS max_v FROM {src}"
+        )
+    return " UNION ALL ".join(selects)

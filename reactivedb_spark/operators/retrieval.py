@@ -1,0 +1,147 @@
+"""BM25 full-text retrieval over a document relation.
+
+The training-data curation counterpart of a search engine's scoring
+pass: given a bag-of-words query, rank every document by Okapi BM25.
+Used in pipelines for targeted corpus slicing ("find docs about X"),
+eval-set mining, and retrieval-augmented filtering.
+
+Plan shape (100 TB): the query's term list is a driver-side constant,
+so the token stream is filtered to query terms AT THE SCAN (an `IN`
+predicate over a handful of strings — pushed down, no shuffle). Two
+keyed aggregations follow: per-(doc, term) term frequency and the
+per-doc length relation, joined on the doc id. The per-term document
+frequency relation has at most |query terms| rows and is broadcast.
+The final top-k is an `ORDER BY ... LIMIT k` — Spark executes it as
+TakeOrderedAndProject (per-partition heaps + driver merge), never a
+global sort.
+
+Determinism: IEEE multiply/divide on identical inputs is correctly
+rounded and bit-portable across engines; only ``ln()`` crosses libm.
+Each idf is therefore pinned to DECIMAL(28,14) immediately (the
+``unigram_logprob`` convention, suite/analytics.py), per-term scores
+are summed as exact decimals, and the emitted score is rounded to 6
+decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from reactivedb_spark import cache
+from reactivedb_spark.operators.dedup import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for a whitespace bag-of-words
+    ``query``. Returns (id, n_terms, score) ordered by (score desc, id).
+
+    Documents with no tokens take no part (they cannot match); ``N``
+    and ``avgdl`` are defined over token-bearing documents.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("query must contain at least one term")
+
+    tok = cache.pin(tokens(df, id_col, text_col, distinct=False))
+    dl = tok.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+    ).collect()[0]
+    n_docs, n_tokens = int(stats["n_docs"]), int(stats["n_tokens"])
+    avgdl = n_tokens / n_docs  # one IEEE division of two exact ints
+
+    tf = (
+        tok.filter(F.col("token").isin(terms))  # constant IN — scan-pushed
+        .groupBy(id_col, "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # ≤ |terms| rows: (id, token) is unique in tf, so count(*) = doc freq
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    idf = dfreq.select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        ).cast("decimal(28,14)").alias("idf"),
+    )
+    term_score = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf").cast("double")
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl))
+                )
+            ).cast("decimal(28,14)").alias("s"),
+        )
+    )
+    return (
+        term_score.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum("s").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    query: str,
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical tokenization, idf
+    decimal pinning, and score algebra, with ``N``/``avgdl`` computed
+    in-query from the same integer aggregates (same IEEE division)."""
+    terms = sorted({t for t in query.lower().split() if t})
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, token FROM (
+    SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS token FROM {src}
+  ) WHERE token <> ''
+),
+dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY id),
+c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE token IN ({in_list}) GROUP BY id, token),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+idf AS (SELECT token,
+               CAST(ln(1.0 + (c.n_docs - CAST(df AS DOUBLE) + 0.5)
+                             / (CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(28,14)) AS idf
+        FROM dfreq, c),
+ts AS (
+  SELECT tf.id,
+         CAST(CAST(idf.idf AS DOUBLE)
+              * (CAST(tf.tf AS DOUBLE) * {k1 + 1.0!r})
+              / (CAST(tf.tf AS DOUBLE)
+                 + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl.dl AS DOUBLE) / c.avgdl))
+              AS DECIMAL(28,14)) AS s
+  FROM tf JOIN idf ON idf.token = tf.token JOIN dl ON dl.id = tf.id, c)
+SELECT id AS {id_col}, CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(s) AS DOUBLE), 6) AS score
+FROM ts GROUP BY id
+ORDER BY score DESC, id LIMIT {k}
+"""

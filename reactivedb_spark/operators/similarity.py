@@ -337,3 +337,95 @@ def knn_join(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_a", "doc_b", F.col("rank").cast("long").alias("rank"), "cos_sim")
     )
+
+
+def pq_codes(df: DataFrame, id_col: str, vec_col: str,
+             m: int = 4, ksub: int = 16):
+    """Product-quantization encoder with seeded codebooks.
+
+    The vector space splits into ``m`` contiguous subspaces; each
+    subspace's codebook is the corresponding slice of the ``ksub``
+    lowest-id vectors (seed codewords — the deterministic, oracle-able
+    choice, mirroring ``ivf_seed_topk``'s seed centroids). Every vector
+    is encoded as ``m`` one-byte codes: the nearest codeword per
+    subspace by **exact int64 fixed-point squared L2** (headroom:
+    (xl−cl)² ≤ 4·10¹⁶, × dsub dims ≤ 2⁶³ for dsub ≤ 230), id-ordered
+    tie-break on the code index.
+
+    Storage story at 100 TB: a 64-dim float vector (256 B) compresses to
+    m=4 bytes + id — the classic 64× memory cut that makes billion-scale
+    ANN fit executor memory. Plan: the codebook is dim×ksub rows —
+    broadcast; encoding is one map-side join + one partial-aggregable
+    groupBy + one keyed argmin window on (id, subspace).
+
+    Returns (codes DataFrame [id, s, code], codebook DataFrame
+    [s, code, j, cl]).
+    """
+    from pyspark.sql.window import Window as W
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    elem = exploded(df, id_col, vec_col)
+    seed_ids = [r[0] for r in
+                df.select(id_col).orderBy(id_col).limit(ksub).collect()]
+    seed_map = df.sparkSession.createDataFrame(
+        [(int(s), c) for c, s in enumerate(seed_ids)], "_sid long, code int"
+    )
+    codebook = (
+        elem.join(F.broadcast(seed_map), F.col(id_col) == F.col("_sid"))
+        .select(
+            F.expr("(j - 1) div " + str(dsub)).cast("int").alias("s"),
+            "code", "j", F.col("xl").alias("cl"),
+        )
+    )
+    d2 = (
+        elem.join(F.broadcast(codebook), "j")
+        .groupBy(id_col, "s", "code")
+        .agg(F.sum((F.col("xl") - F.col("cl")) * (F.col("xl") - F.col("cl"))).alias("d2"))
+    )
+    codes = (
+        d2.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(id_col, "s").orderBy("d2", "code")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, "s", "code")
+    )
+    return codes, codebook
+
+
+def pq_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
+            k: int = 10, m: int = 4, ksub: int = 16) -> DataFrame:
+    """ANN top-k by asymmetric distance computation (ADC) over PQ codes:
+    the query stays exact while the corpus is represented by its ``m``
+    codes, so each candidate's approximate squared L2 is Σ_s
+    lut[s, code_s] — ``m`` integer adds per vector against a
+    broadcast m×ksub lookup table. The scan never touches the original
+    vectors (that is the point: at 100 TB the float vectors stay in cold
+    storage; the code table is ~1/64 the bytes and the LUT is constant-
+    size). Exact int64 arithmetic end to end — bit-portable. Ties break
+    by id; the query vector itself is excluded.
+
+    Returns (id, d2_fp) — fixed-point squared L2 (scale 10¹⁶), ascending.
+    """
+    codes, codebook = pq_codes(df, id_col, vec_col, m=m, ksub=ksub)
+    qelem = exploded(
+        df.filter(F.col(id_col) == F.lit(query_id)), id_col, vec_col
+    ).select("j", F.col("xl").alias("ql"))
+    lut = (
+        codebook.join(F.broadcast(qelem), "j")
+        .groupBy("s", "code")
+        .agg(F.sum((F.col("ql") - F.col("cl")) * (F.col("ql") - F.col("cl"))).alias("qd2"))
+    )
+    return (
+        codes.filter(F.col(id_col) != F.lit(query_id))
+        .join(F.broadcast(lut), ["s", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qd2").cast("long").alias("d2_fp"))
+        .orderBy(F.col("d2_fp").asc(), F.col(id_col))
+        .limit(k)
+    )

@@ -9,18 +9,19 @@ nondeterminism (FP summation order, uuids, timestamps below µs) is
 designed out — see the determinism notes in each module.
 """
 
-from reactivedb_spark.suite import analytics, core, olap, scale
+from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 
 # Registration order is part of the external contract: the driver's
-# correctness gate checks the FIRST 50 registered queries. Newest /
-# least-recently-verified families register first (analytics, olap,
-# the never-driver-checked round-4 scale additions, then the §2 core
-# parity set); the long-green dedup / similarity / multimodal scale
-# family fills the tail. dict.update on an existing key keeps its
-# original position, so pre-seeding names here pins them inside the
-# window even though they live in scale.QUERIES.
+# correctness gate checks the FIRST 50 registered queries. Queries that
+# have NEVER had a green driver row register first — round-4b pipeline
+# (11), round-3 analytics (23), olap (11), and the round-4 scale
+# additions pinned via _PRIORITY (5) fill the window exactly (50); the
+# §2 core parity set (driver-green rounds 1-3), sessionize (green r2),
+# and the long-green dedup / similarity / multimodal scale family fill
+# the tail. dict.update on an existing key keeps its original position,
+# so pre-seeding names pins them inside the window even though they
+# live in scale.QUERIES.
 _PRIORITY = (
-    "sessionize",
     "chunk_windows",
     "source_orc",
     "embedding_clusters",
@@ -31,6 +32,7 @@ _PRIORITY = (
 
 def all_queries():
     q = {}
+    q.update(pipeline.QUERIES)
     q.update(analytics.QUERIES)
     q.update(olap.QUERIES)
     for name in _PRIORITY:
@@ -42,6 +44,7 @@ def all_queries():
 
 def all_oracles():
     o = {}
+    o.update(pipeline.ORACLES)
     o.update(analytics.ORACLES)
     o.update(olap.ORACLES)
     for name in _PRIORITY:

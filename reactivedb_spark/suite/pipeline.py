@@ -1,0 +1,382 @@
+"""Round-4 pipeline extensions: BM25 retrieval, time-series
+resample/gap-fill and rolling windows, fixed-width histograms,
+winsorized aggregates, single-pass profiling, duplicated-span census,
+semi-structured JSON extraction, sliding-window streaming, a
+partition-pruned source round-trip, and product-quantization ANN —
+each as a (Spark query, DuckDB oracle) pair.
+
+Determinism follows the suite convention: integer-ns time math, rank-
+based quantiles, exact decimal/int64 accumulation, libm results pinned
+to DECIMAL(28,14) at the point of production, and unique-id tie-breaks
+on every ordering.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reactivedb_spark.operators import dedup, numeric, retrieval, timeseries
+from reactivedb_spark.operators.similarity import pq_topk
+from reactivedb_spark.suite._common import load, streaming_shuffle
+
+NS_PER_HOUR = 3600 * 1_000_000_000
+RESAMPLE_NS = 6 * NS_PER_HOUR
+
+BM25_QUERY = "table scan join fast window"
+
+
+# -- BM25 retrieval ------------------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed bag-of-words query. See
+    operators/retrieval.py for the scan-pushed term filter and
+    broadcast df-relation plan."""
+    return retrieval.bm25_topk(
+        dedup.widen(load(spark, sf, "documents")), BM25_QUERY, k=10
+    )
+
+
+SQL_BM25_TOPK = retrieval.bm25_oracle_sql(BM25_QUERY, k=10)
+
+
+# -- time-series resample + gap fill (locf) ------------------------------------
+
+def q_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user 6-hour resampling of event values with forward fill —
+    the hypertable `time_bucket_gapfill + locf` shape as two keyed
+    window shuffles (operators/timeseries.py)."""
+    ev = load(spark, sf, "events")
+    return timeseries.resample(
+        ev, key_col="user_id", time_col="ts", value_col="value",
+        id_col="event_id", interval_ns=RESAMPLE_NS,
+    )
+
+
+SQL_RESAMPLE_GAPFILL = timeseries.resample_oracle_sql(
+    "events", key_col="user_id", time_expr="epoch_ns(ts)",
+    value_col='"value"', id_col="event_id", interval_ns=RESAMPLE_NS,
+)
+
+
+# -- rolling-window aggregates -------------------------------------------------
+
+def q_rolling_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-5-event moving sum/avg/min/max per user: one keyed
+    window with a ROWS frame, exact decimal accumulation (DuckDB's
+    segment-tree FP ordering never shows)."""
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    return timeseries.rolling(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", n=5,
+    ).select(
+        "event_id", "user_id", "roll_n", "roll_sum", "roll_avg",
+        "roll_min", "roll_max",
+    )
+
+
+SQL_ROLLING_AVG = """
+WITH o AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, "value" FROM events)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       CAST(CAST(sum(CAST("value" AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS DOUBLE) AS roll_sum,
+       CAST(CAST(sum(CAST("value" AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS DOUBLE)
+         / CAST(count(*) OVER w AS BIGINT) AS roll_avg,
+       min("value") OVER w AS roll_min,
+       max("value") OVER w AS roll_max
+FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+# -- fixed-width histogram -----------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BINS = 900.0, 105000.0, 50
+
+
+def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """50-bin fixed-width histogram of lineitem extended price: per-row
+    bin expression + one ≤50-group partial-aggregable groupBy."""
+    return numeric.histogram(
+        load(spark, sf, "lineitem"), "l_extendedprice",
+        lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS,
+    )
+
+
+SQL_PRICE_HISTOGRAM = numeric.histogram_oracle_sql(
+    "lineitem", "l_extendedprice", lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS
+)
+
+
+# -- winsorized totals ---------------------------------------------------------
+
+def q_winsorize_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized order totals per priority: ntile-based 5% tail clip
+    (rank math, keyed window — the price_deciles plan class)."""
+    return numeric.winsorize_sum(
+        load(spark, sf, "orders"), group_col="o_orderpriority",
+        col="o_totalprice", tiebreak_col="o_orderkey", ntiles=20,
+    )
+
+
+SQL_WINSORIZE_PRICES = numeric.winsorize_oracle_sql(
+    "orders", group_col="o_orderpriority", col="o_totalprice",
+    tiebreak_col="o_orderkey", ntiles=20,
+)
+
+
+# -- single-pass table profile -------------------------------------------------
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality profile of orders: one aggregation pass computing
+    every column's null/distinct/min/max simultaneously, then a
+    constant-width unpivot."""
+    return numeric.profile(load(spark, sf, "orders"))
+
+
+SQL_TABLE_PROFILE = numeric.profile_oracle_sql(
+    "orders",
+    [
+        ("o_orderkey", True),
+        ("o_custkey", True),
+        ("o_orderstatus", False),
+        ("o_totalprice", True),
+        ("o_orderdate", False),
+        ("o_orderpriority", False),
+    ],
+)
+
+
+# -- duplicated-span census ----------------------------------------------------
+
+def q_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 cross-document duplicated 8-word spans (substring-dedup
+    detection, Lee et al.): narrow shingle explode + ONE groupBy on the
+    span text."""
+    return dedup.span_census(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text",
+        n=8, min_docs=2, top=20,
+    )
+
+
+SQL_DUPLICATE_SPANS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 8),
+spans AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, p, p + 7), ' ') AS span
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS p FROM w)),
+census AS (
+  SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
+SELECT span, n_docs, n_occurrences FROM census
+ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT 20
+"""
+
+
+# -- semi-structured JSON extraction -------------------------------------------
+
+def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed extraction from the JSON ``props`` payload (``{"k": int}``)
+    + rollup by the extracted key — schema-on-read over a string column
+    with ``from_json``; the extraction is a narrow JVM expression that
+    pushes column pruning to the scan."""
+    ev = load(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+            .cast("double").alias("value_sum"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT CAST(props->>'$.k' AS INT) AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1
+"""
+
+
+# -- sliding-window streaming --------------------------------------------------
+
+def q_streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked SLIDING-window streaming aggregation (2-hour windows
+    every hour — each event lands in two windows), the overlapping
+    sibling of ``streaming_tumbling``. The oracle unions the two hour
+    offsets each event contributes to."""
+    import uuid
+
+    from reactivedb_spark.sources import stream_parquet_dir
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tstamp"),
+    )
+    root = tempfile.mkdtemp(prefix="rdb_slide_")
+    src = os.path.join(root, "in")
+    ev.repartition(3).write.mode("append").parquet(src)
+    name = "slide_" + uuid.uuid4().hex[:8]
+    agg = (
+        stream_parquet_dir(spark, src, ev.schema)
+        .withWatermark("tstamp", "3650 days")
+        .groupBy(F.window("tstamp", "2 hours", "1 hour"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("uid_sum"),
+        )
+    )
+    with streaming_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        (F.unix_timestamp("window.start") * F.lit(1_000_000)).cast("long")
+        .alias("win_start_us"),
+        "n", "uid_sum",
+    )
+
+
+SQL_STREAMING_SLIDING = """
+WITH e AS (SELECT epoch_us(ts) // 1000 * 1000 AS tus, user_id FROM events),
+ex AS (
+  SELECT (tus // 3600000000 - off) * 3600000000 AS win_start_us, user_id
+  FROM e, (SELECT unnest(range(0, 2)) AS off))
+SELECT CAST(win_start_us AS BIGINT) AS win_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS uid_sum
+FROM ex GROUP BY win_start_us
+"""
+
+
+# -- partition-pruned source round-trip ----------------------------------------
+
+def q_source_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-style partitioned parquet round-trip: orders written
+    ``partitionBy(o_orderpriority)``, read back with a partition
+    predicate — the filter prunes DIRECTORIES, not rows (the plan's
+    PartitionFilters; asserted in tests/test_pipeline_ops.py), which is
+    the 100 TB difference between scanning 2/5 of the table and all of
+    it. The aggregate then runs on the pruned scan."""
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="rdb_part_"), "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+        .cast("double").alias("price_sum"),
+    )
+
+
+SQL_SOURCE_PARTITIONED = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS price_sum
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+# -- product-quantization ANN --------------------------------------------------
+
+PQ_QUERY_ID = 0
+PQ_M, PQ_KSUB = 4, 16
+
+
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ/ADC approximate nearest neighbours: corpus compressed to m=4
+    one-byte codes per vector (seeded codebooks), query scored against
+    a broadcast LUT — exact int64 arithmetic end-to-end
+    (operators/similarity.py pq_topk)."""
+    emb = dedup.widen(load(spark, sf, "embeddings"))
+    return pq_topk(emb, "vec_id", "embedding", PQ_QUERY_ID,
+                   k=10, m=PQ_M, ksub=PQ_KSUB)
+
+
+def _sql_pq_topk(dim: int = 64, m: int = PQ_M, ksub: int = PQ_KSUB,
+                 qid: int = PQ_QUERY_ID, k: int = 10) -> str:
+    dsub = dim // m
+    return f"""
+WITH elem AS (
+  SELECT vec_id, g.j,
+         CAST(CAST(CAST(embedding[g.j] AS DOUBLE) AS DECIMAL(12,8)) * 100000000 AS BIGINT) AS xl
+  FROM embeddings, generate_series(1, {dim}) g(j)
+),
+seeds AS (
+  SELECT vec_id AS sid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub})),
+codebook AS (
+  SELECT CAST((e.j - 1) // {dsub} AS INT) AS s, sd.code, e.j, e.xl AS cl
+  FROM elem e JOIN seeds sd ON sd.sid = e.vec_id),
+d2 AS (
+  SELECT e.vec_id, cb.s, cb.code, sum((e.xl - cb.cl) * (e.xl - cb.cl)) AS d2
+  FROM elem e JOIN codebook cb ON cb.j = e.j
+  GROUP BY e.vec_id, cb.s, cb.code),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+    FROM d2) WHERE rn = 1),
+lut AS (
+  SELECT cb.s, cb.code, sum((q.xl - cb.cl) * (q.xl - cb.cl)) AS qd2
+  FROM codebook cb JOIN elem q ON q.j = cb.j AND q.vec_id = {qid}
+  GROUP BY cb.s, cb.code)
+SELECT c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS d2_fp
+FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+WHERE c.vec_id <> {qid}
+GROUP BY c.vec_id
+ORDER BY d2_fp ASC, c.vec_id LIMIT {k}
+"""
+
+
+SQL_PQ_TOPK = _sql_pq_topk()
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "resample_gapfill": q_resample_gapfill,
+    "rolling_avg": q_rolling_avg,
+    "price_histogram": q_price_histogram,
+    "winsorize_prices": q_winsorize_prices,
+    "table_profile": q_table_profile,
+    "duplicate_spans": q_duplicate_spans,
+    "events_json": q_events_json,
+    "streaming_sliding": q_streaming_sliding,
+    "source_partitioned": q_source_partitioned,
+    "pq_topk": q_pq_topk,
+}
+
+ORACLES = {
+    "bm25_topk": SQL_BM25_TOPK,
+    "resample_gapfill": SQL_RESAMPLE_GAPFILL,
+    "rolling_avg": SQL_ROLLING_AVG,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
+    "winsorize_prices": SQL_WINSORIZE_PRICES,
+    "table_profile": SQL_TABLE_PROFILE,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "events_json": SQL_EVENTS_JSON,
+    "streaming_sliding": SQL_STREAMING_SLIDING,
+    "source_partitioned": SQL_SOURCE_PARTITIONED,
+    "pq_topk": SQL_PQ_TOPK,
+}
