@@ -167,6 +167,83 @@ def span_census(df: DataFrame, id_col: str, text_col: str, n: int = 8,
     return out
 
 
+def span_dedup(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """Substring-level deduplication (the removal half of
+    :func:`span_census`, Lee et al.): every ``n``-word span that occurs
+    in 2+ documents keeps its canonical occurrence (the lowest-id
+    document containing the span) and is deleted everywhere else —
+    token positions covered by ANY removed span are dropped, so
+    overlapping duplicated spans merge naturally, and the surviving
+    tokens are re-joined in order.
+
+    Plan (100 TB): positions come from one ``posexplode``; spans join
+    their census on an md5 span key — a narrow equi-shuffle on a
+    16-byte hash instead of the span text. Removed intervals explode to
+    covered positions (``n``× the duplicated-occurrence volume — linear,
+    bounded by corpus tokens), distinct, and anti-join the token stream
+    on (id, pos); reconstruction is one ``collect_list(struct(pos,
+    token))`` + ``array_sort`` per document, which rides the same id
+    shuffle. No pair join anywhere.
+
+    Emits (id, clean_text, n_tokens, n_removed); documents that lose
+    every token keep a row with ``clean_text = ''``.
+    """
+    words = F.split(F.col(text_col), " ")
+    tokpos = cache.pin(
+        df.select(F.col(id_col).alias("_id"), F.posexplode(words).alias("_p", "token"))
+        # 1-based positions to match the span offsets below
+        .select("_id", (F.col("_p") + 1).alias("_p"), "token")
+    )
+    spans = (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(
+            "_id",
+            "_w",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1))).alias("_p"),
+        )
+        .select(
+            "_id", "_p",
+            F.md5(F.concat_ws(" ", F.expr(f"slice(_w, _p, {n})"))).alias("_h"),
+        )
+    )
+    spans = cache.pin(spans)
+    census = (
+        spans.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"), F.min("_id").alias("_keep"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h", "_keep")
+    )
+    removed = spans.join(census, "_h").filter(F.col("_id") != F.col("_keep"))
+    covered = (
+        removed.select(
+            "_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + (n - 1))).alias("_p")
+        ).distinct()
+    )
+    kept = tokpos.join(covered, ["_id", "_p"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = tokpos.groupBy("_id").agg(F.count("*").cast("long").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.0, **kwargs) -> DataFrame:
     """Exact character-n-gram Jaccard on LSH candidates: the same

@@ -199,3 +199,83 @@ def profile_oracle_sql(src: str, fields: list[tuple[str, bool]]) -> str:
             f"{mn} AS min_v, {mx} AS max_v FROM {src}"
         )
     return " UNION ALL ".join(selects)
+
+
+def sigma_outliers(df: DataFrame, group_col: str, col: str,
+                   k_sigma: int = 3, scale: int = 100) -> DataFrame:
+    """Per-group k-sigma outlier counting with EXACT distributed
+    algebra — no sqrt, no FP accumulation, no sketch.
+
+    The test |x − μ| > kσ is evaluated in cross-multiplied integer
+    form: (n·x − Σx)² > k²·(n·Σx² − (Σx)²), which is the same
+    inequality scaled by n² — every term is an exact integer (values
+    enter as ``round(x·scale)`` fixed-point) widened through decimals,
+    so the outlier decision is bit-identical in any engine. Two passes
+    over the group: one partial-aggregable moment aggregation (3 longs
+    per group), one map-side probe against the broadcast moment
+    relation.
+
+    Emits (group, n, mean, n_outliers); ``mean`` is the single double
+    division Σx/n at the original scale.
+
+    Headroom: with |x|·scale ≤ X and group rows ≤ N, needs
+    X·N < 10¹⁹ for the long moment sums and (N·X)² < 10³⁸ for the
+    decimal squares — e.g. X = 10⁷, N = 10⁹ fits.
+    """
+    xl = F.round(F.col(col).cast("double") * scale).cast("long")
+    base = df.select(F.col(group_col).alias("grp"), xl.alias("xl"))
+    mom = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xl").cast("long").alias("s"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("ssq"),
+    )
+    lhs = (F.col("n") * F.col("xl") - F.col("s")).cast("decimal(19,0)")
+    rhs = (
+        F.lit(k_sigma * k_sigma).cast("decimal(3,0)")
+        * (
+            F.col("n").cast("decimal(12,0)") * F.col("ssq").cast("decimal(19,0)")
+            - F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+        )
+    )
+    return (
+        base.join(F.broadcast(mom), "grp")
+        .select(
+            "grp", "n", "s",
+            (lhs * lhs > rhs).cast("long").alias("is_out"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.first("n").alias("n"),
+            (F.first("s").cast("double") / F.first("n") / F.lit(float(scale))).alias("mean"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def sigma_outliers_oracle_sql(src: str, group_col: str, col: str,
+                              k_sigma: int = 3, scale: int = 100) -> str:
+    k2 = k_sigma * k_sigma
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp,
+         CAST(round(CAST({col} AS DOUBLE) * {scale}) AS BIGINT) AS xl
+  FROM {src}),
+mom AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(xl) AS BIGINT) AS s,
+         CAST(sum(xl * xl) AS BIGINT) AS ssq
+  FROM base GROUP BY grp),
+probe AS (
+  SELECT b.grp, m.n, m.s,
+         CASE WHEN CAST(m.n * b.xl - m.s AS DECIMAL(19,0))
+                   * CAST(m.n * b.xl - m.s AS DECIMAL(19,0))
+                 > CAST({k2} AS DECIMAL(3,0))
+                   * (CAST(m.n AS DECIMAL(12,0)) * CAST(m.ssq AS DECIMAL(19,0))
+                      - CAST(m.s AS DECIMAL(19,0)) * CAST(m.s AS DECIMAL(19,0)))
+              THEN 1 ELSE 0 END AS is_out
+  FROM base b JOIN mom m ON m.grp = b.grp)
+SELECT grp AS {group_col}, CAST(any_value(n) AS BIGINT) AS n,
+       CAST(any_value(s) AS DOUBLE) / any_value(n) / {float(scale)!r} AS mean,
+       CAST(sum(is_out) AS BIGINT) AS n_outliers
+FROM probe GROUP BY grp
+"""

@@ -39,6 +39,7 @@ def all_queries():
         q[name] = scale.QUERIES[name]
     q.update(core.QUERIES)
     q.update(scale.QUERIES)
+    q.update(pipeline.QUERIES_TAIL)
     return q
 
 
@@ -52,4 +53,5 @@ def all_oracles():
             o[name] = scale.ORACLES[name]
     o.update(core.ORACLES)
     o.update(scale.ORACLES)
+    o.update(pipeline.ORACLES_TAIL)
     return o

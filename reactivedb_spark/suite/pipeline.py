@@ -380,3 +380,76 @@ ORACLES = {
     "source_partitioned": SQL_SOURCE_PARTITIONED,
     "pq_topk": SQL_PQ_TOPK,
 }
+
+
+# -- tail family (round 4c): registered AFTER the 50-query gate window --------
+
+def q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type 3-sigma outlier counting with exact cross-
+    multiplied integer algebra — no sqrt, no FP variance
+    (operators/numeric.py sigma_outliers)."""
+    return numeric.sigma_outliers(
+        load(spark, sf, "events"), group_col="event_type", col="value",
+        k_sigma=3, scale=100,
+    )
+
+
+SQL_ZSCORE_OUTLIERS = numeric.sigma_outliers_oracle_sql(
+    "events", group_col="event_type", col='"value"', k_sigma=3, scale=100
+)
+
+
+def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level dedup REWRITE: duplicated 8-word spans removed
+    everywhere except their lowest-id document, texts rebuilt from the
+    surviving tokens (dedup.span_dedup — census + anti-join, no pair
+    join)."""
+    return dedup.span_dedup(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text", n=8
+    )
+
+
+SQL_SPAN_DEDUP_REWRITE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+tokpos AS (
+  SELECT doc_id, p, list_extract(words, p) AS token
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS p FROM w)),
+spans AS (
+  SELECT doc_id, p,
+         md5(array_to_string(list_slice(words, p, p + 7), ' ')) AS h
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS p
+        FROM w WHERE len(words) >= 8)),
+census AS (
+  SELECT h, min(doc_id) AS keep FROM spans
+  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+removed AS (
+  SELECT s.doc_id, s.p FROM spans s
+  JOIN census c ON c.h = s.h WHERE s.doc_id <> c.keep),
+covered AS (
+  SELECT DISTINCT doc_id, p + o AS p
+  FROM removed, (SELECT unnest(range(0, 8)) AS o)),
+kept AS (
+  SELECT t.doc_id, t.p, t.token FROM tokpos t
+  ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p),
+rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM tokpos GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_tokens,
+       CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+QUERIES_TAIL = {
+    "zscore_outliers": q_zscore_outliers,
+    "span_dedup_rewrite": q_span_dedup_rewrite,
+}
+
+ORACLES_TAIL = {
+    "zscore_outliers": SQL_ZSCORE_OUTLIERS,
+    "span_dedup_rewrite": SQL_SPAN_DEDUP_REWRITE,
+}

@@ -245,3 +245,65 @@ def test_partitioned_roundtrip_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "color" in m.group(1), f"no partition filter in plan: {m}"
     assert back.count() == 10
+
+
+# -- sigma outliers --------------------------------------------------------------
+
+def test_sigma_outliers_exact_decision(spark):
+    # group "a": 10 values at 1.0 and one at 100.0 → the 100 is >3σ out;
+    # group "b": uniform → no outliers
+    rows = [("a", 1.0)] * 10 + [("a", 100.0)] + [("b", 5.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in
+           numeric.sigma_outliers(df, "g", "v", k_sigma=3, scale=100).collect()}
+    assert out["a"]["n"] == 11 and out["a"]["n_outliers"] == 1
+    assert out["b"]["n"] == 5 and out["b"]["n_outliers"] == 0
+    assert out["a"]["mean"] == pytest.approx((10 * 1.0 + 100.0) / 11)
+    # zero-variance group: rhs is 0, lhs is 0 for every row → no outliers
+    assert out["b"]["mean"] == pytest.approx(5.0)
+
+
+# -- span dedup rewrite ----------------------------------------------------------
+
+def test_span_dedup_removes_all_but_canonical(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y"),      # lowest doc id containing "a b c d"
+            (2, "p q a b c d r s"),  # loses positions 3-6
+            (3, "u v w z"),          # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.span_dedup(df, "doc_id", "text", n=4).collect()}
+    assert out[1]["clean_text"] == "a b c d x y"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "p q r s"
+    assert out[2]["n_removed"] == 4
+    assert out[3]["clean_text"] == "u v w z"
+    assert out[3]["n_tokens"] == 4
+
+
+def test_span_dedup_merges_overlapping_spans(spark):
+    # doc 2 shares the 5-token run "a b c d e" with doc 1 → its two
+    # overlapping duplicated 4-spans ("a b c d", "b c d e") cover
+    # positions 1-5 once (distinct), not twice
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.span_dedup(df, "doc_id", "text", n=4).collect()}
+    assert out[1]["clean_text"] == "a b c d e"
+    assert out[2]["clean_text"] == "z"
+    assert out[2]["n_removed"] == 5
+
+
+def test_span_dedup_can_empty_a_document(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.span_dedup(df, "doc_id", "text", n=4).collect()}
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 4
