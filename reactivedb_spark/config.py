@@ -89,6 +89,18 @@ class SampleTransformConfig:
 
 
 @dataclass(frozen=True)
+class ChunkTransformConfig:
+    """Extension transform #3: fixed-size token chunking with overlap —
+    each source row derives ``ceil((n - overlap) / stride)`` chunk rows
+    (context-window preprocessing as a reactive derived table)."""
+
+    source_table: str
+    text_column: str
+    chunk_size: int
+    overlap: int
+
+
+@dataclass(frozen=True)
 class DerivedTableConfig:
     name: str
     transform: object
@@ -160,6 +172,11 @@ def parse_transform(spec, name: str):
     if kind == "SampleTransform":
         return SampleTransformConfig(
             body["source_table"], body["key"], int(body["rate_pct"])
+        )
+    if kind == "ChunkTransform":
+        return ChunkTransformConfig(
+            body["source_table"], body["text_column"],
+            int(body.get("chunk_size", 64)), int(body.get("overlap", 16)),
         )
     raise ConfigError(f"table {name}: unknown transform type {kind!r}")
 

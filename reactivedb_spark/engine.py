@@ -34,6 +34,7 @@ from reactivedb_spark import constants as C
 from reactivedb_spark.config import (
     ActionTransformConfig,
     AggregationTransformConfig,
+    ChunkTransformConfig,
     DbConfig,
     DedupTransformConfig,
     FilterTransformConfig,
@@ -51,6 +52,7 @@ from reactivedb_spark.errors import (
 )
 from reactivedb_spark.operators import action as action_op
 from reactivedb_spark.operators import aggregation as agg_op
+from reactivedb_spark.operators import chunk_transform as chunk_tr_op
 from reactivedb_spark.operators import dedup_transform as dedup_tr_op
 from reactivedb_spark.operators import sample_transform as sample_tr_op
 from reactivedb_spark.operators import filter as filter_op
@@ -209,6 +211,8 @@ class Engine:
                 key_column = C.DEDUP_KEY
             elif isinstance(tr, SampleTransformConfig):
                 schema = sample_tr_op.output_schema(tr, pschemas[tr.source_table])
+            elif isinstance(tr, ChunkTransformConfig):
+                schema = chunk_tr_op.output_schema(tr, pschemas[tr.source_table])
             elif isinstance(tr, ActionTransformConfig):
                 if tr.name not in self._actions:
                     raise ConfigError(f"action {tr.name!r} not registered")
@@ -450,7 +454,8 @@ class Engine:
     def _apply_child(self, child: str, parent: str, d: Delta) -> Optional[Delta]:
         tr = self.tables[child].transform
         if isinstance(tr, (FunctionTransformConfig, FilterTransformConfig,
-                           ActionTransformConfig, SampleTransformConfig)):
+                           ActionTransformConfig, SampleTransformConfig,
+                           ChunkTransformConfig)):
             return self._apply_rowwise(child, tr, d)
         if isinstance(tr, UnionTransformConfig):
             return self._apply_union(child, tr, parent, d)
@@ -471,6 +476,8 @@ class Engine:
                 derived = filter_op.apply_delta(tr, d.inserts)
             elif isinstance(tr, SampleTransformConfig):
                 derived = sample_tr_op.apply_delta(tr, d.inserts)
+            elif isinstance(tr, ChunkTransformConfig):
+                derived = chunk_tr_op.apply_delta(tr, d.inserts)
             else:
                 act = self._actions[tr.name]
                 derived = action_op.apply_delta(tr, act, d.inserts, self.tables[child].schema)

@@ -453,3 +453,62 @@ ORACLES_TAIL = {
     "zscore_outliers": SQL_ZSCORE_OUTLIERS,
     "span_dedup_rewrite": SQL_SPAN_DEDUP_REWRITE,
 }
+
+
+def q_chunk_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-level ChunkTransform end-to-end (extension transform #3):
+    documents through the reactive engine into a chunked derived table
+    (size 32, overlap 8) with metadata passthrough — the oracle replays
+    the identical chunk math in SQL."""
+    import tempfile as _tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {"tables": [
+        {"Source": {"name": "documents", "columns": {
+            "doc_id": "Integer", "body": "Str", "lang": "Str"}}},
+        {"Derived": {"name": "doc_chunks",
+                     "transform_definition": {"ChunkTransform": {
+                         "source_table": "documents", "text_column": "body",
+                         "chunk_size": 32, "overlap": 8}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_chtq_"))
+    rows = [
+        {"doc_id": int(r["doc_id"]), "body": r["text"], "lang": r["lang"]}
+        for r in load(spark, sf, "documents")
+        .select("doc_id", "text", "lang").orderBy("doc_id").collect()
+    ]
+    eng.insert("documents", rows)
+    return eng.table("doc_chunks").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text", "lang",
+    )
+
+
+SQL_CHUNK_TRANSFORM = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+  FROM documents),
+d AS (SELECT doc_id, lang, t, len(t) AS n FROM toks WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, lang, t, n,
+         greatest(CAST(ceil((n - 8) / 24.0) AS INT), 1) AS nc
+  FROM d),
+e AS (
+  SELECT doc_id, lang, t, g.i AS chunk_no
+  FROM c CROSS JOIN generate_series(0, 1023) g(i) WHERE g.i < nc),
+s AS (
+  SELECT doc_id, lang, chunk_no,
+         list_slice(t, chunk_no * 24 + 1, chunk_no * 24 + 32) AS chunk
+  FROM e)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text, lang
+FROM s
+"""
+
+QUERIES_TAIL["chunk_transform"] = q_chunk_transform
+ORACLES_TAIL["chunk_transform"] = SQL_CHUNK_TRANSFORM
