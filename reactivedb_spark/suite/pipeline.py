@@ -512,3 +512,51 @@ FROM s
 
 QUERIES_TAIL["chunk_transform"] = q_chunk_transform
 ORACLES_TAIL["chunk_transform"] = SQL_CHUNK_TRANSFORM
+
+
+def q_zorder_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering end-to-end: orders written as 8 parquet files
+    Morton-clustered on (o_custkey, o_totalprice), read back through a
+    selective predicate on EACH dimension — correctness here, and the
+    skipping property (footer-stat file pruning on both columns) is
+    asserted in tests/test_layout.py."""
+    from reactivedb_spark.operators import layout
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="rdb_zord_"), "orders")
+    layout.zorder_write(o, "o_custkey", "o_totalprice", path, n_files=8)
+    back = spark.read.parquet(path)
+    lo_cust = back.filter(F.col("o_custkey") < 100)
+    hi_price = back.filter(F.col("o_totalprice") >= 400000.0)
+    return (
+        lo_cust.select(F.lit("cust_lt_100").alias("slice"), "o_orderkey", "o_totalprice")
+        .unionByName(
+            hi_price.select(F.lit("price_ge_400k").alias("slice"), "o_orderkey", "o_totalprice")
+        )
+        .groupBy("slice")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").alias("price_sum"),
+        )
+    )
+
+
+SQL_ZORDER_SCAN = """
+WITH s AS (
+  SELECT 'cust_lt_100' AS slice, o_orderkey, o_totalprice
+  FROM orders WHERE o_custkey < 100
+  UNION ALL
+  SELECT 'price_ge_400k' AS slice, o_orderkey, o_totalprice
+  FROM orders WHERE o_totalprice >= 400000.0)
+SELECT slice, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS price_sum
+FROM s GROUP BY slice
+"""
+
+QUERIES_TAIL["zorder_scan"] = q_zorder_scan
+ORACLES_TAIL["zorder_scan"] = SQL_ZORDER_SCAN
