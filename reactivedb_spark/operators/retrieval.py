@@ -6,8 +6,10 @@ Used in pipelines for targeted corpus slicing ("find docs about X"),
 eval-set mining, and retrieval-augmented filtering.
 
 Plan shape (100 TB): the query's term list is a driver-side constant,
-so the token stream is filtered to query terms AT THE SCAN (an `IN`
-predicate over a handful of strings — pushed down, no shuffle). Two
+so the exploded token stream is filtered to query terms immediately (a
+constant `IN` predicate evaluated inside the scan stage, before any
+shuffle — tokens are derived by the explode, so there is no storage
+column to push it into). Two
 keyed aggregations follow: per-(doc, term) term frequency and the
 per-doc length relation, joined on the doc id. The per-term document
 frequency relation has at most |query terms| rows and is broadcast.
@@ -60,7 +62,7 @@ def bm25_topk(
     avgdl = n_tokens / n_docs  # one IEEE division of two exact ints
 
     tf = (
-        tok.filter(F.col("token").isin(terms))  # constant IN — scan-pushed
+        tok.filter(F.col("token").isin(terms))  # constant IN, pre-shuffle
         .groupBy(id_col, "token")
         .agg(F.count("*").cast("long").alias("tf"))
     )
