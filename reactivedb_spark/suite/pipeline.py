@@ -560,3 +560,45 @@ FROM s GROUP BY slice
 
 QUERIES_TAIL["zorder_scan"] = q_zorder_scan
 ORACLES_TAIL["zorder_scan"] = SQL_ZORDER_SCAN
+
+
+def q_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-outer reconciliation: every customer and every order
+    survives, matched where possible — completes the join-type matrix
+    (inner/semi/anti/left-variants elsewhere). One shuffle on the join
+    key; the aggregate classifies match status."""
+    # each side filtered so all three statuses actually occur (the raw
+    # fixture is fully referential — an unfiltered full outer is inner)
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice").filter(
+        F.col("o_totalprice") >= 300000.0
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    status = (
+        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .when(F.col("o_orderkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("matched"))
+    )
+    return j.select(status.alias("status"), "o_totalprice").groupBy("status").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+        .cast("double").alias("price_sum"),
+    )
+
+
+SQL_FULL_OUTER_JOIN = """
+SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+            WHEN o.o_orderkey IS NULL THEN 'customer_only'
+            ELSE 'matched' END AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS price_sum
+FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice >= 300000.0) o
+  ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+QUERIES_TAIL["full_outer_join"] = q_full_outer_join
+ORACLES_TAIL["full_outer_join"] = SQL_FULL_OUTER_JOIN
