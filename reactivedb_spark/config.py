@@ -89,6 +89,16 @@ class SampleTransformConfig:
 
 
 @dataclass(frozen=True)
+class TextStatsTransformConfig:
+    """Extension transform #4: per-document text metrics (token/char
+    counts, alpha ratio, quality score, language guess, fingerprint) as
+    a stateless rowwise derived table."""
+
+    source_table: str
+    text_column: str
+
+
+@dataclass(frozen=True)
 class ChunkTransformConfig:
     """Extension transform #3: fixed-size token chunking with overlap —
     each source row derives ``ceil((n - overlap) / stride)`` chunk rows
@@ -173,6 +183,8 @@ def parse_transform(spec, name: str):
         return SampleTransformConfig(
             body["source_table"], body["key"], int(body["rate_pct"])
         )
+    if kind == "TextStatsTransform":
+        return TextStatsTransformConfig(body["source_table"], body["text_column"])
     if kind == "ChunkTransform":
         return ChunkTransformConfig(
             body["source_table"], body["text_column"],

@@ -40,6 +40,7 @@ from reactivedb_spark.config import (
     FilterTransformConfig,
     FunctionTransformConfig,
     SampleTransformConfig,
+    TextStatsTransformConfig,
     UnionTransformConfig,
     load_config,
     parse_config,
@@ -53,6 +54,7 @@ from reactivedb_spark.errors import (
 from reactivedb_spark.operators import action as action_op
 from reactivedb_spark.operators import aggregation as agg_op
 from reactivedb_spark.operators import chunk_transform as chunk_tr_op
+from reactivedb_spark.operators import textstats_transform as textstats_tr_op
 from reactivedb_spark.operators import dedup_transform as dedup_tr_op
 from reactivedb_spark.operators import sample_transform as sample_tr_op
 from reactivedb_spark.operators import filter as filter_op
@@ -213,6 +215,8 @@ class Engine:
                 schema = sample_tr_op.output_schema(tr, pschemas[tr.source_table])
             elif isinstance(tr, ChunkTransformConfig):
                 schema = chunk_tr_op.output_schema(tr, pschemas[tr.source_table])
+            elif isinstance(tr, TextStatsTransformConfig):
+                schema = textstats_tr_op.output_schema(tr, pschemas[tr.source_table])
             elif isinstance(tr, ActionTransformConfig):
                 if tr.name not in self._actions:
                     raise ConfigError(f"action {tr.name!r} not registered")
@@ -455,7 +459,7 @@ class Engine:
         tr = self.tables[child].transform
         if isinstance(tr, (FunctionTransformConfig, FilterTransformConfig,
                            ActionTransformConfig, SampleTransformConfig,
-                           ChunkTransformConfig)):
+                           ChunkTransformConfig, TextStatsTransformConfig)):
             return self._apply_rowwise(child, tr, d)
         if isinstance(tr, UnionTransformConfig):
             return self._apply_union(child, tr, parent, d)
@@ -478,6 +482,8 @@ class Engine:
                 derived = sample_tr_op.apply_delta(tr, d.inserts)
             elif isinstance(tr, ChunkTransformConfig):
                 derived = chunk_tr_op.apply_delta(tr, d.inserts)
+            elif isinstance(tr, TextStatsTransformConfig):
+                derived = textstats_tr_op.apply_delta(tr, d.inserts)
             else:
                 act = self._actions[tr.name]
                 derived = action_op.apply_delta(tr, act, d.inserts, self.tables[child].schema)

@@ -602,3 +602,66 @@ GROUP BY 1
 
 QUERIES_TAIL["full_outer_join"] = q_full_outer_join
 ORACLES_TAIL["full_outer_join"] = SQL_FULL_OUTER_JOIN
+
+
+def q_textstats_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-level TextStatsTransform end-to-end (extension transform
+    #4): documents through the reactive engine into a per-document
+    metrics table (token/char counts, alpha ratio, quality, language
+    guess, fingerprint) — the oracle recomputes every metric in SQL."""
+    import tempfile as _tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {"tables": [
+        {"Source": {"name": "documents", "columns": {
+            "doc_id": "Integer", "body": "Str", "src": "Str"}}},
+        {"Derived": {"name": "doc_stats",
+                     "transform_definition": {"TextStatsTransform": {
+                         "source_table": "documents", "text_column": "body"}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_tstq_"))
+    rows = [
+        {"doc_id": int(r["doc_id"]), "body": r["text"], "src": r["source"]}
+        for r in load(spark, sf, "documents")
+        .select("doc_id", "text", "source").orderBy("doc_id").collect()
+    ]
+    eng.insert("documents", rows)
+    return eng.table("doc_stats").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "src",
+        "n_tokens", "n_chars",
+        F.round("alpha_ratio", 9).alias("alpha_ratio"),
+        F.round("quality", 9).alias("quality"),
+        "lang_guess", "fingerprint",
+    )
+
+
+def _sql_textstats_transform() -> str:
+    from reactivedb_spark.suite.scale import (
+        LANG_ORDER, _lang_case_sql, _lang_score_sql,
+    )
+
+    scores = ", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in LANG_ORDER)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source AS src, text, {scores} FROM documents),
+base AS (
+  SELECT doc_id, src, text,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+         {_lang_case_sql()} AS lang_guess
+  FROM scored)
+SELECT doc_id, src, n_tokens, n_chars,
+       round(alpha_ratio, 9) AS alpha_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+             + alpha_ratio * 0.5, 9) AS quality,
+       lang_guess,
+       md5(lower(trim(text))) AS fingerprint
+FROM base
+"""
+
+
+QUERIES_TAIL["textstats_transform"] = q_textstats_transform
+ORACLES_TAIL["textstats_transform"] = _sql_textstats_transform()
