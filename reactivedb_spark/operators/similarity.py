@@ -429,3 +429,27 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
         .orderBy(F.col("d2_fp").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_topk_rerank(df: DataFrame, id_col: str, vec_col: str, query_id,
+                   k: int = 10, shortlist: int = 50,
+                   m: int = 4, ksub: int = 16) -> DataFrame:
+    """Two-stage ANN: PQ/ADC shortlist, exact re-rank — the production
+    recipe (FAISS IVF-PQ + refine). Stage 1 scans only the code table
+    (``pq_topk``'s plan: m integer adds per vector against a broadcast
+    LUT) and keeps the ``shortlist`` best approximate candidates; stage
+    2 loads the ORIGINAL vectors for just those candidates (a
+    shortlist-sized semi join — the only touch of the float data) and
+    scores exact fixed-point cosine. Recall is bounded by the shortlist
+    (ties broken by id at both stages, so the cut is deterministic and
+    oracle-able); cost stays ~code-table scan + |shortlist| exact
+    distances no matter the corpus size.
+
+    Returns (id, cos_sim) — exact cosines of the re-ranked top ``k``.
+    """
+    short = pq_topk(df, id_col, vec_col, query_id,
+                    k=shortlist, m=m, ksub=ksub).select(id_col)
+    cand = df.join(short, id_col, "left_semi").unionByName(
+        df.filter(F.col(id_col) == F.lit(query_id))
+    ).distinct()
+    return cosine_topk(cand, id_col, vec_col, query_id, k=k)

@@ -665,3 +665,67 @@ FROM base
 
 QUERIES_TAIL["textstats_transform"] = q_textstats_transform
 ORACLES_TAIL["textstats_transform"] = _sql_textstats_transform()
+
+
+def q_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage ANN (FAISS IVF-PQ + refine shape): PQ/ADC shortlist of
+    50 over the code table, then exact fixed-point cosine re-rank of
+    just those candidates — the float vectors are touched only for the
+    shortlist (similarity.pq_topk_rerank)."""
+    from reactivedb_spark.operators.similarity import pq_topk_rerank
+
+    emb = dedup.widen(load(spark, sf, "embeddings"))
+    return pq_topk_rerank(emb, "vec_id", "embedding", PQ_QUERY_ID,
+                          k=10, shortlist=50, m=PQ_M, ksub=PQ_KSUB)
+
+
+def _sql_pq_rerank(dim: int = 64, m: int = PQ_M, ksub: int = PQ_KSUB,
+                   qid: int = PQ_QUERY_ID, shortlist: int = 50, k: int = 10) -> str:
+    dsub = dim // m
+    return f"""
+WITH elem AS (
+  SELECT vec_id, g.j,
+         CAST(CAST(CAST(embedding[g.j] AS DOUBLE) AS DECIMAL(12,8)) * 100000000 AS BIGINT) AS xl
+  FROM embeddings, generate_series(1, {dim}) g(j)
+),
+seeds AS (
+  SELECT vec_id AS sid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub})),
+codebook AS (
+  SELECT CAST((e.j - 1) // {dsub} AS INT) AS s, sd.code, e.j, e.xl AS cl
+  FROM elem e JOIN seeds sd ON sd.sid = e.vec_id),
+d2 AS (
+  SELECT e.vec_id, cb.s, cb.code, sum((e.xl - cb.cl) * (e.xl - cb.cl)) AS d2
+  FROM elem e JOIN codebook cb ON cb.j = e.j
+  GROUP BY e.vec_id, cb.s, cb.code),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+    FROM d2) WHERE rn = 1),
+lut AS (
+  SELECT cb.s, cb.code, sum((q.xl - cb.cl) * (q.xl - cb.cl)) AS qd2
+  FROM codebook cb JOIN elem q ON q.j = cb.j AND q.vec_id = {qid}
+  GROUP BY cb.s, cb.code),
+short AS (
+  SELECT c.vec_id
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+  WHERE c.vec_id <> {qid}
+  GROUP BY c.vec_id
+  ORDER BY CAST(sum(l.qd2) AS BIGINT) ASC, c.vec_id LIMIT {shortlist}),
+q AS (SELECT j, xl AS ql FROM elem WHERE vec_id = {qid}),
+d AS (
+  SELECT e.vec_id, SUM(e.xl * q.ql) AS dot, SUM(e.xl * e.xl) AS n2
+  FROM elem e JOIN q USING (j) JOIN short s ON s.vec_id = e.vec_id
+  GROUP BY e.vec_id),
+qn AS (SELECT SUM(ql * ql) AS qn2 FROM q)
+SELECT vec_id,
+       round((CAST(dot AS DOUBLE) / 1e16)
+             / (sqrt(CAST(n2 AS DOUBLE) / 1e16) * sqrt(CAST(qn2 AS DOUBLE) / 1e16)), 9) AS cos_sim
+FROM d, qn
+ORDER BY cos_sim DESC, vec_id LIMIT {k}
+"""
+
+
+QUERIES_TAIL["pq_rerank"] = q_pq_rerank
+ORACLES_TAIL["pq_rerank"] = _sql_pq_rerank()

@@ -307,3 +307,21 @@ def test_span_dedup_can_empty_a_document(spark):
            dedup.span_dedup(df, "doc_id", "text", n=4).collect()}
     assert out[1]["clean_text"] == "a b c d"
     assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 4
+
+
+def test_pq_rerank_recovers_exact_ranking_with_full_shortlist(spark):
+    from reactivedb_spark.operators.similarity import cosine_topk, pq_topk_rerank
+
+    df = _clustered_vectors(spark)
+    # shortlist >= corpus → stage 2 sees everything → exact brute-force order
+    exact = [(r["vec_id"], r["cos_sim"])
+             for r in cosine_topk(df, "vec_id", "embedding", 0, k=5).collect()]
+    rr = [(r["vec_id"], r["cos_sim"])
+          for r in pq_topk_rerank(df, "vec_id", "embedding", 0,
+                                  k=5, shortlist=100, m=4, ksub=16).collect()]
+    assert rr == exact
+    # tight shortlist still surfaces the exact duplicate first, with an
+    # EXACT cosine (not the quantized distance)
+    top = pq_topk_rerank(df, "vec_id", "embedding", 0,
+                         k=1, shortlist=3, m=4, ksub=16).collect()[0]
+    assert top["vec_id"] == 100 and top["cos_sim"] == 1.0
