@@ -729,3 +729,51 @@ ORDER BY cos_sim DESC, vec_id LIMIT {k}
 
 QUERIES_TAIL["pq_rerank"] = q_pq_rerank
 ORACLES_TAIL["pq_rerank"] = _sql_pq_rerank()
+
+
+def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join: orders and customer written as
+    EXTERNAL parquet tables bucketed 8 ways on the customer key, then
+    joined — with both sides bucketed identically the SortMergeJoin
+    needs NO Exchange (asserted with broadcast disabled in
+    tests/test_pipeline_ops.py), which at 100 TB is the difference
+    between shuffling the fact table on every join and shuffling it
+    once at write time. Correctness vs a plain-join oracle."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="rdb_bkt_")
+    o = load(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    (o.write.mode("overwrite").format("parquet")
+       .bucketBy(8, "o_custkey").sortBy("o_custkey")
+       .option("path", os.path.join(root, "orders"))
+       .saveAsTable(f"orders_bkt_{tag}"))
+    (c.write.mode("overwrite").format("parquet")
+       .bucketBy(8, "c_custkey").sortBy("c_custkey")
+       .option("path", os.path.join(root, "customer"))
+       .saveAsTable(f"customer_bkt_{tag}"))
+    ob = spark.table(f"orders_bkt_{tag}")
+    cb = spark.table(f"customer_bkt_{tag}")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").alias("price_sum"),
+        )
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum,
+       CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS price_sum
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+QUERIES_TAIL["bucketed_join"] = q_bucketed_join
+ORACLES_TAIL["bucketed_join"] = SQL_BUCKETED_JOIN

@@ -325,3 +325,36 @@ def test_pq_rerank_recovers_exact_ranking_with_full_shortlist(spark):
     top = pq_topk_rerank(df, "vec_id", "embedding", 0,
                          k=1, shortlist=3, m=4, ksub=16).collect()[0]
     assert top["vec_id"] == 100 and top["cos_sim"] == 1.0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import os as _os
+
+    left = spark.createDataFrame(
+        [(i % 40, i, float(i)) for i in range(400)], "k long, id long, v double"
+    )
+    right = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(40)], "k2 long, grp string"
+    )
+    (left.write.mode("overwrite").format("parquet").bucketBy(8, "k").sortBy("k")
+         .option("path", str(tmp_path / "l")).saveAsTable("bkt_l_test"))
+    (right.write.mode("overwrite").format("parquet").bucketBy(8, "k2").sortBy("k2")
+          .option("path", str(tmp_path / "r")).saveAsTable("bkt_r_test"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l, r = spark.table("bkt_l_test"), spark.table("bkt_r_test")
+        join_only = l.join(r, l.k == r.k2)
+        plan = join_only._jdf.queryExecution().executedPlan().toString()
+        # both sides bucketed on the join key with equal counts: the
+        # SortMergeJoin reads co-located buckets — zero shuffles in the
+        # join subtree (a downstream groupBy on another key would still
+        # add its own, unrelated, exchange)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert join_only.groupBy("grp").count().count() == 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_l_test")
+        spark.sql("DROP TABLE IF EXISTS bkt_r_test")
