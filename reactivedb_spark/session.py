@@ -8,6 +8,7 @@ Arrow for the Pandas-UDF paths).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -34,6 +35,10 @@ def get_spark(app_name: str = "reactivedb_spark", cpus: int | None = None) -> Sp
         # reference's Rust isize ops.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # catalog tables (bucketed-join demo) should never clutter the
+        # caller's cwd with a spark-warehouse dir
+        .config("spark.sql.warehouse.dir",
+                os.path.join(tempfile.gettempdir(), "rdb_spark_warehouse"))
         .config("spark.ui.enabled", "false")
         # local mode: the driver IS the cluster — size its heap to the
         # host, not to a driver's usual coordination-only footprint (a
