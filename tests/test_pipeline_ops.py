@@ -358,3 +358,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_l_test")
         spark.sql("DROP TABLE IF EXISTS bkt_r_test")
+
+
+def test_ann_variants_recall_floor_on_fixture(spark):
+    """Approximation quality: on the sf0.001 embeddings fixture, each
+    ANN path's top-10 must overlap the exact brute-force top-10 by a
+    documented floor. All-exact arithmetic → the measured recall is a
+    deterministic property of the fixture, not a flaky statistic."""
+    from reactivedb_spark.operators.similarity import (
+        cosine_topk, ivf_seed_topk, pq_topk, pq_topk_rerank,
+    )
+    from reactivedb_spark.sources.readers import read_fixture
+
+    emb = read_fixture(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {r["vec_id"] for r in cosine_topk(emb, "vec_id", "embedding", 0, k=10).collect()}
+    assert len(exact) == 10
+
+    def recall(df):
+        return len({r["vec_id"] for r in df.collect()} & exact) / 10
+
+    # measured on this fixture (500 near-uniform vectors — a hard case
+    # for 4-byte seed-codebook quantization): pq 0.2, rerank@50 0.5,
+    # ivf(4/16) 0.9. Floors pin those levels; the ordering property —
+    # exact re-rank improves on raw ADC, and scanning 1/4 of the corpus
+    # (IVF) beats both — must always hold.
+    r_pq = recall(pq_topk(emb, "vec_id", "embedding", 0, k=10))
+    r_rr = recall(pq_topk_rerank(emb, "vec_id", "embedding", 0, k=10, shortlist=50))
+    r_ivf = recall(ivf_seed_topk(emb, "vec_id", "embedding", 0, k=10))
+    assert r_pq >= 0.2
+    assert r_rr >= 0.5 and r_rr >= r_pq
+    assert r_ivf >= 0.8
