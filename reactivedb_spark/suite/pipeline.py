@@ -777,3 +777,53 @@ GROUP BY c.c_mktsegment
 
 QUERIES_TAIL["bucketed_join"] = q_bucketed_join
 ORACLES_TAIL["bucketed_join"] = SQL_BUCKETED_JOIN
+
+
+def q_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user:
+    stage k counts users whose first stage-k event follows their first
+    stage-(k-1) event — strictly ordered, integer-ns comparisons, one
+    conditional aggregation per user then one global rollup (two
+    partial-aggregable groupBys, no self-join chain)."""
+    ev = load(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    # first click strictly after first view; first purchase strictly
+    # after that click
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    did_buy = did_click & F.col("t_buy").isNotNull() & (F.col("t_buy") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(did_view.cast("long")).cast("long").alias("n_view"),
+        F.sum(did_click.cast("long")).cast("long").alias("n_view_click"),
+        F.sum(did_buy.cast("long")).cast("long").alias("n_view_click_buy"),
+    )
+
+
+SQL_FUNNEL_STAGES = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_buy
+  FROM events GROUP BY user_id),
+flags AS (
+  SELECT
+    (t_view IS NOT NULL) AS did_view,
+    (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view) AS did_click,
+    (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+       AND t_buy IS NOT NULL AND t_buy > t_click) AS did_buy
+  FROM per_user)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN did_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN did_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN did_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_buy
+FROM flags
+"""
+
+QUERIES_TAIL["funnel_stages"] = q_funnel_stages
+ORACLES_TAIL["funnel_stages"] = SQL_FUNNEL_STAGES
