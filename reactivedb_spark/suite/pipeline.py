@@ -827,3 +827,111 @@ FROM flags
 
 QUERIES_TAIL["funnel_stages"] = q_funnel_stages
 ORACLES_TAIL["funnel_stages"] = SQL_FUNNEL_STAGES
+
+
+def q_source_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution on a parquet lake: generation 1 lands without
+    the discount column, generation 2 adds it; a mergeSchema read
+    unions both generations with NULLs where the old files lack the
+    column — the append-only lake upgrade path, no rewrite of old
+    data. Aggregate proves NULL accounting matches the oracle's
+    generation split exactly."""
+    li = load(spark, sf, "lineitem")
+    gen1 = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    gen2 = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="rdb_evo_"), "li")
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("l_discount").isNull().cast("long")).cast("long").alias("n_pre_evolution"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+        .cast("double").alias("qty_sum"),
+        F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("decimal(38,6)")
+        .cast("double").alias("disc_sum"),
+    )
+
+
+SQL_SOURCE_SCHEMA_EVOLUTION = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty_sum,
+       CAST(CAST(sum(CASE WHEN l_orderkey % 2 = 1
+                          THEN CAST(l_discount AS DECIMAL(18,6)) END)
+                 AS DECIMAL(38,6)) AS DOUBLE) AS disc_sum
+FROM lineitem
+"""
+
+QUERIES_TAIL["source_schema_evolution"] = q_source_schema_evolution
+ORACLES_TAIL["source_schema_evolution"] = SQL_SOURCE_SCHEMA_EVOLUTION
+
+
+def q_store_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot time travel through the engine store: two committed
+    generations of a keyed derived table; ``read_at`` the PREVIOUS
+    version must see exactly the first batch while the current version
+    sees the merge — both sides of the comparison emitted in one
+    relation (version, n, age_sum). Oracle replays the two batch
+    states from the fixture."""
+    import tempfile as _tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {"tables": [
+        {"Source": {"name": "users", "columns": {
+            "uid": "Integer", "age": "Integer"}}},
+        {"Derived": {"name": "latest",
+                     "transform_definition": {"UnionTransform": {
+                         "tables_and_foreign_keys": [["users", "uid"]]}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_ttq_"))
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey").orderBy("c_custkey")
+    rows = [{"uid": int(r["c_custkey"]), "age": int(r["c_nationkey"])}
+            for r in cust.collect()]
+    half = len(rows) // 2
+    eng.insert("users", rows[:half])
+    v1 = eng.store.current_version("latest")
+    # second batch overlaps the first half (updates) and adds the rest
+    updates = [{"uid": r["uid"], "age": r["age"] + 100} for r in rows[: half // 2]]
+    eng.insert("users", updates + rows[half:])
+    # UnionTransform stores its key as ``matchingKey``
+    old = eng.store.read_at("latest", v1).select(
+        F.lit("v1").alias("version"),
+        F.col("matchingKey").cast("long").alias("uid"),
+        F.col("age").cast("long").alias("age"),
+    )
+    cur = eng.table("latest").select(
+        F.lit("current").alias("version"),
+        F.col("matchingKey").cast("long").alias("uid"),
+        F.col("age").cast("long").alias("age"),
+    )
+    return old.unionByName(cur).groupBy("version").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("age").cast("long").alias("age_sum"),
+    )
+
+
+SQL_STORE_TIME_TRAVEL = """
+WITH ranked AS (
+  SELECT c_custkey AS uid, c_nationkey AS age,
+         row_number() OVER (ORDER BY c_custkey) AS rn,
+         count(*) OVER () AS total
+  FROM customer),
+v1 AS (SELECT uid, age FROM ranked WHERE rn <= total // 2),
+cur AS (
+  SELECT uid,
+         CASE WHEN rn <= (total // 2) // 2 THEN age + 100 ELSE age END AS age
+  FROM ranked)
+SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(age) AS BIGINT) AS age_sum FROM v1
+UNION ALL
+SELECT 'current', CAST(count(*) AS BIGINT), CAST(sum(age) AS BIGINT) FROM cur
+"""
+
+QUERIES_TAIL["store_time_travel"] = q_store_time_travel
+ORACLES_TAIL["store_time_travel"] = SQL_STORE_TIME_TRAVEL
