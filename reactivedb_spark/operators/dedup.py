@@ -120,6 +120,21 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.0, **kwargs) -> DataFrame:
+    """Max-containment |A∩B| / min(|A|,|B|) on LSH candidates — the
+    near-superset detector (quotes, boilerplate-wrapped copies, subset
+    posts) that Jaccard structurally under-scores when lengths differ.
+    Same LSH-prune → exact-verify plan and size gates as
+    :func:`jaccard_pairs`; one caveat is inherited and documented: the
+    candidate set comes from MinHash-LSH, whose collision probability
+    tracks JACCARD — a tiny doc inside a huge one may not be a
+    candidate (the oracle applies the same candidate rule, so gate
+    comparisons stay exact)."""
+    return jaccard_pairs(df, id_col, text_col, threshold=threshold,
+                         measure="containment", **kwargs)
+
+
 def span_census(df: DataFrame, id_col: str, text_col: str, n: int = 8,
                 min_docs: int = 2, top: int | None = 20) -> DataFrame:
     """Cross-document duplicated-span census: every ``n``-word sliding
@@ -373,7 +388,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   vocab: int | None = None,
                   n_docs: int | None = None,
                   broadcast_sets: bool | None = None,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = None,
+                  measure: str = "jaccard") -> DataFrame:
     """Exact token-set Jaccard on LSH candidates (LSH prune → exact verify).
 
     Two physical strategies, chosen by vocabulary size:
@@ -461,12 +477,26 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long"))
             .filter(F.col("n_inter") > 0)
         )
-    out = out.withColumn(
-        "jaccard",
-        F.col("n_inter").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-    ).select("doc_a", "doc_b", "jaccard")
-    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+    if measure == "containment":
+        # max-containment |A∩B| / min(|A|, |B|): near-superset detection —
+        # a short doc wholly quoted inside a long one scores 1.0 here
+        # while its Jaccard can be arbitrarily small
+        out = out.withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+        ).select("doc_a", "doc_b", "containment")
+        col = "containment"
+    elif measure == "jaccard":
+        out = out.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        ).select("doc_a", "doc_b", "jaccard")
+        col = "jaccard"
+    else:
+        raise ValueError(f"unknown measure {measure!r} (jaccard | containment)")
+    return out.filter(F.col(col) >= threshold) if threshold > 0 else out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:

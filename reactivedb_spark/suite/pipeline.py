@@ -935,3 +935,43 @@ SELECT 'current', CAST(count(*) AS BIGINT), CAST(sum(age) AS BIGINT) FROM cur
 
 QUERIES_TAIL["store_time_travel"] = q_store_time_travel
 ORACLES_TAIL["store_time_travel"] = SQL_STORE_TIME_TRAVEL
+
+
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-containment verify on LSH candidates — near-superset
+    detection (dedup.containment_pairs): same prune/verify plan as
+    dedup_jaccard, the score divides by min(|A|,|B|) instead of the
+    union size."""
+    return dedup.containment_pairs(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text"
+    )
+
+
+def _sql_dedup_containment() -> str:
+    from reactivedb_spark.suite.scale import (
+        _BANDED_CTE, _PAIRS_CTE, _SIG_CTE, _TOK_CTE,
+    )
+
+    return (
+        "WITH " + _TOK_CTE + ", " + _SIG_CTE + ", " + _BANDED_CTE + ", "
+        + _PAIRS_CTE + """,
+sets AS (
+  SELECT doc_id, list(DISTINCT token) AS toks,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+         sa.n_tok AS n_a, sb.n_tok AS n_b
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+FROM j WHERE n_inter > 0
+"""
+    )
+
+
+QUERIES_TAIL["dedup_containment"] = q_dedup_containment
+ORACLES_TAIL["dedup_containment"] = _sql_dedup_containment()

@@ -388,3 +388,25 @@ def test_ann_variants_recall_floor_on_fixture(spark):
     assert r_pq >= 0.2
     assert r_rr >= 0.5 and r_rr >= r_pq
     assert r_ivf >= 0.8
+
+
+def test_containment_scores_near_superset(spark):
+    # doc 2 is doc 1 plus wrapper text: containment 1.0, Jaccard 0.5
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "intro alpha beta gamma delta outro closing text"),
+            (3, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in dedup.containment_pairs(df, "doc_id", "text").collect()}
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(df, "doc_id", "text").collect()}
+    if (1, 2) in cont:  # LSH candidacy tracks Jaccard — tolerate a miss
+        assert cont[(1, 2)] == 1.0
+        assert jac[(1, 2)] == pytest.approx(0.5)
+    # invalid measure rejected
+    with pytest.raises(ValueError):
+        dedup.jaccard_pairs(df, "doc_id", "text", measure="dice")
