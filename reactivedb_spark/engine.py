@@ -14,7 +14,9 @@ strict ``<``, ``greater_than`` inclusive ``>=``, results in ascending key
 order (B+tree leaf order).
 
 Scale notes: every per-table step is one or two narrow/shuffle stages;
-affected-key semi-joins are broadcast; no driver-side row loops anywhere.
+affected-key semi-joins broadcast only below a staged-delta size gate
+(``_keyset``) — bulk ``insert_df`` batches above it stay unhinted so AQE
+picks the join strategy; no driver-side row loops anywhere.
 At cluster scale the store becomes Delta (MERGE instead of
 version-flipping) and propagation runs inside ``foreachBatch``
 (streaming/listen.py).
@@ -61,8 +63,24 @@ from reactivedb_spark.operators import filter as filter_op
 from reactivedb_spark.operators import function as function_op
 from reactivedb_spark.operators import union as union_op
 from reactivedb_spark.plans.dag import topo_order
+from reactivedb_spark.stats import broadcast_if_small
 from reactivedb_spark.store import ParquetSnapshotStore
 from reactivedb_spark.types import parse_type
+
+# Keyed merge paths join the batch's distinct key set against committed
+# state. Reactive deltas are tiny (broadcast is right), but the SAME code
+# runs under a bulk ``insert_df`` of a fact table — an unconditional hint
+# there broadcasts billions of keys and OOMs the driver (VERDICT r4,
+# "What's wrong" #1). The delta frames are file-backed (append_delta
+# stages them to parquet), so the operator layer's file-size gate applies
+# verbatim: hint only when the staged delta files fit the limit, else
+# leave the join unhinted and let AQE pick broadcast vs shuffle from
+# runtime stats.
+_DELTA_BROADCAST_LIMIT = 32 << 20  # staged delta parquet bytes
+
+
+def _keyset(df: DataFrame) -> DataFrame:
+    return broadcast_if_small(df, _DELTA_BROADCAST_LIMIT)
 
 
 @dataclass
@@ -523,7 +541,7 @@ class Engine:
         ids = parent_deleted.select(F.col(C.ENTRY_ID).alias("_pid"))
         state = self.store.read(child)
         cond = F.col(C.SOURCE_ENTRY_ID) == F.col("_pid")
-        child_del = self._stage_nonempty(child, state.join(F.broadcast(ids), cond, "left_semi"))
+        child_del = self._stage_nonempty(child, state.join(_keyset(ids), cond, "left_semi"))
         if child_del is None:
             return None
         st = self.tables[child]
@@ -535,12 +553,12 @@ class Engine:
                 ).distinct().collect()
             )
             keep = state.filter(F.col(C.PARTITION_BUCKET).isin(buckets)).join(
-                F.broadcast(ids), cond, "left_anti"
+                _keyset(ids), cond, "left_anti"
             )
             self._replace_keyed(child, keep, buckets)
         else:
             self.store.replace(
-                child, state.join(F.broadcast(ids), cond, "left_anti")
+                child, state.join(_keyset(ids), cond, "left_anti")
             )
         return child_del
 
@@ -560,7 +578,7 @@ class Engine:
             # bucket pre-filter prunes the state scan to the affected
             # partition dirs before the key semi/anti joins
             state_aff = state.filter(F.col(C.PARTITION_BUCKET).isin(buckets))
-            affected_old = state_aff.join(F.broadcast(keys), C.MATCHING_KEY, "left_semi")
+            affected_old = state_aff.join(_keyset(keys), C.MATCHING_KEY, "left_semi")
             merged = union_op.merge(
                 affected_old.drop(C.ENTRY_ID, C.PARTITION_BUCKET), normalized, op_schema
             )
@@ -568,7 +586,7 @@ class Engine:
                 child, self._with_bucket(self._with_entry_id(merged), C.MATCHING_KEY)
             )
             if staged is not None:
-                rest = state_aff.join(F.broadcast(keys), C.MATCHING_KEY, "left_anti")
+                rest = state_aff.join(_keyset(keys), C.MATCHING_KEY, "left_anti")
                 # sortWithinPartitions(key): parquet row-group min/max
                 # stats then skip within each bucket too (Z-order-lite)
                 self._replace_keyed(
@@ -605,7 +623,7 @@ class Engine:
             # decomposable + insert-only: merge delta partials into state,
             # never touching the parent table (O(delta) per batch)
             delta_groups = agg_op.compute_groups(tr, d.inserts)
-            state_affected = state_aff.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
+            state_affected = state_aff.join(_keyset(keys), C.AGGREGATED_COLUMN, "left_semi")
             new_groups = agg_op.merge_with_state(
                 tr, state_affected, delta_groups, d.inserts.schema
             )
@@ -614,7 +632,7 @@ class Engine:
             # from the parent (batched version of transform.rs:239)
             parent_rows = self.store.read(parent)
             affected = parent_rows.join(
-                F.broadcast(keys),
+                _keyset(keys),
                 parent_rows[tr.aggregated_column] == keys[C.AGGREGATED_COLUMN],
                 "left_semi",
             )
@@ -623,9 +641,9 @@ class Engine:
             child,
             self._with_bucket(self._with_entry_id(new_groups), C.AGGREGATED_COLUMN),
         )
-        old = state_aff.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_semi")
+        old = state_aff.join(_keyset(keys), C.AGGREGATED_COLUMN, "left_semi")
         old_staged = self._stage_nonempty(child, old)
-        rest = state_aff.join(F.broadcast(keys), C.AGGREGATED_COLUMN, "left_anti")
+        rest = state_aff.join(_keyset(keys), C.AGGREGATED_COLUMN, "left_anti")
         new_state = rest.unionByName(staged) if staged is not None else rest
         self._replace_keyed(
             child, new_state.sortWithinPartitions(C.AGGREGATED_COLUMN), buckets
@@ -676,7 +694,7 @@ class Engine:
                 parent_rows = self.store.read(parent)
                 cand = (
                     parent_rows.withColumn(C.DEDUP_KEY, dedup_tr_op.key_expr(tr.key))
-                    .join(F.broadcast(lost), C.DEDUP_KEY, "left_semi")
+                    .join(_keyset(lost), C.DEDUP_KEY, "left_semi")
                     .drop(C.DEDUP_KEY)
                 )
                 reps = dedup_tr_op.representatives(tr, cand)
