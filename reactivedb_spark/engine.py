@@ -388,10 +388,19 @@ class Engine:
         return self._commit(work)
 
     def insert_df(self, table: str, df: DataFrame,
-                  epoch: Optional[tuple] = None) -> dict[str, Delta]:
+                  epoch: Optional[tuple] = None,
+                  order_by: Optional[list] = None) -> dict[str, Delta]:
         """Bulk insert from a DataFrame (no driver round-trip). Intra-batch
         arrival order is partition order — documented deviation from the
         reference's per-row TCP ordering.
+
+        ``order_by=[cols]`` declares the batch's arrival order instead:
+        ``_seq`` is assigned ascending in that sort order (range-partitioned
+        sort, then per-partition monotonic ids — no single-partition window,
+        no driver round-trip), so order-sensitive downstream semantics
+        (first-writer-wins dedup, LWW union) behave as if the rows arrived
+        one by one in key order. This replaces the collect→row-list
+        anti-pattern for deterministic bulk ingest (VERDICT r4 #3).
 
         ``epoch=(key, id)`` records a streaming epoch inside this commit:
         it persists with the commit's meta (and is discarded by rollback),
@@ -409,6 +418,12 @@ class Engine:
         for b in business:
             if b not in df.columns:
                 out = out.withColumn(b, F.lit(None).cast(st.schema[b].dataType))
+        if order_by:
+            # monotonically_increasing_id is (partition_id << 33) + offset;
+            # after a range-partitioned sort both components ascend with the
+            # sort order, so _seq is totally ordered by order_by without a
+            # global window or contiguous numbering
+            out = out.orderBy(*order_by)
         out = out.withColumn(C.SEQ, F.lit(base) + F.monotonically_increasing_id())
         prepared = self._with_entry_id(out)
 

@@ -473,12 +473,12 @@ def q_chunk_transform(spark: SparkSession, sf: str) -> DataFrame:
                          "chunk_size": 32, "overlap": 8}}}},
     ]}
     eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_chtq_"))
-    rows = [
-        {"doc_id": int(r["doc_id"]), "body": r["text"], "lang": r["lang"]}
-        for r in load(spark, sf, "documents")
-        .select("doc_id", "text", "lang").orderBy("doc_id").collect()
-    ]
-    eng.insert("documents", rows)
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("body"),
+        "lang",
+    )
+    eng.insert_df("documents", docs, order_by=["doc_id"])
     return eng.table("doc_chunks").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("chunk_no").cast("long").alias("chunk_no"),
@@ -621,12 +621,12 @@ def q_textstats_transform(spark: SparkSession, sf: str) -> DataFrame:
                          "source_table": "documents", "text_column": "body"}}}},
     ]}
     eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_tstq_"))
-    rows = [
-        {"doc_id": int(r["doc_id"]), "body": r["text"], "src": r["source"]}
-        for r in load(spark, sf, "documents")
-        .select("doc_id", "text", "source").orderBy("doc_id").collect()
-    ]
-    eng.insert("documents", rows)
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("body"),
+        F.col("source").alias("src"),
+    )
+    eng.insert_df("documents", docs, order_by=["doc_id"])
     return eng.table("doc_stats").select(
         F.col("doc_id").cast("long").alias("doc_id"), "src",
         "n_tokens", "n_chars",
@@ -890,15 +890,26 @@ def q_store_time_travel(spark: SparkSession, sf: str) -> DataFrame:
                          "tables_and_foreign_keys": [["users", "uid"]]}}}},
     ]}
     eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_ttq_"))
-    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey").orderBy("c_custkey")
-    rows = [{"uid": int(r["c_custkey"]), "age": int(r["c_nationkey"])}
-            for r in cust.collect()]
-    half = len(rows) // 2
-    eng.insert("users", rows[:half])
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("uid"),
+        F.col("c_nationkey").cast("long").alias("age"),
+    )
+    # split by key order without materializing rows on the driver: the
+    # batch boundaries are the (total//2)-th and (total//4)-th smallest
+    # keys — two scalar collects, never the row set
+    total = cust.count()
+    half, quarter = total // 2, (total // 2) // 2
+    th_half = cust.orderBy("uid").limit(half).agg(F.max("uid")).first()[0]
+    th_quarter = cust.orderBy("uid").limit(quarter).agg(F.max("uid")).first()[0]
+    eng.insert_df("users", cust.filter(F.col("uid") <= th_half), order_by=["uid"])
     v1 = eng.store.current_version("latest")
-    # second batch overlaps the first half (updates) and adds the rest
-    updates = [{"uid": r["uid"], "age": r["age"] + 100} for r in rows[: half // 2]]
-    eng.insert("users", updates + rows[half:])
+    # second batch overlaps the first quarter (updates) and adds the rest
+    batch2 = (
+        cust.filter(F.col("uid") <= th_quarter)
+        .withColumn("age", F.col("age") + F.lit(100))
+        .unionByName(cust.filter(F.col("uid") > th_half))
+    )
+    eng.insert_df("users", batch2, order_by=["uid"])
     # UnionTransform stores its key as ``matchingKey``
     old = eng.store.read_at("latest", v1).select(
         F.lit("v1").alias("version"),

@@ -1338,10 +1338,10 @@ def q_dedup_transform(spark: SparkSession, sf: str) -> DataFrame:
     """Config-level DedupTransform end-to-end (SURVEY.md §7 phase 6 —
     extension operators in the reference's YAML surface): documents
     inserted through the reactive engine in doc_id order; the derived
-    table keeps the FIRST writer per normalized body. Determinism: the
-    list-insert path assigns ``_seq`` in list order, so the
-    representative is exactly min(doc_id) per key — which is the
-    oracle's GROUP BY."""
+    table keeps the FIRST writer per normalized body. Determinism:
+    ``insert_df(order_by=["doc_id"])`` assigns ``_seq`` ascending in
+    doc_id order without a driver round-trip, so the representative is
+    exactly min(doc_id) per key — which is the oracle's GROUP BY."""
     import tempfile as _tempfile
 
     from reactivedb_spark.engine import Engine
@@ -1354,12 +1354,11 @@ def q_dedup_transform(spark: SparkSession, sf: str) -> DataFrame:
                          "source_table": "documents", "key": "body"}}}},
     ]}
     eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_ddtq_"))
-    rows = [
-        {"doc_id": int(r["doc_id"]), "body": r["text"]}
-        for r in load(spark, sf, "documents")
-        .select("doc_id", "text").orderBy("doc_id").collect()
-    ]
-    eng.insert("documents", rows)
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("body"),
+    )
+    eng.insert_df("documents", docs, order_by=["doc_id"])
     return eng.table("unique_docs").select(
         "dedupKey", F.col("doc_id").cast("long").alias("doc_id")
     )

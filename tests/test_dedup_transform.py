@@ -157,3 +157,27 @@ def test_sample_transform_rejects_bad_rate(spark):
     ]}
     with pytest.raises(ConfigError):
         Engine(spark, bad, workspace=tempfile.mkdtemp(prefix="rdb_st_"))
+
+
+def test_insert_df_order_by_picks_first_writer_deterministically(spark, eng):
+    """insert_df(order_by=["doc_id"]) must behave like per-row inserts in
+    doc_id order: the representative per body is min(doc_id), regardless
+    of the input DataFrame's partitioning/row order."""
+    import random
+
+    from pyspark.sql import types as T
+
+    rows = [(i, f"body-{i % 17}", i) for i in range(200)]
+    random.Random(7).shuffle(rows)  # hostile input order
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("body", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]),
+    ).repartition(8)  # hostile partitioning
+    eng.insert_df("docs", df, order_by=["doc_id"])
+    got = {r["dedupKey"]: r["doc_id"] for r in eng.table("unique_docs").collect()}
+    assert len(got) == 17
+    assert sorted(got.values()) == list(range(17))  # min doc_id per body
