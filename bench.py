@@ -129,6 +129,10 @@ def main() -> None:
     _warm_streaming(spark)  # pay streaming-engine init outside any query
 
     queries = run_suite(spark, sf_dir)
+    # cheapest-first inside the JSON line: stdout captures that keep only
+    # the tail of a long line then lose the cheap rows, not the heavy ones
+    # (BENCH_r04 lost 34 rows to front-truncation — VERDICT r4 #4)
+    queries = dict(sorted(queries.items(), key=lambda kv: kv[1]))
     payload = {
         "metric": "suite_wall",
         "value": round(sum(queries.values()), 3),
@@ -138,6 +142,14 @@ def main() -> None:
     }
     if "--micro" in sys.argv:
         payload["micro"] = run_micro(spark)
+    # the full record also lands on disk, immune to any stdout capture
+    # limit; the driver commits stray files at round end
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(payload))
 
 

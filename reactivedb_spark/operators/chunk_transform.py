@@ -58,6 +58,13 @@ def output_schema(cfg: ChunkTransformConfig, parent: T.StructType) -> T.StructTy
             "ChunkTransform: need 0 <= overlap < chunk_size, got "
             f"{cfg.overlap}/{cfg.chunk_size}"
         )
+    derived = ("chunk_no", "n_chunk_tokens", "chunk_text")
+    clash = [f.name for f in passthrough_fields(cfg, parent) if f.name in derived]
+    if clash:
+        raise ConfigError(
+            f"ChunkTransform: parent columns {clash} collide with derived "
+            f"output columns {list(derived)}"
+        )
     fields = [
         T.StructField(C.ENTRY_ID, T.StringType(), False),
         T.StructField(C.SOURCE_ENTRY_ID, T.StringType(), True),

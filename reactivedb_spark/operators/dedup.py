@@ -122,15 +122,20 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.0, **kwargs) -> DataFrame:
-    """Max-containment |A∩B| / min(|A|,|B|) on LSH candidates — the
-    near-superset detector (quotes, boilerplate-wrapped copies, subset
-    posts) that Jaccard structurally under-scores when lengths differ.
-    Same LSH-prune → exact-verify plan and size gates as
-    :func:`jaccard_pairs`; one caveat is inherited and documented: the
-    candidate set comes from MinHash-LSH, whose collision probability
-    tracks JACCARD — a tiny doc inside a huge one may not be a
-    candidate (the oracle applies the same candidate rule, so gate
-    comparisons stay exact)."""
+    """Max-containment |A∩B| / min(|A|,|B|) as the SCORE on MinHash-LSH
+    candidate pairs. Containment scoring corrects Jaccard's length bias
+    on the pairs that ARE examined, but **recall is bounded by the
+    Jaccard-tuned LSH candidate stage**: collision probability tracks
+    Jaccard, so the headline asymmetric case — a tiny document wholly
+    contained in a much larger one — has LOW Jaccard and often never
+    becomes a candidate at all. This is therefore a containment
+    re-scorer for near-duplicate-sized pairs, not a general near-superset
+    detector; full asymmetric recall needs a dedicated candidate path
+    (size-stratified signatures, or span_census/containment sketches à
+    la Broder), which this operator does not implement. The oracle
+    applies the identical candidate rule, so gate comparisons stay
+    exact. Same LSH-prune → exact-verify plan and size gates as
+    :func:`jaccard_pairs`."""
     return jaccard_pairs(df, id_col, text_col, threshold=threshold,
                          measure="containment", **kwargs)
 

@@ -218,9 +218,14 @@ def sigma_outliers(df: DataFrame, group_col: str, col: str,
     Emits (group, n, mean, n_outliers); ``mean`` is the single double
     division Σx/n at the original scale.
 
-    Headroom: with |x|·scale ≤ X and group rows ≤ N, needs
-    X·N < 10¹⁹ for the long moment sums and (N·X)² < 10³⁸ for the
-    decimal squares — e.g. X = 10⁷, N = 10⁹ fits.
+    Headroom: with |x|·scale ≤ X and group rows ≤ N, the binding
+    constraint is the int64 square sum ``ssq = Σx²``: needs N·X² < 2⁶³
+    (and N·X < 2⁶³ for ``s``; the decimal probe terms then need
+    (N·X)² < 10³⁸). E.g. X = 10⁷ allows N ≈ 9·10⁴ rows per group;
+    X = 10⁴ allows N ≈ 9·10¹⁰. Larger products must pre-scale down
+    (smaller ``scale``) or the int64 sums overflow — wrapping silently
+    in non-ANSI Spark and erroring in ANSI/DuckDB, so the bound is the
+    documented contract, not a soft estimate.
     """
     xl = F.round(F.col(col).cast("double") * scale).cast("long")
     base = df.select(F.col(group_col).alias("grp"), xl.alias("xl"))

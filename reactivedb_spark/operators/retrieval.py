@@ -58,7 +58,12 @@ def bm25_topk(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("n_tokens"),
     ).collect()[0]
-    n_docs, n_tokens = int(stats["n_docs"]), int(stats["n_tokens"])
+    n_docs, n_tokens = int(stats["n_docs"]), int(stats["n_tokens"] or 0)
+    if n_docs == 0:
+        raise ValueError(
+            "bm25_topk: corpus has no token-bearing documents "
+            f"({id_col}/{text_col} yielded zero tokens) — N and avgdl are undefined"
+        )
     avgdl = n_tokens / n_docs  # one IEEE division of two exact ints
 
     tf = (

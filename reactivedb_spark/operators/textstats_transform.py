@@ -56,6 +56,13 @@ def output_schema(cfg: TextStatsTransformConfig, parent: T.StructType) -> T.Stru
             f"TextStatsTransform: text column {cfg.text_column!r} must be Str, "
             f"got {parent[cfg.text_column].dataType.simpleString()}"
         )
+    derived = tuple(f.name for f in STAT_FIELDS)
+    clash = [f.name for f in passthrough_fields(cfg, parent) if f.name in derived]
+    if clash:
+        raise ConfigError(
+            f"TextStatsTransform: parent columns {clash} collide with derived "
+            f"stat columns {list(derived)}"
+        )
     fields = [
         T.StructField(C.ENTRY_ID, T.StringType(), False),
         T.StructField(C.SOURCE_ENTRY_ID, T.StringType(), True),

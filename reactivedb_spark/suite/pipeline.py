@@ -498,8 +498,9 @@ c AS (
          greatest(CAST(ceil((n - 8) / 24.0) AS INT), 1) AS nc
   FROM d),
 e AS (
-  SELECT doc_id, lang, t, g.i AS chunk_no
-  FROM c CROSS JOIN generate_series(0, 1023) g(i) WHERE g.i < nc),
+  -- per-row unbounded series: no silent cap on chunks per document
+  SELECT doc_id, lang, t, unnest(range(0, nc)) AS chunk_no
+  FROM c),
 s AS (
   SELECT doc_id, lang, chunk_no,
          list_slice(t, chunk_no * 24 + 1, chunk_no * 24 + 32) AS chunk

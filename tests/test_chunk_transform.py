@@ -114,3 +114,22 @@ def test_invalid_configs_raise(spark):
     }
     with pytest.raises(ConfigError):
         Engine(spark, non_str, workspace=tempfile.mkdtemp(prefix="rdb_chb3_"))
+
+
+def test_passthrough_collision_with_derived_names_rejected(spark):
+    import tempfile
+
+    import pytest as _pytest
+
+    from reactivedb_spark.engine import Engine
+    from reactivedb_spark.errors import ConfigError
+
+    bad = {"tables": [
+        {"Source": {"name": "t", "columns": {
+            "doc_id": "Integer", "body": "Str", "chunk_no": "Integer"}}},
+        {"Derived": {"name": "d", "transform_definition": {
+            "ChunkTransform": {"source_table": "t", "text_column": "body",
+                               "chunk_size": 8, "overlap": 2}}}},
+    ]}
+    with _pytest.raises(ConfigError, match="collide"):
+        Engine(spark, bad, workspace=tempfile.mkdtemp(prefix="rdb_cc_"))

@@ -410,3 +410,11 @@ def test_containment_scores_near_superset(spark):
     # invalid measure rejected
     with pytest.raises(ValueError):
         dedup.jaccard_pairs(df, "doc_id", "text", measure="dice")
+
+
+def test_bm25_empty_corpus_raises_value_error(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id: long, text: string"
+    )
+    with pytest.raises(ValueError, match="no token-bearing documents"):
+        retrieval.bm25_topk(df, "apple banana")

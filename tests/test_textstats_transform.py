@@ -67,3 +67,21 @@ def test_stats_rejects_non_string_column(spark):
     }
     with pytest.raises(ConfigError):
         Engine(spark, bad, workspace=tempfile.mkdtemp(prefix="rdb_tstb_"))
+
+
+def test_passthrough_collision_with_stat_names_rejected(spark):
+    import tempfile
+
+    import pytest as _pytest
+
+    from reactivedb_spark.engine import Engine
+    from reactivedb_spark.errors import ConfigError
+
+    bad = {"tables": [
+        {"Source": {"name": "t", "columns": {
+            "doc_id": "Integer", "body": "Str", "n_tokens": "Integer"}}},
+        {"Derived": {"name": "d", "transform_definition": {
+            "TextStatsTransform": {"source_table": "t", "text_column": "body"}}}},
+    ]}
+    with _pytest.raises(ConfigError, match="collide"):
+        Engine(spark, bad, workspace=tempfile.mkdtemp(prefix="rdb_tsc_"))
