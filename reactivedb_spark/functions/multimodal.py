@@ -5,13 +5,16 @@ Design (per the build spec): image/audio/video payloads are opaque
 sampling run as Arrow-batched Pandas UDFs over ``mapInPandas`` so the
 bytes never take the row-at-a-time Python path.
 
-Codec status: **PNG decode/encode is REAL** — a pure-stdlib (zlib +
-struct) implementation that parses actual chunk headers, verifies CRCs,
-inflates IDAT and de-filters scanlines (all five PNG filter types).
-``decode_metadata`` dispatches on the payload's magic bytes: real PNG
-parsing for PNG payloads, and a clearly-marked deterministic fake for
-formats whose codecs aren't in this container (JPEG/WebP/audio/video —
-a real deployment drops PIL/ffmpeg behind the same signatures).
+Codec status: **PNG, baseline JPEG and PCM16 WAV decode/encode are
+REAL** — pure stdlib(+numpy) implementations: PNG parses chunk headers,
+verifies CRCs, inflates IDAT and de-filters scanlines (all five filter
+types); JPEG is a genuine baseline-DCT decoder (functions/jpeg.py —
+file-defined Huffman/quant tables, restart markers, sampling factors,
+exact separable IDCT); WAV walks RIFF chunks. ``decode_metadata``
+dispatches on the payload's magic bytes: real parse for PNG/JPEG, and a
+clearly-marked deterministic fake for formats whose codecs aren't in
+this container (WebP/video — a real deployment drops PIL/ffmpeg behind
+the same signatures).
 
 At 100 TB the payload column dominates I/O: keep payloads in their own
 parquet column (column pruning skips them unless referenced), partition
@@ -25,6 +28,11 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+# module-level so worker-side closures reach jpeg through this module's
+# (by-value-pickled) globals — a runtime `from reactivedb_spark...`
+# import inside a UDF would fail on workers without the repo on sys.path
+from reactivedb_spark.functions import jpeg as _jpeg
+
 def _register_self_by_value() -> None:
     """Worker processes may not have this package on sys.path (the driver
     controls cwd/sys.path); registering this module for cloudpickle
@@ -35,6 +43,7 @@ def _register_self_by_value() -> None:
         from pyspark import cloudpickle
 
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        cloudpickle.register_pickle_by_value(_jpeg)
     except Exception:
         pass
 
@@ -301,13 +310,21 @@ def decode_wav(df: DataFrame, id_col: str, payload_col: str = "payload") -> Data
 
 def decode_bytes(payload: bytes) -> dict:
     """Dispatching decoder: REAL parse for formats we have a codec for
-    (PNG), deterministic stub otherwise."""
+    (PNG, baseline JPEG), deterministic stub otherwise."""
     if payload[:8] == PNG_MAGIC:
         info = png_decode_bytes(payload)
         return {
             "width": info["width"],
             "height": info["height"],
             "format": "png",
+            "n_bytes": len(payload),
+        }
+    if payload[:2] == _jpeg.JPEG_MAGIC:
+        info = _jpeg.jpeg_decode_bytes(payload)
+        return {
+            "width": info["width"],
+            "height": info["height"],
+            "format": "jpeg",
             "n_bytes": len(payload),
         }
     return fake_decode_bytes(payload)
@@ -372,6 +389,63 @@ def decode_png(df: DataFrame, id_col: str, payload_col: str = "payload") -> Data
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def encode_jpeg(df: DataFrame, id_col: str, text_col: str = "text",
+                blocks_per_row: int = 16) -> DataFrame:
+    """(id, payload): REAL baseline JPEG per row — each UTF-8 byte of
+    ``text_col`` becomes one constant 8×8 block (exact round-trip by
+    construction, functions/jpeg.py). Arrow-batched."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                _jpeg.jpeg_encode_bytes((t or "").encode("utf-8"), blocks_per_row)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    _register_self_by_value()
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def decode_jpeg(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """(id, width, height, n_components, pix_sum): REAL baseline-DCT
+    decode of the actual bytes — geometry from the parsed SOF0, pix_sum
+    over the entropy-decoded + dequantized + IDCT'd luma plane."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_components", T.LongType()),
+            T.StructField("pix_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                info = _jpeg.jpeg_decode_bytes(bytes(payload))
+                rows.append(
+                    (rid, info["width"], info["height"], info["n_components"],
+                     sum(info["pixels"]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_components", "pix_sum"],
+            )
+
+    _register_self_by_value()
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fixture helper: fabricate a binary payload column from text (the
     fixtures carry no true binary column)."""
@@ -415,6 +489,23 @@ def _png_gray_plane(payload: bytes):
     return px, info["width"], info["height"]
 
 
+def _gray_plane(payload: bytes):
+    """(gray_pixels, width, height) for any payload with a real codec
+    (PNG channel-mean plane, JPEG decoded luma plane), else None —
+    resize/extract_features dispatch through this so every decodable
+    format gets true pixel content."""
+    plane = _png_gray_plane(payload)
+    if plane is not None:
+        return plane
+    if payload[:2] == _jpeg.JPEG_MAGIC:
+        try:
+            info = _jpeg.jpeg_decode_bytes(payload)
+        except (ValueError, NotImplementedError):
+            return None
+        return info["pixels"], info["width"], info["height"]
+    return None
+
+
 def resize(df: DataFrame, id_col: str, payload_col: str = "payload",
            target: int = 64) -> DataFrame:
     """Resize to ≤ ``target``×``target``: for PNG payloads this is a REAL
@@ -435,7 +526,7 @@ def resize(df: DataFrame, id_col: str, payload_col: str = "payload",
             outs = []
             for b in pdf[payload_col]:
                 b = bytes(b or b"")
-                plane = _png_gray_plane(b)
+                plane = _gray_plane(b)
                 if plane is not None:
                     px, w, h = plane
                     tw, th = min(target, w), min(target, h)
@@ -474,7 +565,7 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str = "payload",
             feats = []
             for b in pdf[payload_col]:
                 b = bytes(b or b"")
-                plane = _png_gray_plane(b)
+                plane = _gray_plane(b)
                 data = plane[0] if plane is not None else b
                 buckets = [0.0] * dim
                 counts = [0] * dim

@@ -38,7 +38,8 @@ _WINDOW = (
     "source_schema_evolution",
     "store_time_travel",
     "dedup_containment",
-    # round-5 additions go here (never driver-checked by definition)
+    # round-5 additions (never driver-checked by definition)
+    "multimodal_jpeg_decode",
     # stalest greens: r2-only
     "sessionize",
     # r3-only single-green
@@ -80,7 +81,6 @@ _WINDOW = (
     "dedup_minhash",
     "similarity_topk",
     "lang_id",
-    "multimodal_decode",
 )
 assert len(_WINDOW) == 50
 
