@@ -103,3 +103,80 @@ def test_single_key_commit_rewrites_only_affected_buckets(spark, workspace):
 
     # and the merged value is visible
     assert eng.find_one("u", "matchingKey", "user7")["age"] == 99
+
+
+KEYED_ORDERS_CFG = {
+    "tables": [
+        {"Source": {"name": "orders", "columns": {
+            "o_orderkey": "Integer", "o_totalprice": "Float"}}},
+        {"Derived": {"name": "latest",
+                     "transform_definition": {"UnionTransform": {
+                         "tables_and_foreign_keys": [["orders", "o_orderkey"]]}}}},
+    ]
+}
+
+
+def test_range_verbs_push_filters_and_rowgroup_stats_skip(spark, workspace):
+    """VERDICT r4 #6: at a larger fixture the verbs must not degenerate
+    to stat-blind full scans. Point lookups prune hash buckets (asserted
+    above); range verbs get (a) the predicate pushed into the parquet
+    scan and (b) sortWithinPartitions(key) row-group min/max stats that
+    make most row groups skippable for a selective range — the reader
+    prunes them from the pushed filter. Row groups are forced small so
+    each bucket file holds several."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    old_page = hconf.get("parquet.page.size")
+    hconf.set("parquet.block.size", "4096")
+    hconf.set("parquet.page.size", "1024")
+    try:
+        eng = Engine(spark, KEYED_ORDERS_CFG, workspace=workspace)
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+            F.col("o_orderkey").cast("long"),
+            F.col("o_totalprice"),
+        )
+        eng.insert_df("orders", orders)
+    finally:
+        (hconf.set if old_block else hconf.unset)(*(k for k in ["parquet.block.size", old_block] if k is not None))
+        (hconf.set if old_page else hconf.unset)(*(k for k in ["parquet.page.size", old_page] if k is not None))
+
+    probe = 3000  # ~10th percentile of 1..30000 orderkeys
+
+    def pushed(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", buf.getvalue())
+        return m.group(1) if m else ""
+
+    lt = eng.less_than("latest", "matchingKey", probe)
+    gt = eng.greater_than("latest", "matchingKey", probe)
+    assert "LessThan(matchingKey" in pushed(lt), pushed(lt)
+    assert "GreaterThanOrEqual(matchingKey" in pushed(gt), pushed(gt)
+
+    # footer-stat skippability: per-bucket sorted state → disjoint
+    # row-group key ranges → a selective `<` probe overlaps few groups
+    files = glob.glob(os.path.join(eng.store._dir("latest"), "_kb=*", "*.parquet"))
+    assert files
+    total = overlapping = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = {md.schema.column(i).name: i for i in range(len(md.schema.names))}["matchingKey"]
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            total += 1
+            if st.min < probe:  # reader must read it for `< probe`
+                overlapping += 1
+    assert total >= 3 * len(files), f"row groups not split ({total} in {len(files)} files)"
+    assert overlapping / total <= 0.35, (overlapping, total)
+
+    # correctness at the verbs themselves (TPC-H orderkeys are sparse)
+    want_lt = orders.filter(F.col("o_orderkey") < probe).count()
+    assert lt.count() == want_lt > 0
+    assert gt.count() == orders.count() - want_lt
