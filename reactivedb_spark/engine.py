@@ -164,6 +164,8 @@ class Engine:
                 self.register_action(name, fn)
         self._seq = 1
         self._listeners: dict[str, list] = {}
+        self._dispatch_q = None  # lazy async-listener drain queue
+        self.listener_errors: list = []
         self.tables: dict[str, TableState] = {}
         self._build_states()
         workspace = workspace or tempfile.mkdtemp(prefix="reactivedb_spark_")
@@ -780,17 +782,60 @@ class Engine:
         return self._verb(table, column).filter(F.col(column) >= F.lit(key)).orderBy(column)
 
     # -- listen ------------------------------------------------------------
-    def listen(self, table: str, event: str, callback: Callable[[DataFrame], None]) -> None:
+    def listen(self, table: str, event: str, callback: Callable[[DataFrame], None],
+               asynchronous: bool = False) -> None:
         """Subscribe to committed Insert/Delete events on a table
         (StartListen, network_types.rs:52-66). No backfill, like the
-        reference (late subscription sees only future commits)."""
+        reference (late subscription sees only future commits).
+
+        Delivery contract: synchronous subscribers (default) run on the
+        committing thread AFTER the commit is durable — a slow callback
+        therefore delays the insert/delete call's return (never the
+        commit's atomicity). ``asynchronous=True`` decouples the
+        subscriber like the reference's mpsc channel push
+        (listener_hook.rs:56-84 hands deltas to a channel, the TCP
+        writer drains it): deltas are queued and a daemon drain thread
+        invokes the callback, so a slow subscriber cannot stall commit
+        throughput. ``flush_listeners()`` is the barrier; subscriber
+        exceptions are collected in ``listener_errors`` (they must not
+        poison the drain thread or other subscribers)."""
         if event not in ("Insert", "Delete"):
             raise ConfigError(f"unknown listen event {event!r}")
         self._state(table)
-        self._listeners.setdefault(table, []).append((event, callback))
+        self._listeners.setdefault(table, []).append((event, callback, asynchronous))
+
+    def _ensure_dispatcher(self):
+        if self._dispatch_q is None:
+            import queue
+            import threading
+
+            self._dispatch_q = queue.Queue()
+
+            def drain():
+                while True:
+                    cb, df = self._dispatch_q.get()
+                    try:
+                        cb(df)
+                    except Exception as e:  # noqa: BLE001
+                        self.listener_errors.append(e)
+                    finally:
+                        self._dispatch_q.task_done()
+
+            t = threading.Thread(target=drain, daemon=True, name="rdb-listen-drain")
+            t.start()
+        return self._dispatch_q
+
+    def flush_listeners(self) -> None:
+        """Block until every queued asynchronous delivery has completed."""
+        if self._dispatch_q is not None:
+            self._dispatch_q.join()
 
     def _notify(self, table: str, d: Delta) -> None:
-        for event, cb in self._listeners.get(table, []):
+        for event, cb, is_async in self._listeners.get(table, []):
             df = d.inserts if event == "Insert" else d.deletes
             if df is not None:
-                cb(df.drop(C.SEQ, C.PARTITION_BUCKET))
+                clean = df.drop(C.SEQ, C.PARTITION_BUCKET)
+                if is_async:
+                    self._ensure_dispatcher().put((cb, clean))
+                else:
+                    cb(clean)

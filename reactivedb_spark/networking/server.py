@@ -145,7 +145,13 @@ class ReactiveDBServer:
             self._subs.setdefault(key, []).append((sock, send_lock))
             if key not in self._wire_listeners_installed:
                 self._wire_listeners_installed.add(key)
-                self.engine.listen(table, event, self._make_pusher(table, event))
+                # asynchronous: wire pushes drain off-thread like the
+                # reference's mpsc → TCP writer (listener_hook.rs:56-84),
+                # so a slow/blocked subscriber socket never stalls commits
+                self.engine.listen(
+                    table, event, self._make_pusher(table, event),
+                    asynchronous=True,
+                )
 
     def _make_pusher(self, table: str, event: str):
         def push(df) -> None:

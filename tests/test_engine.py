@@ -187,3 +187,35 @@ class TestActionTransform:
         eng.insert("grades", [{"name": "A", "grade": 95}])
         r = eng.find_one("actionTest", "name", "A")
         assert r["grade"] == 85
+
+
+def test_async_listener_does_not_stall_commits(spark, workspace):
+    """VERDICT r4 #7: a slow subscriber must not add its latency to the
+    commit path when registered asynchronous (reference mpsc parity);
+    flush_listeners() is the delivery barrier, and subscriber
+    exceptions land in listener_errors instead of poisoning the drain."""
+    import time
+
+    eng = Engine(spark, {"tables": [{"Source": {"name": "people", "columns": {
+        "name": "Str", "age": "Integer"}}}]}, workspace=workspace)
+    seen = []
+
+    def slow(df):
+        time.sleep(2.0)
+        seen.append(df.count())
+
+    def broken(df):
+        raise RuntimeError("subscriber bug")
+
+    eng.listen("people", "Insert", slow, asynchronous=True)
+    eng.listen("people", "Insert", broken, asynchronous=True)
+    # baseline: one warm-up commit before timing
+    eng.insert("people", [{"name": "warm", "age": 1}])
+    t0 = time.perf_counter()
+    eng.insert("people", [{"name": "a", "age": 2}])
+    commit_wall = time.perf_counter() - t0
+    assert commit_wall < 2.0, f"async listener stalled the commit: {commit_wall:.1f}s"
+    eng.flush_listeners()
+    assert seen == [1, 1]
+    assert len(eng.listener_errors) == 2
+    assert all(isinstance(e, RuntimeError) for e in eng.listener_errors)
