@@ -49,12 +49,14 @@ def _warm_streaming(spark) -> None:
         pass  # warm-up is best-effort; the suite runs regardless
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, float]:
     import __spark_entry__ as entrymod
     from reactivedb_spark.cache import cache_scope
 
     results: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         # cache_scope releases relations the operators pin for multi-branch
         # reuse as soon as the query materializes; clearCache sweeps
@@ -128,7 +130,12 @@ def main() -> None:
     spark.range(10).count()  # JVM warm-up
     _warm_streaming(spark)  # pay streaming-engine init outside any query
 
-    queries = run_suite(spark, sf_dir)
+    only = None  # --only a,b,c: run a named subset (scale spot-runs)
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
+
+    queries = run_suite(spark, sf_dir, only)
     # cheapest-first inside the JSON line: stdout captures that keep only
     # the tail of a long line then lose the cheap rows, not the heavy ones
     # (BENCH_r04 lost 34 rows to front-truncation — VERDICT r4 #4)

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Scale-model fixture builder (VERDICT r4 #8): replicate an existing
+testdata sf dir by an integer factor with key shifts and content
+mutation, producing e.g. an sf1 (6M-lineitem) dir from sf0.1 WITHOUT
+touching /root/testdata (output goes to a scratch dir).
+
+Replication model — each copy is an independent shard of the same
+distribution, which is the honest way to scale load one order of
+magnitude:
+- fact keys shift per copy (orderkey/custkey/doc_id/vec_id/event_id/
+  user_id), so joins and groupings see 10× keys, not 10× duplicates;
+- dimension tables (region/nation/supplier/part) stay fixed, like real
+  warehouses;
+- document TEXT is salted per copy (every token suffixed with ``~i``),
+  so cross-copy Jaccard is 0 and the near-dup structure scales
+  linearly (clusters ×K, LSH pairs ×K) instead of quadratically —
+  duplicating text verbatim would model a pathological corpus, not a
+  bigger one;
+- embeddings rotate their components by the copy index, so cross-copy
+  cosine is uncorrelated and ANN sees a 10× corpus, not 10 mirrors.
+
+Pure pyarrow/pandas so physical parquet types (TIMESTAMP(NANOS) in
+events) survive byte-exact.
+
+Usage: python scripts/make_sf_scale.py [--src /root/testdata/sf0.1]
+       [--dst /tmp/sf1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+DIMS = ("region", "nation", "supplier", "part")
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _shift_base(src: str, table: str, col: str) -> int:
+    md = pq.read_table(os.path.join(src, f"{table}.parquet"), columns=[col])
+    m = pc.max(md.column(col)).as_py()
+    # next power of 10 above the max keeps shifted ids readable
+    base = 10
+    while base <= int(m):
+        base *= 10
+    return base
+
+
+def _salt_text(arr: pa.ChunkedArray, i: int) -> pa.ChunkedArray:
+    # suffix every whitespace token: "a b" -> "a~i b~i" (RE2 backref)
+    return pc.replace_substring_regex(arr, pattern=r"(\S+)", replacement=rf"\1~{i}")
+
+
+def _rotate_lists(arr: pa.ChunkedArray, i: int) -> pa.Array:
+    import numpy as np
+
+    pylist = arr.to_pylist()
+    out = []
+    for v in pylist:
+        if v is None or len(v) == 0 or i % len(v) == 0:
+            out.append(v)
+        else:
+            k = i % len(v)
+            out.append(v[k:] + v[:k])
+    return pa.array(out, type=arr.type)
+
+
+def scale_table(src: str, dst: str, table: str, factor: int) -> int:
+    t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    if table in DIMS or factor == 1:
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return t.num_rows
+    bases = {c: _shift_base(src, table, c) for c in SHIFT_COLS.get(table, [])}
+    copies = []
+    for i in range(factor):
+        c = t
+        for col, base in bases.items():
+            idx = c.schema.get_field_index(col)
+            shifted = pc.add(c.column(col), pa.scalar(i * base, type=c.schema.field(col).type))
+            c = c.set_column(idx, c.schema.field(col), shifted)
+        if table == "documents" and i > 0:
+            idx = c.schema.get_field_index("text")
+            salted = _salt_text(c.column("text"), i)
+            c = c.set_column(idx, c.schema.field("text"), salted)
+            if "n_chars" in c.schema.names:
+                ncid = c.schema.get_field_index("n_chars")
+                nc = pc.cast(pc.utf8_length(c.column("text")), c.schema.field("n_chars").type)
+                c = c.set_column(ncid, c.schema.field("n_chars"), nc)
+        if table == "embeddings" and i > 0:
+            idx = c.schema.get_field_index("embedding")
+            c = c.set_column(idx, c.schema.field("embedding"),
+                             _rotate_lists(c.column("embedding"), i))
+        copies.append(c)
+    out = pa.concat_tables(copies)
+    pq.write_table(out, os.path.join(dst, f"{table}.parquet"))
+    return out.num_rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+    tables = sorted(
+        re.sub(r"\.parquet$", "", f)
+        for f in os.listdir(args.src)
+        if f.endswith(".parquet")
+    )
+    for table in tables:
+        n = scale_table(args.src, args.dst, table, args.factor)
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
