@@ -73,65 +73,80 @@ class _W:
             self.put((1 << (8 - self.n)) - 1, 8 - self.n)
 
 
-def _encode_general(planes, restart_interval=0):
-    """4:4:4 multi-component baseline encoder over integer-rounded DCT
+def _encode_general(planes, restart_interval=0, sampling=None):
+    """Multi-component baseline encoder over integer-rounded DCT
     coefficients; returns (payload, expected_planes) where expected is
-    the exact IDCT of the coefficients actually transmitted."""
+    the exact IDCT of the coefficients actually transmitted.
+    ``sampling`` is [(h, v)] per component (default 4:4:4); each plane
+    must be pre-sized to its own sampled resolution."""
     m = _idct_matrix()
-    h, w = planes[0].shape
-    assert h % 8 == 0 and w % 8 == 0
     nc = len(planes)
+    sampling = sampling or [(1, 1)] * nc
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    frame_h, frame_w = planes[0].shape[0] * vmax // sampling[0][1], \
+        planes[0].shape[1] * hmax // sampling[0][0]
+    mcux, mcuy = frame_w // (8 * hmax), frame_h // (8 * vmax)
 
     wr = _W()
     pred = [0] * nc
     expected = [np.zeros_like(p, dtype=np.int16) for p in planes]
+
+    def put_block(ci, plane, by, bx):
+        blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(float) - 128.0
+        coeffs = np.rint(m @ blk @ m.T).astype(int)
+        recon = np.clip(np.rint(m.T @ coeffs @ m + 128.0), 0, 255)
+        expected[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = recon
+        zz = [int(coeffs[ZIGZAG[i] >> 3, ZIGZAG[i] & 7]) for i in range(64)]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        s = abs(diff).bit_length()
+        wr.put(s, 8)
+        if s:
+            wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        k, run = 1, 0
+        while k < 64:
+            v = zz[k]
+            if v == 0:
+                run += 1
+            else:
+                while run >= 16:
+                    wr.put(_AC_VALS.index(0xF0), 8)
+                    run -= 16
+                s = abs(v).bit_length()
+                wr.put(_AC_VALS.index((run << 4) | s), 8)
+                wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            k += 1
+        if run:
+            wr.put(_AC_VALS.index(0x00), 8)  # EOB
+
     mcu = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 wr.align()
                 wr.out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
                 pred = [0] * nc
             mcu += 1
             for ci, plane in enumerate(planes):
-                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(float) - 128.0
-                coeffs = np.rint(m @ blk @ m.T).astype(int)
-                recon = np.clip(np.rint(m.T @ coeffs @ m + 128.0), 0, 255)
-                expected[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = recon
-                zz = [int(coeffs[ZIGZAG[i] >> 3, ZIGZAG[i] & 7]) for i in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                s = abs(diff).bit_length()
-                wr.put(s, 8)
-                if s:
-                    wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                k, run = 1, 0
-                while k < 64:
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                    else:
-                        while run >= 16:
-                            wr.put(_AC_VALS.index(0xF0), 8)
-                            run -= 16
-                        s = abs(v).bit_length()
-                        wr.put(_AC_VALS.index((run << 4) | s), 8)
-                        wr.put(v if v >= 0 else v + (1 << s) - 1, s)
-                        run = 0
-                    k += 1
-                if run:
-                    wr.put(_AC_VALS.index(0x00), 8)  # EOB
+                ch, cv = sampling[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        put_block(ci, plane, my * cv + by, mx * ch + bx)
     wr.align()
 
     def seg(marker, body):
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    comps_sof = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    comps_sof = b"".join(
+        bytes([i + 1, (sampling[i][0] << 4) | sampling[i][1], 0]) for i in range(nc)
+    )
     comps_sos = b"".join(bytes([i + 1, 0x00]) for i in range(nc))
     payload = (
         b"\xff\xd8"
         + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
-        + seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comps_sof)
+        + seg(0xC0, struct.pack(">BHHB", 8, frame_h, frame_w, nc) + comps_sof)
         + seg(0xC4, _dht_body(0x00, _DC_VALS) + _dht_body(0x10, _AC_VALS))
         + (seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b"")
         + seg(0xDA, bytes([nc]) + comps_sos + bytes([0, 63, 0]))
@@ -167,6 +182,22 @@ def test_three_component_interleave_and_luma_extraction():
     info = jpeg_decode_bytes(payload)
     assert info["n_components"] == 3
     got = np.frombuffer(info["pixels"], dtype=np.uint8).reshape(16, 16)
+    assert np.array_equal(got, expected[0].astype(np.uint8))
+
+
+def test_420_chroma_subsampling_decodes_full_res_luma():
+    """The common real-world layout: Y at 2x2 per MCU, chroma at 1x1
+    (4:2:0). The decoder must interleave 4 Y + 1 Cb + 1 Cr blocks per
+    MCU and return the full-resolution luma plane."""
+    y = _gradient(16, 32, 6)
+    cb = _gradient(8, 16, 7)
+    cr = _gradient(8, 16, 8)
+    payload, expected = _encode_general(
+        [y, cb, cr], sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+    info = jpeg_decode_bytes(payload)
+    assert (info["width"], info["height"], info["n_components"]) == (32, 16, 3)
+    got = np.frombuffer(info["pixels"], dtype=np.uint8).reshape(16, 32)
     assert np.array_equal(got, expected[0].astype(np.uint8))
 
 
