@@ -544,8 +544,15 @@ def simhash_pairs(sig: DataFrame, id_col: str = "doc_id",
     least one band, so ONE equi-join on (band, band_value) finds every
     qualifying pair with linear-ish candidate volume (same shape as the
     MinHash LSH band join above). Exact: candidates are then verified with
-    bit_count(xor). At 100 TB this is a single shuffle on the band key vs
-    the O(n²) cross join it replaces.
+    bit_count(xor).
+
+    SCALE CAVEAT (measured, round-5 sf1 validation): with the 32-bit
+    default, bits/(max_hamming+1) gives 4-5-bit band values — at most 32
+    distinct — so band buckets grow linearly with the corpus and the
+    band join is birthday-quadratic (22× cost at 10× data). Beyond
+    ~10k distinct signatures use :func:`simhash2` +
+    :func:`simhash2_pairs` (64-bit split signature, 16-bit bands),
+    which is the layout the suite query ships.
     """
     # the signature relation feeds three plan branches (distinct values,
     # doc_a expansion, doc_b expansion): pin it or the whole upstream
@@ -603,6 +610,128 @@ def simhash_pairs(sig: DataFrame, id_col: str = "doc_id",
     return (
         da.join(allp, "_va")
         .join(db, "_vb")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_HEX_BIT2 = ["4", "5", "6", "7", "c", "d", "e", "f"]  # hex digit & 0x4
+
+
+def simhash2(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as TWO 32-bit halves (id, sh_hi, sh_lo) — the
+    scale-correct signature width (round-5 sf1 finding, PLANS.md).
+
+    Two independent bits per md5 hex char: ``sh_hi`` bit j votes on the
+    char's high bit (digit ≥ 8 — identical to :func:`simhash`), ``sh_lo``
+    bit j votes on bit 2 (digit & 4). Split halves keep every value in
+    non-negative int32 range, so no engine has to reason about the sign
+    bit of a packed 64-bit signature (DuckDB and Spark disagree on
+    ``1 << 63`` overflow); Hamming distance is the sum of the two
+    bit_count(xor) terms. Same single width-64 partial aggregate shape
+    as :func:`simhash` — one shuffle, no row blowup."""
+    tok = tokens(df, id_col, text_col, distinct=True)
+    h = F.md5(F.col("token"))
+    vote = [
+        F.sum(
+            F.when(F.substring(h, j, 1).isin(_HEX_HIGH), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_h{j}")
+        for j in range(1, 33)
+    ] + [
+        F.sum(
+            F.when(F.substring(h, j, 1).isin(_HEX_BIT2), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_l{j}")
+        for j in range(1, 33)
+    ]
+    votes = tok.groupBy(id_col).agg(*vote)
+
+    def pack(prefix: str):
+        expr = None
+        for j in range(1, 33):
+            term = F.when(
+                F.col(f"_{prefix}{j}") > 0, F.lit(1 << (j - 1)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            expr = term if expr is None else expr + term
+        return expr
+
+    return votes.select(id_col, pack("h").alias("sh_hi"), pack("l").alias("sh_lo"))
+
+
+def simhash2_pairs(sig: DataFrame, id_col: str = "doc_id",
+                   max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming ≤ ``max_hamming`` over 64-bit split
+    signatures — pigeonhole over ``max_hamming + 1`` bands of 64 /
+    (max_hamming+1) bits (default 4 × 16).
+
+    This exists because :func:`simhash_pairs`' 32-bit / 7-band layout is
+    birthday-quadratic: 4-5-bit band values have ≤ 32 distinct values,
+    so band buckets grow LINEARLY with the corpus and the band join
+    emits O(n²/32) candidate pairs — measured 22× cost at 10× data in
+    the round-5 sf1 validation. 16-bit bands have 65,536 values: bucket
+    occupancy stays O(n/65536) and the join is linear until the corpus
+    approaches millions of DISTINCT signatures per band value, which is
+    the regime where you widen again (128-bit SimHash), not a cliff.
+    Same distinct-signature-value banding + verify + doc re-expansion
+    plan as :func:`simhash_pairs`."""
+    assert 64 % (max_hamming + 1) == 0, "band width must divide 64"
+    sig = cache.pin(sig.select("*"))
+    n_bands = max_hamming + 1
+    sz = 64 // n_bands
+    vals = sig.select(F.col("sh_hi").alias("_ha"), F.col("sh_lo").alias("_la")).distinct()
+    bands = []
+    for i in range(n_bands):
+        off = i * sz
+        src = F.col("_ha") if off < 32 else F.col("_la")
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(src, off % 32)
+                .bitwiseAND(F.lit((1 << sz) - 1)).alias("bv"),
+            )
+        )
+    e = vals.select("_ha", "_la", F.explode(F.array(*bands)).alias("b")).select(
+        "_ha", "_la", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    a = e.select(F.col("_ha").alias("_haa"), F.col("_la").alias("_laa"), "band", "bv")
+    b = e.select(F.col("_ha").alias("_hab"), F.col("_la").alias("_lab"), "band", "bv")
+    ham = (
+        F.bit_count(F.col("_haa").bitwiseXOR(F.col("_hab")))
+        + F.bit_count(F.col("_laa").bitwiseXOR(F.col("_lab")))
+    ).cast("long")
+    vp = (
+        a.join(b, ["band", "bv"])
+        .filter(
+            (F.col("_haa") < F.col("_hab"))
+            | ((F.col("_haa") == F.col("_hab")) & (F.col("_laa") < F.col("_lab")))
+        )
+        .select("_haa", "_laa", "_hab", "_lab")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    sym = vp.unionByName(
+        vp.select(
+            F.col("_hab").alias("_haa"), F.col("_lab").alias("_laa"),
+            F.col("_haa").alias("_hab"), F.col("_laa").alias("_lab"), "hamming",
+        )
+    )
+    ident = vals.select(
+        F.col("_ha").alias("_haa"), F.col("_la").alias("_laa"),
+        F.col("_ha").alias("_hab"), F.col("_la").alias("_lab"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    allp = sym.unionByName(ident)
+    da = sig.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sh_hi").alias("_haa"), F.col("sh_lo").alias("_laa"),
+    )
+    db = sig.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sh_hi").alias("_hab"), F.col("sh_lo").alias("_lab"),
+    )
+    return (
+        da.join(allp, ["_haa", "_laa"])
+        .join(db, ["_hab", "_lab"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "hamming")
     )

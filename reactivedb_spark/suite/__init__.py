@@ -38,8 +38,9 @@ _WINDOW = (
     "source_schema_evolution",
     "store_time_travel",
     "dedup_containment",
-    # round-5 additions (never driver-checked by definition)
+    # round-5 additions / semantics changes (driver-unchecked by definition)
     "multimodal_jpeg_decode",
+    "dedup_simhash_pairs",  # re-verify: 64-bit split-signature layout (r5)
     # stalest greens: r2-only
     "sessionize",
     # r3-only single-green
@@ -80,7 +81,6 @@ _WINDOW = (
     "dedup_exact",
     "dedup_minhash",
     "similarity_topk",
-    "lang_id",
 )
 assert len(_WINDOW) == 50
 

@@ -19,6 +19,7 @@ from reactivedb_spark.suite._common import load, streaming_shuffle
 
 EMB_DIM = 64
 HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
+HEX_BIT2_SQL = "('4','5','6','7','c','d','e','f')"  # hex digit & 0x4
 
 # ---------------------------------------------------------------------------
 # dedup family
@@ -245,10 +246,13 @@ _BUCKETS_CTE = (
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming ≤ 6 over the 32-bit signatures via
-    the banded (pigeonhole) equi-join — no cross join at any scale."""
-    sig = dedup.simhash(dedup.widen(load(spark, sf, "documents")), "doc_id", "text")
-    return dedup.simhash_pairs(sig, "doc_id", "simhash", max_hamming=6)
+    """SimHash near-dup pairs at the scale-correct signature width:
+    Hamming ≤ 3 over 64-bit split signatures (sh_hi/sh_lo) via the
+    4×16-bit pigeonhole band join. Round 5 replaced the 32-bit/7-band
+    layout after the sf1 validation measured its band buckets growing
+    linearly with the corpus (birthday-quadratic join — PLANS.md)."""
+    sig = dedup.simhash2(dedup.widen(load(spark, sf, "documents")), "doc_id", "text")
+    return dedup.simhash2_pairs(sig, "doc_id", max_hamming=3)
 
 
 SQL_DEDUP_SIMHASH_PAIRS = (
@@ -256,26 +260,31 @@ SQL_DEDUP_SIMHASH_PAIRS = (
 tokd AS (SELECT DISTINCT doc_id, token FROM tok),
 votes AS (
   SELECT doc_id, g.j,
-         SUM(CASE WHEN substr(md5(token), g.j, 1) IN {HEX_HIGH_SQL} THEN 1 ELSE -1 END) AS s
-  FROM tokd, generate_series(1, {dedup.SIMHASH_BITS}) g(j)
+         SUM(CASE WHEN substr(md5(token), g.j, 1) IN {HEX_HIGH_SQL} THEN 1 ELSE -1 END) AS s_hi,
+         SUM(CASE WHEN substr(md5(token), g.j, 1) IN {HEX_BIT2_SQL} THEN 1 ELSE -1 END) AS s_lo
+  FROM tokd, generate_series(1, 32) g(j)
   GROUP BY doc_id, g.j),
 sig AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         CAST(SUM(CASE WHEN s_hi > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh_hi,
+         CAST(SUM(CASE WHEN s_lo > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh_lo
   FROM votes GROUP BY doc_id),
--- banded Hamming join (pigeonhole over 7 bands: 5,5,5,5,4,4,4 bits),
--- mirroring the Spark plan — no all-pairs join on either engine
+-- banded Hamming join (pigeonhole over 4 x 16-bit bands across the two
+-- 32-bit halves), mirroring the Spark plan — no all-pairs join anywhere
 bands AS (
-  SELECT doc_id, simhash, b.band, (simhash >> b.sh) & b.mask AS bv
-  FROM sig, (VALUES (0, 0, 31), (1, 5, 31), (2, 10, 31), (3, 15, 31),
-                    (4, 20, 15), (5, 24, 15), (6, 28, 15)) b(band, sh, mask)),
+  SELECT doc_id, sh_hi, sh_lo, b.band,
+         CASE b.src WHEN 0 THEN (sh_hi >> b.sh) & 65535
+                    ELSE (sh_lo >> b.sh) & 65535 END AS bv
+  FROM sig, (VALUES (0, 0, 0), (1, 0, 16), (2, 1, 0), (3, 1, 16)) b(band, src, sh)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.simhash AS ha, b.simhash AS hb
+                  a.sh_hi AS ha_hi, a.sh_lo AS ha_lo,
+                  b.sh_hi AS hb_hi, b.sh_lo AS hb_lo
   FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
                            AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) <= 3
 """
 )
 

@@ -225,3 +225,67 @@ def test_sampling_deterministic_and_stratified(spark):
     st2 = stratified_sample(df.repartition(5), "doc_id", "lang", 10)
     assert {(r.doc_id, r.lang) for r in st2.collect()} == \
            {(r.doc_id, r.lang) for r in st.collect()}
+
+
+def test_simhash2_pairs_exact_vs_bruteforce(spark):
+    """64-bit split-signature banding (the scale-correct layout) must
+    also return exactly the brute-force answer within the Hamming
+    budget — including pairs whose halves individually exceed it."""
+    sig = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "CAST(((id div 5) * 2654435761) % 4294967296 AS BIGINT) "
+            "^ CASE WHEN id % 5 = 0 THEN 0 ELSE shiftleft(1, CAST(id % 31 AS INT)) END"
+        ).alias("sh_hi"),
+        F.expr(
+            "CAST(((id div 5) * 40503) % 4294967296 AS BIGINT) "
+            "^ CASE WHEN id % 5 > 2 THEN shiftleft(1, CAST((id * 3) % 31 AS INT)) ELSE 0 END"
+        ).alias("sh_lo"),
+    )
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash2_pairs(sig, max_hamming=3).collect()
+    }
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh_hi").alias("hha"),
+                   F.col("sh_lo").alias("hla"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh_hi").alias("hhb"),
+                   F.col("sh_lo").alias("hlb"))
+    ham = (
+        F.bit_count(F.col("hha").bitwiseXOR(F.col("hhb")))
+        + F.bit_count(F.col("hla").bitwiseXOR(F.col("hlb")))
+    ).cast("long")
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_simhash2_hi_half_matches_simhash(spark):
+    """sh_hi votes on the same hex-high-bit criterion as the 32-bit
+    simhash, so the halves agree doc for doc."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta eps"), (3, "alpha beta gamma")],
+        "doc_id: long, text: string",
+    )
+    narrow = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+    wide = {r.doc_id: (r.sh_hi, r.sh_lo)
+            for r in dedup.simhash2(df, "doc_id", "text").collect()}
+    assert {k: v[0] for k, v in wide.items()} == narrow
+    assert wide[1] == wide[3]  # identical docs → identical 64-bit sigs
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in wide.values())
+
+
+def test_simhash2_pairs_no_cartesian_plan(spark):
+    sig = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7919).alias("sh_hi"),
+        (F.col("id") * 104729).alias("sh_lo"),
+    )
+    plan = dedup.simhash2_pairs(sig)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
