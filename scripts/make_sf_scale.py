@@ -11,11 +11,15 @@ magnitude:
   user_id), so joins and groupings see 10× keys, not 10× duplicates;
 - dimension tables (region/nation/supplier/part) stay fixed, like real
   warehouses;
-- document TEXT is salted per copy (every token suffixed with ``~i``),
-  so cross-copy Jaccard is 0 and the near-dup structure scales
-  linearly (clusters ×K, LSH pairs ×K) instead of quadratically —
-  duplicating text verbatim would model a pathological corpus, not a
-  bigger one;
+- document TEXT gets a per-copy alphabet rotation (a-z mapped rot-i),
+  so BOTH word-level and character-n-gram similarity across copies is
+  zero while every within-copy property (token counts, lengths, dup
+  families, n_chars) is preserved exactly — the near-dup structure
+  scales linearly (clusters ×K, LSH pairs ×K) instead of
+  quadratically. (A first attempt salted tokens with a ``~i`` suffix;
+  that left char shingles ~80% shared across copies and blew
+  n-gram-LSH candidates up ×100 — itself a useful boilerplate
+  case-study, but the wrong default scale model);
 - embeddings rotate their components by the copy index, so cross-copy
   cosine is uncorrelated and ANN sees a 10× corpus, not 10 mirrors.
 
@@ -57,9 +61,17 @@ def _shift_base(src: str, table: str, col: str) -> int:
     return base
 
 
-def _salt_text(arr: pa.ChunkedArray, i: int) -> pa.ChunkedArray:
-    # suffix every whitespace token: "a b" -> "a~i b~i" (RE2 backref)
-    return pc.replace_substring_regex(arr, pattern=r"(\S+)", replacement=rf"\1~{i}")
+def _salt_text(arr: pa.ChunkedArray, i: int) -> pa.Array:
+    # per-copy alphabet rotation: a-z -> rot-i (length/ASCII preserved)
+    import string
+
+    lower = string.ascii_lowercase
+    rot = lower[i % 26:] + lower[:i % 26]
+    table = str.maketrans(lower, rot)
+    return pa.array(
+        [None if t is None else t.translate(table) for t in arr.to_pylist()],
+        type=arr.type,
+    )
 
 
 def _rotate_lists(arr: pa.ChunkedArray, i: int) -> pa.Array:
