@@ -41,6 +41,7 @@ _WINDOW = (
     # round-5 additions / semantics changes (driver-unchecked by definition)
     "multimodal_jpeg_decode",
     "dedup_simhash_pairs",  # re-verify: 64-bit split-signature layout (r5)
+    "dedup_jaccard_guarded",  # new r5: stop-band guard semantics
     # stalest greens: r2-only
     "sessionize",
     # r3-only single-green
@@ -79,7 +80,6 @@ _WINDOW = (
     "action_transform",
     "expr_arithmetic",
     "dedup_exact",
-    "dedup_minhash",
     "similarity_topk",
 )
 assert len(_WINDOW) == 50

@@ -120,6 +120,57 @@ FROM j WHERE n_inter > 0
 )
 
 
+def q_dedup_jaccard_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """The production-scale configuration of the LSH→verify pipeline:
+    ``max_bucket=100`` drops stop-bands (band buckets holding >100
+    docs — boilerplate/empty-ish text whose |bucket|² pairs carry no
+    signal) BEFORE pair generation. The round-5 sf1 validation measured
+    this as the 9-19× scale lever on a candidate-dense corpus
+    (BASELINE.md RESULTS-r5-sf1 #3); the oracle applies the identical
+    bucket-count rule, so the guard's exact semantics — not just its
+    speed — are driver-verified."""
+    return dedup.jaccard_pairs(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text",
+        max_bucket=100,
+    )
+
+
+_LONG_CTE = (
+    "lng AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b + 1} AS bi, band{b + 1} AS bk FROM banded"
+        for b in range(dedup.LSH_BANDS)
+    )
+    + ")"
+)
+
+SQL_DEDUP_JACCARD_GUARDED = (
+    "WITH " + _TOK_CTE + ", " + _SIG_CTE + ", " + _BANDED_CTE + ", " + _LONG_CTE + """,
+kept AS (
+  SELECT doc_id, bi, bk FROM (
+    SELECT doc_id, bi, bk, count(*) OVER (PARTITION BY bi, bk) AS bn FROM lng)
+  WHERE bn <= 100),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+sets AS (
+  SELECT doc_id, list(DISTINCT token) AS toks,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+         sa.n_tok AS n_a, sb.n_tok AS n_b
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+FROM j WHERE n_inter > 0
+"""
+)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Character-3-gram Jaccard near-dups (threshold 0.8): the n-gram
     variant of the LSH→verify pipeline — robust to word-boundary edits,
@@ -1461,6 +1512,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
@@ -1508,6 +1560,7 @@ ORACLES = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
