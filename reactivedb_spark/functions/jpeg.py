@@ -48,94 +48,133 @@ def _idct_matrix():
     return m
 
 
-def _build_huffman(bits: list[int], huffval: bytes) -> dict:
-    """Canonical JPEG Huffman: {(length, code) -> symbol}."""
-    table = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = huffval[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+_FAST_BITS = 10  # prefix-table width for one-lookup Huffman decode
+
+
+class _Huff:
+    """Canonical JPEG Huffman table with a ``_FAST_BITS``-wide prefix
+    lookup: one table index decodes any code of length ≤ _FAST_BITS
+    (covers every code in typical files); longer codes fall back to the
+    per-length walk."""
+
+    __slots__ = ("slow", "fast", "maxlen")
+
+    def __init__(self, bits: list[int], huffval: bytes):
+        self.slow = {}
+        self.fast = [None] * (1 << _FAST_BITS)
+        self.maxlen = 0
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                sym = huffval[k]
+                self.slow[(length, code)] = sym
+                if length <= _FAST_BITS:
+                    lo = code << (_FAST_BITS - length)
+                    for idx in range(lo, lo + (1 << (_FAST_BITS - length))):
+                        self.fast[idx] = (sym, length)
+                self.maxlen = length
+                code += 1
+                k += 1
+            code <<= 1
 
 
 class _BitReader:
-    """Entropy-segment bit reader: 0xFF00 unstuffing; stops at markers
-    (RSTn handled by the caller via ``align_to_restart``)."""
+    """Bit reader over a PRE-UNSTUFFED entropy run (0xFF00 collapsed to
+    0xFF, restart markers split out by the scan parser). Reading past
+    the end pads with 1-bits per the spec."""
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+    __slots__ = ("runs", "run_i", "data", "pos", "bitbuf", "nbits")
+
+    def __init__(self, runs: list[bytes]):
+        self.runs = runs
+        self.run_i = 0
+        self.data = runs[0] if runs else b""
+        self.pos = 0
         self.bitbuf = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
-        d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
-                # pad with 1s past the end (spec: decoder may read past
-                # the last stuffed byte while finishing the final block)
-                self.bitbuf = (self.bitbuf << 8) | 0xFF
-                self.nbits += 8
-                continue
-            b = d[self.pos]
-            if b == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart/EOI marker: feed 1-padding, caller realigns
-                    self.bitbuf = (self.bitbuf << 8) | 0xFF
-                    self.nbits += 8
-                    continue
-                else:
-                    self.pos += 2  # stray marker — skip defensively
-            else:
-                self.pos += 1
-            self.bitbuf = (self.bitbuf << 8) | b
+    def _fill(self, need: int) -> None:
+        # one 8-byte int.from_bytes per ~4 blocks instead of per-byte ops
+        take = self.data[self.pos:self.pos + 8]
+        if take:
+            self.bitbuf = (self.bitbuf << (8 * len(take))) | int.from_bytes(take, "big")
+            self.nbits += 8 * len(take)
+            self.pos += len(take)
+        while self.nbits < need:
+            self.bitbuf = (self.bitbuf << 8) | 0xFF  # spec 1-padding
             self.nbits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
-
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
         return v
 
-    def decode_symbol(self, table: dict) -> int:
-        length = 0
-        code = 0
+    def decode_symbol(self, table: _Huff) -> int:
+        if self.nbits < _FAST_BITS:
+            self._fill(_FAST_BITS)
+        peek = (self.bitbuf >> (self.nbits - _FAST_BITS)) & ((1 << _FAST_BITS) - 1)
+        hit = table.fast[peek]
+        if hit is not None:
+            sym, length = hit
+            self.nbits -= length
+            self.bitbuf &= (1 << self.nbits) - 1
+            return sym
+        # rare: code longer than the fast-table width
+        length = _FAST_BITS
+        code = peek
+        self.nbits -= _FAST_BITS
+        self.bitbuf &= (1 << self.nbits) - 1
         while length < 16:
-            code = (code << 1) | self.read_bit()
+            code = (code << 1) | self.receive(1)
             length += 1
-            sym = table.get((length, code))
+            sym = table.slow.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
     def align_to_restart(self) -> None:
-        """Byte-align and consume one RSTn marker."""
+        """Advance to the next entropy run (the scan parser already
+        consumed the RSTn marker bytes)."""
+        self.run_i += 1
+        self.data = self.runs[self.run_i] if self.run_i < len(self.runs) else b""
+        self.pos = 0
         self.bitbuf = 0
         self.nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
 
 
-def _extend(v: int, s: int) -> int:
-    """RECEIVE/EXTEND (T.81 F.2.2.1): map s magnitude bits to signed."""
-    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+def _entropy_runs(payload: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded segment into per-restart-interval runs:
+    one linear pass that collapses 0xFF00 stuffing and cuts at RSTn,
+    stopping at EOI/any other marker. C-speed via bytes.find between
+    0xFF sightings."""
+    runs: list[bytes] = []
+    cur = bytearray()
+    n = len(payload)
+    i = pos
+    while i < n:
+        j = payload.find(b"\xff", i)
+        if j < 0:
+            cur += payload[i:]
+            break
+        cur += payload[i:j]
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            runs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:  # EOI or next marker — end of scan
+            break
+    runs.append(bytes(cur))
+    return runs
 
 
 def jpeg_decode_bytes(payload: bytes) -> dict:
@@ -186,7 +225,7 @@ def jpeg_decode_bytes(payload: bytes) -> dict:
                 cnt = sum(bits)
                 huffval = body[off + 17:off + 17 + cnt]
                 off += 17 + cnt
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, huffval)
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, huffval)
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
@@ -232,9 +271,18 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
         planes[comp["id"]] = np.zeros(
             (mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.int16
         )
-    reader = _BitReader(payload, pos)
+    reader = _BitReader(_entropy_runs(payload, pos))
+    m00 = float(m[0, 0])
     pred = {comp["id"]: 0 for comp, _, _ in scan}
+    # AC-bearing blocks accumulate for ONE batched IDCT at the end
+    # (einsum over the stacked coefficient tensor); DC-only blocks — the
+    # overwhelmingly common case in flat regions — short-circuit to a
+    # constant fill: IDCT of a lone DC coefficient is F00/8 everywhere.
+    ac_coeffs: list = []
+    ac_where: list = []
+    const_fills: dict = {comp["id"]: ([], [], []) for comp, _, _ in scan}
     mcu_count = 0
+    zig_rc = [(ZIGZAG[i] >> 3, ZIGZAG[i] & 7) for i in range(64)]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -247,11 +295,13 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                 act = huff_ac[ta]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = [0] * 64
                         s = reader.decode_symbol(dct)
-                        diff = _extend(reader.receive(s), s)
-                        pred[comp["id"]] += diff
-                        zz[0] = pred[comp["id"]] * q[0]
+                        if s:
+                            r = reader.receive(s)
+                            diff = r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+                            pred[comp["id"]] += diff
+                        dc = pred[comp["id"]] * q[0]
+                        zz = None
                         k = 1
                         while k < 64:
                             rs = reader.decode_symbol(act)
@@ -264,17 +314,50 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                             k += r
                             if k > 63:
                                 raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(reader.receive(sz), sz) * q[k]
+                            v = reader.receive(sz)
+                            if v < (1 << (sz - 1)):
+                                v = v - (1 << sz) + 1
+                            if zz is None:
+                                zz = [0] * 64
+                                zz[0] = dc
+                            zz[k] = v * q[k]
                             k += 1
-                        coeffs = np.zeros((8, 8))
-                        for i in range(64):
-                            if zz[i]:
-                                coeffs[ZIGZAG[i] >> 3, ZIGZAG[i] & 7] = zz[i]
-                        block = m.T @ coeffs @ m + 128.0
-                        block = np.clip(np.rint(block), 0, 255).astype(np.int16)
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = block
+                        if zz is None:
+                            # constant block: IDCT of a lone DC is
+                            # (m00·dc)·m00 everywhere — the same float
+                            # association the matrix path produces, so
+                            # the shortcut is bit-identical to it;
+                            # round() is half-even like np.rint.
+                            # Deferred: one fancy-indexed fill per plane
+                            # replaces a numpy slice write per block.
+                            val = int(round((m00 * dc) * m00 + 128.0))
+                            val = 0 if val < 0 else (255 if val > 255 else val)
+                            ys, xs, vs = const_fills[comp["id"]]
+                            ys.append(y0)
+                            xs.append(x0)
+                            vs.append(val)
+                        else:
+                            ac_coeffs.append(zz)
+                            ac_where.append((comp["id"], y0, x0))
+    for cid, (ys, xs, vs) in const_fills.items():
+        if ys:
+            pl = planes[cid]
+            p4 = pl.reshape(pl.shape[0] // 8, 8, pl.shape[1] // 8, 8)
+            p4[np.asarray(ys) >> 3, :, np.asarray(xs) >> 3, :] = np.asarray(
+                vs, dtype=np.int16
+            )[:, None, None]
+    if ac_coeffs:
+        flat = np.asarray(ac_coeffs, dtype=np.float64)  # (N, 64) zigzag order
+        c = np.zeros((len(ac_coeffs), 8, 8))
+        for i, (r, ccol) in enumerate(zig_rc):
+            c[:, r, ccol] = flat[:, i]
+        # broadcasted matmul keeps the per-block m.T @ C @ m association
+        blocks = m.T @ c @ m + 128.0
+        blocks = np.clip(np.rint(blocks), 0, 255).astype(np.int16)
+        for i, (cid, y0, x0) in enumerate(ac_where):
+            planes[cid][y0:y0 + 8, x0:x0 + 8] = blocks[i]
     luma_comp = scan[0][0]
     plane = planes[luma_comp["id"]]
     # nearest-replicate a subsampled first component up to frame scale
@@ -299,29 +382,6 @@ _ENC_AC_BITS = [1] + [0] * 15  # single 1-bit code
 _ENC_AC_VALS = bytes([0x00])  # EOB only
 
 
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, n: int) -> None:
-        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
-        self.nbits += n
-        while self.nbits >= 8:
-            self.nbits -= 8
-            b = (self.acc >> self.nbits) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:
-                self.out.append(0x00)  # byte stuffing
-
-    def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s
-        return bytes(self.out)
-
-
 def _segment(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
@@ -331,25 +391,47 @@ def jpeg_encode_bytes(values: bytes, blocks_per_row: int = 16) -> bytes:
     8×8 block at position i (unit quantization, DC-only — exact
     round-trip). Short final rows pad with value-0 blocks (sum-neutral);
     always emits at least one block."""
+    import numpy as np
+
     bpr = max(1, blocks_per_row)
     vals = values if values else b"\x00"
     rows = (len(vals) + bpr - 1) // bpr
-    padded = vals.ljust(rows * bpr, b"\x00")
     width, height = bpr * 8, rows * 8
+    padded = np.frombuffer(
+        bytes(vals).ljust(rows * bpr, b"\x00"), dtype=np.uint8
+    ).astype(np.int64)
 
-    w = _BitWriter()
-    # canonical codes for the declared tables: DC cat s → code s (4 bits)
-    prev_dc = 0
-    for v in padded:
-        dc = 8 * (v - 128)
-        diff = dc - prev_dc
-        prev_dc = dc
-        s = abs(diff).bit_length()
-        w.write(s, 4)  # DC Huffman: category s encodes as 4-bit s
-        if s:
-            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        w.write(0, 1)  # AC Huffman: EOB is the single 1-bit code 0
-    data = w.flush()
+    # vectorized bit-packing (the per-byte Python bit writer was ~60% of
+    # the suite query's cost). Per block the stream is
+    # [DC cat s: 4][mag: s][AC EOB: 1] with canonical codes cat→s and
+    # EOB→0, so each block is one ≤16-bit value of 5+s bits.
+    dc = 8 * (padded - 128)
+    diff = np.diff(dc, prepend=np.int64(0))
+    absd = np.abs(diff)
+    s = np.zeros_like(diff)
+    nz = absd > 0
+    # bit_length: exact for |diff| ≤ 2040 (log2 of int64 exact below 2^53)
+    s[nz] = np.floor(np.log2(absd[nz])).astype(np.int64) + 1
+    mag = np.where(diff >= 0, diff, diff + (np.int64(1) << s) - 1)
+    val = (s << (s + 1)) | (mag << 1)  # EOB bit 0 in the lsb
+    nb = 5 + s
+    ends = np.cumsum(nb)
+    off = ends - nb
+    total = int(ends[-1])
+    out = np.zeros(total // 8 + 3, dtype=np.uint8)
+    # each value spans ≤ 23 bits from its start byte: left-align into a
+    # 24-bit window and OR the three byte lanes
+    sh = 24 - (off % 8) - nb
+    aligned = val << sh
+    b0 = off // 8
+    np.bitwise_or.at(out, b0, ((aligned >> 16) & 0xFF).astype(np.uint8))
+    np.bitwise_or.at(out, b0 + 1, ((aligned >> 8) & 0xFF).astype(np.uint8))
+    np.bitwise_or.at(out, b0 + 2, (aligned & 0xFF).astype(np.uint8))
+    n_bytes = (total + 7) // 8
+    pad = (8 - total % 8) % 8
+    if pad:
+        out[n_bytes - 1] |= (1 << pad) - 1  # spec: pad final byte with 1s
+    data = out[:n_bytes].tobytes().replace(b"\xff", b"\xff\x00")
 
     dqt = _segment(0xDB, bytes([0x00]) + bytes([1] * 64))
     sof = _segment(

@@ -942,7 +942,12 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     values — the oracle recomputes geometry and pixel sum from the same
     source text; any marker mis-parse, Huffman or IDCT bug breaks the
     match."""
-    d = load(spark, sf, "documents")
+    # the single-file fixture reads as a couple of partitions; spread the
+    # Python codec work across the cores (at 100 TB the input arrives in
+    # thousands of partitions and this repartition is a no-op decision)
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pay = multimodal.encode_jpeg(d, "doc_id", "text", blocks_per_row=16)
     return multimodal.decode_jpeg(pay, "doc_id")
 
