@@ -130,14 +130,101 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     contained in a much larger one — has LOW Jaccard and often never
     becomes a candidate at all. This is therefore a containment
     re-scorer for near-duplicate-sized pairs, not a general near-superset
-    detector; full asymmetric recall needs a dedicated candidate path
-    (size-stratified signatures, or span_census/containment sketches à
-    la Broder), which this operator does not implement. The oracle
-    applies the identical candidate rule, so gate comparisons stay
-    exact. Same LSH-prune → exact-verify plan and size gates as
-    :func:`jaccard_pairs`."""
+    detector — :func:`containment_prefix_pairs` is the FULL-RECALL
+    candidate path for that case. The oracle applies the identical
+    candidate rule, so gate comparisons stay exact. Same LSH-prune →
+    exact-verify plan and size gates as :func:`jaccard_pairs`."""
     return jaccard_pairs(df, id_col, text_col, threshold=threshold,
                          measure="containment", **kwargs)
+
+
+def containment_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
+                             num: int = 4, den: int = 5,
+                             max_token_docs: int | None = None) -> DataFrame:
+    """EXACT (full-recall) max-containment join via prefix filtering —
+    the set-similarity-join technique (SSJoin, Chaudhuri et al. ICDE'06;
+    PPJoin, Xiao et al. WWW'08) the MinHash path cannot provide for
+    asymmetric pairs.
+
+    Guarantee: for threshold t = ``num/den``, a pair with
+    |A∩B| / min(|A|,|B|) ≥ t (WLOG |A| ≤ |B|) shares ≥ ⌈t·|A|⌉ tokens,
+    so at least one of the first |A| − ⌈t·|A|⌉ + 1 tokens of A in the
+    GLOBAL rarest-first order must also be in B — a pair missed by the
+    prefix join is provably below threshold, so recall is 1.0 by
+    construction (no LSH probability involved). Only the potential
+    SMALL side needs its prefix matched, so candidates come from ONE
+    equi-join of the prefix relation (a few rarest tokens per doc)
+    against the full token relation; rarest-first ordering keeps the
+    join's buckets df(token)-sized and small by construction. The
+    threshold is a rational ``num/den`` so the prefix length and the
+    verify comparison are pure integer arithmetic — bit-identical in
+    any engine (⌈t·n⌉ = (num·n + den − 1) div den; verify as
+    den·|A∩B| ≥ num·min).
+
+    ``max_token_docs`` optionally drops tokens whose document frequency
+    exceeds it from CANDIDATE GENERATION only (the stop-band analogue;
+    verification still uses full token sets, so precision is unaffected
+    and only pairs whose every shared prefix token is a stop-token can
+    be lost — at web scale those are boilerplate joins you want gone).
+
+    Emits (doc_a, doc_b, containment double) for pairs ≥ num/den.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
+    tok = cache.pin(tokens(df, id_col, text_col, distinct=True))
+    freq = tok.groupBy("token").agg(F.count("*").cast("long").alias("_df"))
+    if max_token_docs is not None:
+        freq = freq.filter(F.col("_df") <= max_token_docs)
+    ranked = (
+        tok.join(freq, "token")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_df", "token")
+            ),
+        )
+        .withColumn("_n", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    # prefix length = n - ceil(t*n) + 1, integer-exact
+    need = (F.lit(num) * F.col("_n") + F.lit(den - 1)) / F.lit(den)
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_n") - need.cast("long") + 1
+    ).select(F.col(id_col).alias("_small"), "token")
+    cand = (
+        prefix.join(tok.select(F.col(id_col).alias("_other"), "token"), "token")
+        .filter(F.col("_small") != F.col("_other"))
+        .select(
+            F.least("_small", "_other").alias("doc_a"),
+            F.greatest("_small", "_other").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = cache.pin(
+        tok.groupBy(id_col).agg(
+            F.collect_set("token").alias("toks"),
+            F.count("*").cast("long").alias("n_tok"),
+        )
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("ta"),
+                     F.col("n_tok").alias("na"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("tb"),
+                     F.col("n_tok").alias("nb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("_ni", inter)
+        .filter(
+            F.lit(den) * F.col("_ni") >= F.lit(num) * F.least("na", "nb")
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("_ni").cast("double")
+             / F.least("na", "nb").cast("double")).alias("containment"),
+        )
+    )
 
 
 def span_census(df: DataFrame, id_col: str, text_col: str, n: int = 8,

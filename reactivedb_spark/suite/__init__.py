@@ -42,6 +42,7 @@ _WINDOW = (
     "multimodal_jpeg_decode",
     "dedup_simhash_pairs",  # re-verify: 64-bit split-signature layout (r5)
     "dedup_jaccard_guarded",  # new r5: stop-band guard semantics
+    "dedup_containment_exact",  # new r5: full-recall prefix-filter join
     # stalest greens: r2-only
     "sessionize",
     # r3-only single-green
@@ -80,7 +81,6 @@ _WINDOW = (
     "action_transform",
     "expr_arithmetic",
     "dedup_exact",
-    "similarity_topk",
 )
 assert len(_WINDOW) == 50
 

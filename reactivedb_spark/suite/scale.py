@@ -171,6 +171,54 @@ FROM j WHERE n_inter > 0
 )
 
 
+def q_dedup_containment_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL-RECALL near-superset detection (round-5 answer to the
+    advisor's recall finding on the LSH containment path): prefix-
+    filtered set-similarity join at containment ≥ 4/5. The guarantee is
+    algebraic, not probabilistic — a qualifying pair MUST share one of
+    the small side's rarest-prefix tokens — so unlike
+    ``dedup_containment`` (MinHash-LSH candidates, Jaccard-bounded
+    recall) the tiny-doc-inside-huge-doc case cannot be missed. The
+    oracle replays the identical frequency ranking, integer prefix
+    bound and integer threshold compare."""
+    return dedup.containment_prefix_pairs(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text",
+        num=4, den=5,
+    )
+
+
+SQL_DEDUP_CONTAINMENT_EXACT = (
+    "WITH " + _TOK_CTE + """,
+tokd AS (SELECT DISTINCT doc_id, token FROM tok),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tokd GROUP BY token),
+ranked AS (
+  SELECT t.doc_id, t.token,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS rn,
+         count(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM tokd t JOIN freq f USING (token)),
+prefix AS (
+  SELECT doc_id AS small, token FROM ranked
+  WHERE rn <= n - ((4 * n + 4) // 5) + 1),
+cand AS (
+  SELECT DISTINCT least(p.small, t.doc_id) AS doc_a,
+                  greatest(p.small, t.doc_id) AS doc_b
+  FROM prefix p JOIN tokd t USING (token) WHERE p.small <> t.doc_id),
+sets AS (
+  SELECT doc_id, list(token) AS toks, CAST(count(*) AS BIGINT) AS n_tok
+  FROM tokd GROUP BY doc_id),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS ni,
+         least(sa.n_tok, sb.n_tok) AS mn
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, CAST(ni AS DOUBLE) / CAST(mn AS DOUBLE) AS containment
+FROM v WHERE 5 * ni >= 4 * mn
+"""
+)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Character-3-gram Jaccard near-dups (threshold 0.8): the n-gram
     variant of the LSH→verify pipeline — robust to word-boundary edits,
@@ -1518,6 +1566,7 @@ QUERIES = {
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
+    "dedup_containment_exact": q_dedup_containment_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
@@ -1566,6 +1615,7 @@ ORACLES = {
     "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
+    "dedup_containment_exact": SQL_DEDUP_CONTAINMENT_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -289,3 +289,55 @@ def test_simhash2_pairs_no_cartesian_plan(spark):
     )
     plan = dedup.simhash2_pairs(sig)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_containment_prefix_pairs_full_recall_vs_bruteforce(spark):
+    """The prefix-filter guarantee is algebraic: the banded output must
+    equal the brute-force all-pairs containment join exactly — including
+    the asymmetric tiny-doc-inside-huge-doc pairs MinHash-LSH misses."""
+    vocab = [f"w{i:03d}" for i in range(120)]
+    rows = []
+    # a huge doc, tiny docs fully contained in it (containment 1.0 at
+    # wildly different sizes), near-subsets, and clear rejects
+    rows.append((0, " ".join(vocab[:100])))
+    rows.append((1, " ".join(vocab[:5])))        # tiny ⊂ huge
+    rows.append((2, " ".join(vocab[40:52])))     # 12 tokens ⊂ huge
+    rows.append((3, " ".join(vocab[:8] + vocab[110:112])))  # 8/10 in huge
+    rows.append((4, " ".join(vocab[100:120])))   # disjoint-ish
+    for i in range(5, 40):
+        rows.append((i, " ".join(vocab[i: i + 7])))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r.doc_a, r.doc_b): round(r.containment, 9)
+        for r in dedup.containment_prefix_pairs(df, "doc_id", "text", 4, 5).collect()
+    }
+    tok = dedup.tokens(df, "doc_id", "text")
+    sets = tok.groupBy("doc_id").agg(
+        F.collect_set("token").alias("toks"), F.count("*").alias("n")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"),
+                    F.col("n").alias("na"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"),
+                    F.col("n").alias("nb"))
+    brute = {
+        (r.doc_a, r.doc_b): round(r.c, 9)
+        for r in a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("ni", F.size(F.array_intersect("ta", "tb")))
+        .filter(F.lit(5) * F.col("ni") >= F.lit(4) * F.least("na", "nb"))
+        .withColumn("c", F.col("ni") / F.least("na", "nb"))
+        .select("doc_a", "doc_b", "c").collect()
+    }
+    assert got == brute
+    assert got[(0, 1)] == 1.0 and got[(0, 2)] == 1.0  # asymmetric recall
+    assert got[(0, 3)] == 0.8
+    assert (0, 4) not in got
+
+
+def test_containment_prefix_pairs_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.containment_prefix_pairs(df, "doc_id", "text", 6, 5)
+    with _pytest.raises(ValueError):
+        dedup.containment_prefix_pairs(df, "doc_id", "text", 0, 5)
