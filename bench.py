@@ -134,6 +134,12 @@ def main() -> None:
     for i, a in enumerate(sys.argv):
         if a == "--only" and i + 1 < len(sys.argv):
             only = set(sys.argv[i + 1].split(","))
+    if only is not None:
+        import __spark_entry__ as entrymod
+
+        unknown = only - set(entrymod.queries())
+        if unknown:
+            raise SystemExit(f"--only names not registered: {sorted(unknown)}")
 
     queries = run_suite(spark, sf_dir, only)
     # cheapest-first inside the JSON line: stdout captures that keep only
@@ -150,13 +156,15 @@ def main() -> None:
     if "--micro" in sys.argv:
         payload["micro"] = run_micro(spark)
     # the full record also lands on disk, immune to any stdout capture
-    # limit; the driver commits stray files at round end
-    try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-            json.dump(payload, f, indent=1)
-    except OSError:
-        pass
+    # limit; the driver commits stray files at round end. Subset runs
+    # (--only) must NOT clobber the committed full-suite record.
+    if only is None:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+                json.dump(payload, f, indent=1)
+        except OSError:
+            pass
     print(json.dumps(payload))
 
 

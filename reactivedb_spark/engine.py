@@ -164,7 +164,10 @@ class Engine:
                 self.register_action(name, fn)
         self._seq = 1
         self._listeners: dict[str, list] = {}
+        import threading as _threading
+
         self._dispatch_q = None  # lazy async-listener drain queue
+        self._dispatch_init_lock = _threading.Lock()
         self.listener_errors: list = []
         self.tables: dict[str, TableState] = {}
         self._build_states()
@@ -794,7 +797,9 @@ class Engine:
         commit's atomicity). ``asynchronous=True`` decouples the
         subscriber like the reference's mpsc channel push
         (listener_hook.rs:56-84 hands deltas to a channel, the TCP
-        writer drains it): deltas are queued and a daemon drain thread
+        writer drains it): the delta's rows are snapshotted in-commit
+        (commit-sized; version flips may delete the delta's backing
+        files before a slow drain reads them) and a daemon drain thread
         invokes the callback, so a slow subscriber cannot stall commit
         throughput. ``flush_listeners()`` is the barrier; subscriber
         exceptions are collected in ``listener_errors`` (they must not
@@ -805,24 +810,27 @@ class Engine:
         self._listeners.setdefault(table, []).append((event, callback, asynchronous))
 
     def _ensure_dispatcher(self):
-        if self._dispatch_q is None:
-            import queue
-            import threading
+        with self._dispatch_init_lock:  # racing first commits must not
+            if self._dispatch_q is None:  # create two queues/threads
+                import queue
+                import threading
 
-            self._dispatch_q = queue.Queue()
+                q = queue.Queue()
 
-            def drain():
-                while True:
-                    cb, df = self._dispatch_q.get()
-                    try:
-                        cb(df)
-                    except Exception as e:  # noqa: BLE001
-                        self.listener_errors.append(e)
-                    finally:
-                        self._dispatch_q.task_done()
+                def drain():
+                    while True:
+                        cb, rows, schema = q.get()
+                        try:
+                            cb(self.spark.createDataFrame(rows, schema))
+                        except Exception as e:  # noqa: BLE001
+                            self.listener_errors.append(e)
+                        finally:
+                            q.task_done()
 
-            t = threading.Thread(target=drain, daemon=True, name="rdb-listen-drain")
-            t.start()
+                t = threading.Thread(target=drain, daemon=True,
+                                     name="rdb-listen-drain")
+                t.start()
+                self._dispatch_q = q
         return self._dispatch_q
 
     def flush_listeners(self) -> None:
@@ -836,6 +844,15 @@ class Engine:
             if df is not None:
                 clean = df.drop(C.SEQ, C.PARTITION_BUCKET)
                 if is_async:
-                    self._ensure_dispatcher().put((cb, clean))
+                    # snapshot the rows NOW: the delta DataFrame is
+                    # backed by this version's parquet files, which a
+                    # later version flip / compaction may delete before
+                    # the drain thread evaluates the plan. Deltas are
+                    # commit-sized (and the wire pusher collects them
+                    # anyway); the callback still receives a DataFrame,
+                    # rebuilt from the snapshot on the drain thread.
+                    self._ensure_dispatcher().put(
+                        (cb, clean.collect(), clean.schema)
+                    )
                 else:
                     cb(clean)

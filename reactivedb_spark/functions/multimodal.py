@@ -320,7 +320,13 @@ def decode_bytes(payload: bytes) -> dict:
             "n_bytes": len(payload),
         }
     if payload[:2] == _jpeg.JPEG_MAGIC:
-        info = _jpeg.jpeg_decode_bytes(payload)
+        try:
+            info = _jpeg.jpeg_decode_bytes(payload)
+        except (ValueError, NotImplementedError):
+            # JPEG magic but not baseline-decodable (progressive,
+            # arithmetic, corrupt): fall back to the deterministic stub
+            # like any other codec-less format instead of failing the task
+            return fake_decode_bytes(payload)
         return {
             "width": info["width"],
             "height": info["height"],

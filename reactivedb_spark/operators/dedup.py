@@ -174,18 +174,26 @@ def containment_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
     if not (0 < num <= den):
         raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
     tok = cache.pin(tokens(df, id_col, text_col, distinct=True))
+    # _n is the FULL set size (pre-guard): the prefix-length bound must
+    # be computed on |A|, not on the stop-filtered count, or pairs whose
+    # shared tokens are only partly stop-tokens can be lost beyond the
+    # documented all-shared-tokens-are-stop case. Taking the first
+    # min(L, #non-stop) non-stop tokens with L = n − ⌈t·n⌉ + 1 keeps the
+    # guarantee: a qualifying pair shares ≥ ⌈t·n⌉ − (n − n') non-stop
+    # tokens, which exceeds the n' − L it could hide outside the prefix.
+    sizes = tok.groupBy(id_col).agg(F.count("*").cast("long").alias("_n"))
     freq = tok.groupBy("token").agg(F.count("*").cast("long").alias("_df"))
     if max_token_docs is not None:
         freq = freq.filter(F.col("_df") <= max_token_docs)
     ranked = (
         tok.join(freq, "token")
+        .join(sizes, id_col)
         .withColumn(
             "_rn",
             F.row_number().over(
                 Window.partitionBy(id_col).orderBy("_df", "token")
             ),
         )
-        .withColumn("_n", F.count("*").over(Window.partitionBy(id_col)))
     )
     # prefix length = n - ceil(t*n) + 1, integer-exact
     need = (F.lit(num) * F.col("_n") + F.lit(den - 1)) / F.lit(den)
@@ -760,7 +768,14 @@ def simhash2_pairs(sig: DataFrame, id_col: str = "doc_id",
     the regime where you widen again (128-bit SimHash), not a cliff.
     Same distinct-signature-value banding + verify + doc re-expansion
     plan as :func:`simhash_pairs`."""
-    assert 64 % (max_hamming + 1) == 0, "band width must divide 64"
+    if max_hamming not in (1, 3, 7, 15, 31):
+        # band width must divide 64 AND stay ≤ 32 bits so every band
+        # mask/value fits a non-negative int64 literal (max_hamming=0
+        # would need a 64-bit all-ones mask, which LongType can't hold;
+        # exact-duplicate signatures are a plain groupBy, not a band join)
+        raise ValueError(
+            f"max_hamming must be one of 1, 3, 7, 15, 31 (got {max_hamming})"
+        )
     sig = cache.pin(sig.select("*"))
     n_bands = max_hamming + 1
     sz = 64 // n_bands

@@ -41,33 +41,64 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 DIMS = ("region", "nation", "supplier", "part")
+# columns grouped by KEY DOMAIN: every column referencing the same
+# entity must shift by the same base (derived from the max across the
+# whole domain, primary key included) or cross-copy joins silently
+# break — e.g. if max(o_custkey) and max(c_custkey) straddle a power of
+# 10, per-column bases would shift orders and customers differently and
+# every scaled copy's orders would reference nonexistent customers.
+KEY_DOMAINS = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+}
 SHIFT_COLS = {
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
 }
 
 
-def _shift_base(src: str, table: str, col: str) -> int:
-    md = pq.read_table(os.path.join(src, f"{table}.parquet"), columns=[col])
-    m = pc.max(md.column(col)).as_py()
-    # next power of 10 above the max keeps shifted ids readable
-    base = 10
-    while base <= int(m):
-        base *= 10
-    return base
+def _domain_bases(src: str) -> dict[str, int]:
+    bases = {}
+    for domain, cols in KEY_DOMAINS.items():
+        m = 0
+        for table, col in cols:
+            path = os.path.join(src, f"{table}.parquet")
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path, columns=[col])
+            m = max(m, int(pc.max(t.column(col)).as_py() or 0))
+        # next power of 10 above the domain max keeps shifted ids readable
+        base = 10
+        while base <= m:
+            base *= 10
+        bases[domain] = base
+    return bases
 
 
 def _salt_text(arr: pa.ChunkedArray, i: int) -> pa.Array:
-    # per-copy alphabet rotation: a-z -> rot-i (length/ASCII preserved)
+    # per-copy rotation over lowercase, UPPERCASE and digits (length and
+    # ASCII-ness preserved): tokens made only of unrotated characters
+    # would stay identical across copies and re-correlate the copies'
+    # n-grams — the exact failure mode this rotation exists to avoid
     import string
 
     lower = string.ascii_lowercase
-    rot = lower[i % 26:] + lower[:i % 26]
-    table = str.maketrans(lower, rot)
+    upper = string.ascii_uppercase
+    digits = string.digits
+    table = str.maketrans(
+        lower + upper + digits,
+        lower[i % 26:] + lower[:i % 26]
+        + upper[i % 26:] + upper[:i % 26]
+        + digits[i % 10:] + digits[:i % 10],
+    )
     return pa.array(
         [None if t is None else t.translate(table) for t in arr.to_pylist()],
         type=arr.type,
@@ -88,12 +119,15 @@ def _rotate_lists(arr: pa.ChunkedArray, i: int) -> pa.Array:
     return pa.array(out, type=arr.type)
 
 
-def scale_table(src: str, dst: str, table: str, factor: int) -> int:
+def scale_table(src: str, dst: str, table: str, factor: int,
+                domain_bases: dict[str, int]) -> int:
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
     if table in DIMS or factor == 1:
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return t.num_rows
-    bases = {c: _shift_base(src, table, c) for c in SHIFT_COLS.get(table, [])}
+    bases = {
+        c: domain_bases[d] for c, d in SHIFT_COLS.get(table, {}).items()
+    }
     copies = []
     for i in range(factor):
         c = t
@@ -131,8 +165,9 @@ def main() -> None:
         for f in os.listdir(args.src)
         if f.endswith(".parquet")
     )
+    bases = _domain_bases(args.src)
     for table in tables:
-        n = scale_table(args.src, args.dst, table, args.factor)
+        n = scale_table(args.src, args.dst, table, args.factor, bases)
         print(f"{table}: {n} rows")
 
 

@@ -341,3 +341,40 @@ def test_containment_prefix_pairs_rejects_bad_threshold(spark):
         dedup.containment_prefix_pairs(df, "doc_id", "text", 6, 5)
     with _pytest.raises(ValueError):
         dedup.containment_prefix_pairs(df, "doc_id", "text", 0, 5)
+
+
+def test_simhash2_pairs_rejects_unbandable_hamming(spark):
+    sig = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").alias("sh_hi"), F.col("id").alias("sh_lo"),
+    )
+    import pytest as _pytest
+
+    for bad in (0, 2, 5, 63):
+        with _pytest.raises(ValueError, match="max_hamming"):
+            dedup.simhash2_pairs(sig, max_hamming=bad)
+
+
+def test_containment_prefix_guard_keeps_pairs_with_shared_nonstop_tokens(spark):
+    """max_token_docs drops stop-tokens from candidate generation, but
+    the prefix-length bound stays on the FULL set size, so a pair whose
+    shared tokens are only PARTLY stop-tokens is still found."""
+    # stop tokens s0..s4 appear in many docs (df > cap); doc 0 and doc 1
+    # share all 5 stop tokens AND 3 of doc 0's 5 rare tokens:
+    # containment(0,1) = 8/10 = 0.8 — qualifies at 4/5
+    stop = [f"s{i}" for i in range(5)]
+    rows = [
+        (0, " ".join(stop + ["r0", "r1", "r2", "r3", "r4"])),
+        (1, " ".join(stop + ["r0", "r1", "r2", "x0", "x1", "x2", "x3"])),
+    ]
+    for i in range(2, 12):  # inflate stop-token document frequency
+        rows.append((i, " ".join(stop + [f"u{i}a", f"u{i}b", f"u{i}c",
+                                         f"u{i}d", f"u{i}e", f"u{i}f"])))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.containment_prefix_pairs(
+            df, "doc_id", "text", 4, 5, max_token_docs=5
+        ).collect()
+    }
+    assert (0, 1) in got

@@ -219,3 +219,34 @@ def test_async_listener_does_not_stall_commits(spark, workspace):
     assert seen == [1, 1]
     assert len(eng.listener_errors) == 2
     assert all(isinstance(e, RuntimeError) for e in eng.listener_errors)
+
+
+def test_async_listener_survives_later_version_flips(spark, workspace):
+    """The queued delta must be snapshotted in-commit: later commits
+    flip/compact the table's version dirs and delete the delta's
+    backing parquet files, so a lazy plan evaluated by a slow drain
+    thread would hit FileNotFound. The subscriber must still receive
+    the original rows, with no swallowed errors."""
+    import time
+
+    eng = Engine(spark, {"tables": [{"Source": {"name": "people", "columns": {
+        "name": "Str", "age": "Integer"}}}]}, workspace=workspace)
+    seen = []
+
+    def slow(df):
+        time.sleep(1.5)
+        seen.append(sorted(r["name"] for r in df.collect()))
+
+    eng.listen("people", "Insert", slow, asynchronous=True)
+    eng.insert("people", [{"name": "a", "age": 1}, {"name": "b", "age": 2}])
+    # churn state while the drain is still asleep: delete rewrites the
+    # version dir, further inserts append and may compact
+    eng.delete("people", "name", "b")
+    for i in range(3):
+        eng.insert("people", [{"name": f"c{i}", "age": 10 + i}])
+    eng.flush_listeners()
+    assert eng.listener_errors == []
+    assert seen[0] == ["a", "b"]
+    # the later insert commits were delivered too, in order (the delete
+    # commit emits no Insert event)
+    assert seen == [["a", "b"], ["c0"], ["c1"], ["c2"]]

@@ -240,3 +240,14 @@ def test_gray_plane_dispatch_gives_jpeg_real_pixels():
     px, w, h = _gray_plane(jpeg_encode_bytes(text, 16))
     assert (w, h) == (128, 16)
     assert sum(px) == 64 * sum(text)
+
+
+def test_decode_bytes_falls_back_on_undecodable_jpeg_magic():
+    """JPEG magic but not baseline-decodable (e.g. progressive) must
+    fall back to the deterministic stub in decode_metadata's path, not
+    crash the task."""
+    from reactivedb_spark.functions.multimodal import decode_bytes, fake_decode_bytes
+
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    payload = b"\xff\xd8" + sof2 + b"\xff\xd9"
+    assert decode_bytes(payload) == fake_decode_bytes(payload)
