@@ -196,6 +196,13 @@ def jpeg_decode_bytes(payload: bytes) -> dict:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # spec-legal fill: any number of extra 0xFF bytes may pad before
+        # the marker code (ITU T.81 B.1.1.2) — skip them, or the fill
+        # byte would be read as the marker and a bogus length parsed
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS — empty image
             break
@@ -245,6 +252,14 @@ def jpeg_decode_bytes(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            if ns < len(frame["comps"]):
+                # non-interleaved (multi-scan) baseline: _decode_scan
+                # derives MCU geometry from THIS scan's components and we
+                # return after the first scan, so decoding would silently
+                # produce wrong pixels — refuse honestly instead
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not supported"
+                )
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i:3 + 2 * i]

@@ -195,10 +195,12 @@ def containment_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
             ),
         )
     )
-    # prefix length = n - ceil(t*n) + 1, integer-exact
-    need = (F.lit(num) * F.col("_n") + F.lit(den - 1)) / F.lit(den)
+    # prefix length = n - ceil(t*n) + 1, integer-exact: `div` keeps the
+    # whole bound in integer arithmetic (bit-identical to the oracle's
+    # `//`), never through a double
+    need = F.expr(f"({num} * _n + {den - 1}) div {den}")
     prefix = ranked.filter(
-        F.col("_rn") <= F.col("_n") - need.cast("long") + 1
+        F.col("_rn") <= F.col("_n") - need + 1
     ).select(F.col(id_col).alias("_small"), "token")
     cand = (
         prefix.join(tok.select(F.col(id_col).alias("_other"), "token"), "token")

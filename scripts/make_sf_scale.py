@@ -159,6 +159,20 @@ def main() -> None:
     ap.add_argument("--dst", default="/tmp/sf1")
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
+    # the alphabet rotation in _salt_text is the identity for letters at
+    # i % 26 == 0 (and for digits at i % 10 == 0): copy 26 would be a
+    # byte-identical text clone of copy 0, silently reintroducing the
+    # quadratic cross-copy near-dup blowup the rotation exists to prevent
+    if args.factor > 26:
+        raise SystemExit(
+            "--factor > 26 exceeds the alphabet-rotation period: copy 26 "
+            "would clone copy 0's text byte-for-byte (see _salt_text)"
+        )
+    if args.factor > 10:
+        print(
+            "WARNING: --factor > 10 exceeds the digit-rotation period; "
+            "digit-only tokens re-correlate across copies i and i+10"
+        )
     os.makedirs(args.dst, exist_ok=True)
     tables = sorted(
         re.sub(r"\.parquet$", "", f)

@@ -39,6 +39,32 @@ def test_progressive_raises_not_implemented():
         jpeg_decode_bytes(b"\xff\xd8" + sof2 + b"\xff\xd9")
 
 
+def test_fill_bytes_before_marker_tolerated():
+    # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    # marker code — decode must skip them, not parse a bogus segment
+    text = b"the quick brown fox " * 10
+    p = jpeg_encode_bytes(text, 16)
+    padded = p[:2] + b"\xff\xff\xff" + p[2:]
+    assert jpeg_decode_bytes(padded) == jpeg_decode_bytes(p)
+
+
+def test_multi_scan_baseline_raises_not_implemented():
+    # SOS naming fewer components than the SOF frame = non-interleaved
+    # multi-scan baseline; decoding only the first scan with scan-derived
+    # MCU geometry would silently mis-decode, so it must refuse
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    sos = seg(0xDA, bytes([1]) + bytes([1, 0x00]) + bytes([0, 63, 0]))
+    with pytest.raises(NotImplementedError):
+        jpeg_decode_bytes(b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([1] * 64)) + sof + sos + b"\xff\xd9")
+
+
 # -- test-only general encoder: real DCT, rich Huffman, optional restarts ----
 
 _DC_VALS = bytes(range(12))
