@@ -169,9 +169,11 @@ class Engine:
         self._dispatch_q = None  # lazy async-listener drain queue
         self._dispatch_init_lock = _threading.Lock()
         self.listener_errors: list = []
+        self._listen_staged = 0  # staged-snapshot commits (observability)
         self.tables: dict[str, TableState] = {}
         self._build_states()
         workspace = workspace or tempfile.mkdtemp(prefix="reactivedb_spark_")
+        self._listen_stage_root = os.path.join(workspace, "_listen_stage")
         self.store = ParquetSnapshotStore(spark, os.path.join(workspace, "tables"))
         recovered = bool(self.store.recovered_tables)
         for st in self.tables.values():
@@ -797,11 +799,18 @@ class Engine:
         commit's atomicity). ``asynchronous=True`` decouples the
         subscriber like the reference's mpsc channel push
         (listener_hook.rs:56-84 hands deltas to a channel, the TCP
-        writer drains it): the delta's rows are snapshotted in-commit
-        (commit-sized; version flips may delete the delta's backing
-        files before a slow drain reads them) and a daemon drain thread
-        invokes the callback, so a slow subscriber cannot stall commit
-        throughput. ``flush_listeners()`` is the barrier; subscriber
+        writer drains it): the delta is snapshotted in-commit to a
+        staging parquet dir (version flips may delete the delta's
+        backing files before a slow drain reads them; staging keeps the
+        snapshot executor-side, so a 100 TB bulk ``insert_df`` commit
+        never materializes on the driver) and a daemon drain thread
+        re-reads it and invokes the callbacks, so a slow subscriber
+        cannot stall commit throughput. One snapshot is written per
+        (table, event, commit) and shared by every asynchronous
+        subscriber of that event. The staged files are deleted after
+        all callbacks for the commit return — a callback that must
+        retain the rows should persist or convert them within the
+        call. ``flush_listeners()`` is the barrier; subscriber
         exceptions are collected in ``listener_errors`` (they must not
         poison the drain thread or other subscribers)."""
         if event not in ("Insert", "Delete"):
@@ -818,13 +827,21 @@ class Engine:
                 q = queue.Queue()
 
                 def drain():
+                    import shutil
+
                     while True:
-                        cb, rows, schema = q.get()
+                        cbs, path, schema = q.get()
                         try:
-                            cb(self.spark.createDataFrame(rows, schema))
+                            df = self.spark.read.schema(schema).parquet(path)
+                            for cb in cbs:
+                                try:
+                                    cb(df)
+                                except Exception as e:  # noqa: BLE001
+                                    self.listener_errors.append(e)
                         except Exception as e:  # noqa: BLE001
                             self.listener_errors.append(e)
                         finally:
+                            shutil.rmtree(path, ignore_errors=True)
                             q.task_done()
 
                 t = threading.Thread(target=drain, daemon=True,
@@ -839,20 +856,34 @@ class Engine:
             self._dispatch_q.join()
 
     def _notify(self, table: str, d: Delta) -> None:
-        for event, cb, is_async in self._listeners.get(table, []):
-            df = d.inserts if event == "Insert" else d.deletes
-            if df is not None:
-                clean = df.drop(C.SEQ, C.PARTITION_BUCKET)
-                if is_async:
-                    # snapshot the rows NOW: the delta DataFrame is
-                    # backed by this version's parquet files, which a
-                    # later version flip / compaction may delete before
-                    # the drain thread evaluates the plan. Deltas are
-                    # commit-sized (and the wire pusher collects them
-                    # anyway); the callback still receives a DataFrame,
-                    # rebuilt from the snapshot on the drain thread.
-                    self._ensure_dispatcher().put(
-                        (cb, clean.collect(), clean.schema)
-                    )
-                else:
-                    cb(clean)
+        subs = self._listeners.get(table, [])
+        if not subs:
+            return
+        for event, df in (("Insert", d.inserts), ("Delete", d.deletes)):
+            if df is None:
+                continue
+            sync_cbs = [cb for e, cb, a in subs if e == event and not a]
+            async_cbs = [cb for e, cb, a in subs if e == event and a]
+            if not (sync_cbs or async_cbs):
+                continue
+            clean = df.drop(C.SEQ, C.PARTITION_BUCKET)
+            if async_cbs:
+                # snapshot NOW: the delta DataFrame is backed by this
+                # version's parquet files, which a later version flip /
+                # compaction may delete before the drain thread
+                # evaluates the plan. The snapshot is a staging parquet
+                # write (executor-side — a bulk insert_df commit of any
+                # size never lands on the driver), written ONCE per
+                # (table, event, commit) and shared by every async
+                # subscriber; the drain thread re-reads it, fans out the
+                # callbacks, then deletes the staging dir.
+                import uuid as _uuid
+
+                path = os.path.join(
+                    self._listen_stage_root, f"{table}-{event}-{_uuid.uuid4().hex}"
+                )
+                clean.write.mode("overwrite").parquet(path)
+                self._listen_staged += 1
+                self._ensure_dispatcher().put((async_cbs, path, clean.schema))
+            for cb in sync_cbs:
+                cb(clean)

@@ -250,3 +250,47 @@ def test_async_listener_survives_later_version_flips(spark, workspace):
     # the later insert commits were delivered too, in order (the delete
     # commit emits no Insert event)
     assert seen == [["a", "b"], ["c0"], ["c1"], ["c2"]]
+
+
+def test_bulk_async_listener_stages_off_driver(spark, workspace):
+    """A bulk insert_df commit with asynchronous listeners must never
+    materialize the delta on the driver: the snapshot is a staging
+    parquet write (executor-side) shared by ALL async subscribers of the
+    event, and the only driver-side collects during the commit are
+    scalar aggregates. Guards the 100 TB contract: one commit CAN be the
+    whole table."""
+    import pyspark.sql.dataframe as _dfmod
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, {"tables": [{"Source": {"name": "people", "columns": {
+        "name": "Str", "age": "Integer"}}}]}, workspace=workspace)
+    got = []
+    eng.listen("people", "Insert", lambda df: got.append(df.count()),
+               asynchronous=True)
+    eng.listen("people", "Insert", lambda df: got.append(df.count()),
+               asynchronous=True)
+
+    big = spark.range(100_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+        F.col("id").cast("long").alias("age"),
+    )
+    collected_sizes = []
+    orig = _dfmod.DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    _dfmod.DataFrame.collect = spy
+    try:
+        eng.insert_df("people", big)
+    finally:
+        _dfmod.DataFrame.collect = orig
+    # scalar aggregates only — never the 100k-row delta
+    assert max(collected_sizes, default=0) <= 16, collected_sizes
+    eng.flush_listeners()
+    assert eng.listener_errors == []
+    assert got == [100_000, 100_000]
+    # ONE shared snapshot for both subscribers of the same commit+event
+    assert eng._listen_staged == 1
