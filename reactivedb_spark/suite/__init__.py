@@ -13,74 +13,76 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 
 # Registration order is part of the external contract: the driver's
 # correctness gate checks the FIRST 50 registered queries. _WINDOW is the
-# explicit round-5 rotation (VERDICT r4 "Next round" #1):
-#   slots 1-12  — the 12 queries that have NEVER had a driver row
-#                 (round-4 late additions, pipeline tail),
-#   slot 13+    — new round-5 queries (driver-unchecked by definition),
-#   then the stalest driver-green rows, fewest-greens-first:
-#                 sessionize (green r2 only), the single-green r3 set,
-#                 the double-green r3 set, and as many of the
-#                 triple-green §2 core verbs as fit.
+# explicit round-6 rotation (VERDICT r5 "Next round" #1):
+#   slots 1-16  — the 16 queries whose newest green row is r3 (the
+#                 stalest evidence in the pool — includes the whole
+#                 heavy word-level dedup family, which must be
+#                 re-verified under the round-5 64-bit SimHash +
+#                 stop-band-guard code),
+#   slots 17-18 — new round-6 queries (driver-unchecked by definition),
+#   slots 19-50 — the single-green round-4 set, fewest-greens-first
+#                 with alphabetical tie-break (32 of 39 fit; the 7
+#                 remaining single-green r4 rows — streaming_sliding,
+#                 streaming_stateful_totals, streaming_stream_join,
+#                 streaming_tumbling, table_profile, unigram_logprob,
+#                 winsorize_prices — lead the next rotation).
 # Everything not in _WINDOW keeps its registration but lands in the tail
-# (latest evidence r3/r4 — ≤2 rounds old at round 5); they rotate back in
+# (latest evidence r4/r5 — ≤2 rounds old at round 6); they rotate back in
 # next round. tests/test_suite_registration.py enforces this layout.
 _WINDOW = (
-    # never driver-checked (round-4 tail)
-    "zscore_outliers",
-    "span_dedup_rewrite",
-    "chunk_transform",
-    "zorder_scan",
-    "full_outer_join",
-    "textstats_transform",
-    "pq_rerank",
-    "bucketed_join",
-    "funnel_stages",
-    "source_schema_evolution",
-    "store_time_travel",
-    "dedup_containment",
-    # round-5 additions / semantics changes (driver-unchecked by definition)
-    "multimodal_jpeg_decode",
-    "dedup_simhash_pairs",  # re-verify: 64-bit split-signature layout (r5)
-    "dedup_jaccard_guarded",  # new r5: stop-band guard semantics
-    "dedup_containment_exact",  # new r5: full-recall prefix-filter join
-    # stalest greens: r2-only
-    "sessionize",
-    # r3-only single-green
-    "array_filter_dsl",
-    "struct_map_project",
-    "streaming_sessionize",
-    "text_repetition",
-    "tfidf_top_terms",
-    "top_bigrams",
-    "pack_budget",
-    "decontaminate",
-    "pii_scrub",
-    "sample_hash",
-    "sample_stratified",
-    "graph_components_star",
-    "multimodal_png_decode",
-    "multimodal_wav_decode",
-    # r3 double-green (r2+r3)
-    "aggregation_transform",
-    "streaming_aggregate",
-    "ann_ivf_topk",
-    "events_hourly",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "token_bpe",
-    "multimodal_embed",
-    # r3 triple-green §2 core verbs + headline families (as many as fit)
-    "function_transform",
-    "filter_transform",
-    "union_transform",
-    "find_one",
-    "get_all",
-    "less_than",
-    "greater_than",
-    "delete_cascade",
-    "action_transform",
-    "expr_arithmetic",
-    "dedup_exact",
+    # r3-stale (newest green two rounds old)
+    "ann_buckets",
+    "corpus_clean",
+    "dedup_jaccard",
+    "dedup_lsh_candidates",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_near_dups",
+    "fingerprint",
+    "lang_id",
+    "multimodal_decode",
+    "multimodal_frames",
+    "similarity_topk",
+    "text_quality",
+    "token_count",
+    "topk_orders",
+    "window_rank",
+    # round-6 additions (driver-unchecked by definition)
+    "dedup_containment_zipf",  # new r6: Zipfian-corpus prefix-filter join
+    "streaming_late_data",  # new r6: watermark late-data dropping
+    # single-green r4 set, alphabetical (32 of 39 fit)
+    "ann_knn_join",
+    "asof_forward",
+    "bloom_semi_join",
+    "bm25_topk",
+    "chunk_windows",
+    "cms_heavy_hitters",
+    "dag_chain",
+    "dedup_transform",
+    "duplicate_spans",
+    "embedding_clusters",
+    "event_deltas",
+    "events_json",
+    "grouping_sets",
+    "hll_users",
+    "multimodal_pixel_features",
+    "multimodal_resize",
+    "pagerank_orders",
+    "pq_topk",
+    "price_deciles",
+    "price_histogram",
+    "range_join_attrib",
+    "resample_gapfill",
+    "retention_weeks",
+    "rolling_avg",
+    "sample_transform",
+    "sample_weighted",
+    "skew_salted_agg",
+    "source_csv",
+    "source_jsonl",
+    "source_orc",
+    "source_partitioned",
+    "streaming_dedup",
 )
 assert len(_WINDOW) == 50
 

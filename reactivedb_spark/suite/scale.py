@@ -229,6 +229,75 @@ FROM v WHERE 5 * ni >= 4 * mn
 )
 
 
+def q_dedup_containment_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-recall containment join on a ZIPFIAN-vocabulary corpus — the
+    regime the prefix filter's df-bounded cost claim actually lives in
+    (VERDICT r5 #4; the fixture's ~31-word vocabulary is the technique's
+    pathological input, so ``dedup_containment_exact`` had to scope its
+    corpus). The corpus is generated deterministically inside the query
+    with pure integer arithmetic, identically on both engines: token
+    ``t`` (t in [2, VOCAB]) appears in doc ``d`` iff t divides d, so
+    df(t) = floor(N/t) — an EXACT Zipf law — and every (a, k*a) pair is
+    a true near-superset (divisors(a) ⊆ divisors(k*a)). At N=12000,
+    V=3000 the surviving corpus is 7176 docs (7× the scoped _exact
+    row); the rarest-prefix join generates ~207k candidates vs ~25.7M
+    all-pairs — the 124× df-bound pruning the operator exists for."""
+    n_docs, vocab = 12000, 3000
+    tokd = (
+        spark.range(2, vocab + 1)
+        .select(F.col("id").alias("t"))
+        .select("t", F.explode(F.expr(f"sequence(1L, {n_docs} div t)")).alias("k"))
+        .select(
+            (F.col("t") * F.col("k")).alias("doc_id"),
+            F.concat(F.lit("t"), F.col("t").cast("string")).alias("token"),
+        )
+    )
+    docs = (
+        tokd.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("token")).alias("_toks"))
+        .filter(F.size("_toks") >= 4)
+        .select("doc_id", F.array_join("_toks", " ").alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return dedup.containment_prefix_pairs(docs, "doc_id", "text", num=4, den=5)
+
+
+SQL_DEDUP_CONTAINMENT_ZIPF = """
+WITH g AS (
+  SELECT t, k FROM generate_series(2, 3000) AS gt(t),
+               generate_series(1, 6000) AS gk(k)
+  WHERE t * k <= 12000),
+tokd AS (SELECT t * k AS doc_id, 't' || CAST(t AS VARCHAR) AS token FROM g),
+docs AS (SELECT doc_id FROM tokd GROUP BY doc_id HAVING count(*) >= 4),
+tok AS (SELECT tokd.doc_id, token FROM tokd JOIN docs USING (doc_id)),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
+ranked AS (
+  SELECT t.doc_id, t.token,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS rn,
+         count(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM tok t JOIN freq f USING (token)),
+prefix AS (
+  SELECT doc_id AS small, token FROM ranked
+  WHERE rn <= n - ((4 * n + 4) // 5) + 1),
+cand AS (
+  SELECT DISTINCT least(p.small, t.doc_id) AS doc_a,
+                  greatest(p.small, t.doc_id) AS doc_b
+  FROM prefix p JOIN tok t USING (token) WHERE p.small <> t.doc_id),
+sets AS (
+  SELECT doc_id, list(token) AS toks, CAST(count(*) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS ni,
+         least(sa.n_tok, sb.n_tok) AS mn
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, CAST(ni AS DOUBLE) / CAST(mn AS DOUBLE) AS containment
+FROM v WHERE 5 * ni >= 4 * mn
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Character-3-gram Jaccard near-dups (threshold 0.8): the n-gram
     variant of the LSH→verify pipeline — robust to word-boundary edits,
@@ -1311,6 +1380,141 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_streaming_late_data(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time watermark with REAL late-data dropping (VERDICT r5 #6
+    — the one operator class the streaming family didn't cover): a
+    tumbling 1-hour windowed aggregation in APPEND mode under
+    ``withWatermark("tstamp", "1 hour")``, replayed as four explicitly
+    controlled micro-batches (maxFilesPerTrigger=1, files mtime-ordered)
+    so the lateness rule is deterministic and the oracle can replay it:
+
+    - batch 0: on-time rows (event_id % 4 != 3) — establishes the
+      watermark WM1 = max(batch-0 event time) - 1h;
+    - batch 1: a single max-neutral tick row (user_id = -1, at BASE):
+      Spark's LATE-ROW FILTER runs one batch behind the official
+      watermark (measured on 4.1: a late row in batch N is filtered
+      with the watermark derived from data through batch N-2), so the
+      tick burns that lag batch; because it does not raise the max
+      event time, the filter watermark the held-back rows meet is
+      exactly WM1 under either lag convention;
+    - batch 2: the held-back rows, half shifted 1.5h earlier — Spark
+      drops exactly those whose WINDOW END <= WM1 (window-end predicate,
+      WatermarkSupport.watermarkExpression) and aggregates the rest,
+      late-but-window-alive rows included;
+    - batches 3-5: far-future flush rows (user_id = -1, +30d/+60d/+90d)
+      that advance the watermark past every real window so append mode
+      emits them all (two spare flushes absorb the same one-batch lag
+      on the eviction side); the tick/flush rows' own groups are
+      filtered out by user_id >= 0.
+
+    Determinism engineering: event times are synthesized with integer
+    arithmetic (BASE + (event_id*37 % 7200) s) where BASE carries a
+    123456 us sub-second offset, so no hour-aligned window end can ever
+    tie with the watermark — the <= vs < boundary and Spark's ms-level
+    watermark truncation are both unobservable. The oracle applies the
+    identical rule: drop batch-2 rows with window_end <= max(batch-1
+    time) - 1h, then GROUP BY window, user."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base_us = 1_600_000_000_123_456
+    day_us = 86_400_000_000
+    ev = load(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.lit(base_us)
+         + (F.col("event_id") * 37 % 7200) * F.lit(1_000_000)).alias("t_us"),
+    )
+    b1 = ev.filter(F.col("event_id") % 4 != 3)
+    b2 = ev.filter(F.col("event_id") % 4 == 3).select(
+        "event_id", "user_id",
+        F.when(F.col("event_id") % 8 == 3,
+               F.col("t_us") - F.lit(5_400_000_000))
+        .otherwise(F.col("t_us")).alias("t_us"),
+    )
+    tick = spark.createDataFrame(
+        [(0, -1, base_us)], "event_id long, user_id long, t_us long"
+    )
+    flush = [
+        spark.createDataFrame(
+            [(0, -1, base_us + k * 30 * day_us)],
+            "event_id long, user_id long, t_us long",
+        )
+        for k in (1, 2, 3)
+    ]
+
+    def stamped(df):
+        return df.select(
+            "event_id", "user_id", F.timestamp_micros("t_us").alias("tstamp")
+        )
+
+    root = tempfile.mkdtemp(prefix="rdb_late_q_")
+    watch = os.path.join(root, "in")
+    os.makedirs(watch)
+    for i, df in enumerate([b1, tick, b2, *flush]):
+        tmp = os.path.join(root, f"tmp{i}")
+        stamped(df).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(watch, f"b{i}.parquet")
+        shutil.copyfile(part, dst)
+        # mtime defines micro-batch order in the file source; fixed,
+        # well-separated stamps keep the replay deterministic
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    name = "late_" + uuid.uuid4().hex[:8]
+    agg = (
+        spark.readStream.schema("event_id long, user_id long, tstamp timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch)
+        .withWatermark("tstamp", "1 hour")
+        .groupBy(F.window("tstamp", "1 hour"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_eid"),
+        )
+    )
+    with streaming_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name).filter(F.col("user_id") >= 0).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "user_id", "n", "sum_eid",
+    )
+
+
+SQL_STREAMING_LATE_DATA = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         1600000000123456 + ((event_id * 37) % 7200) * 1000000 AS t
+  FROM events),
+b1 AS (SELECT * FROM ev WHERE event_id % 4 <> 3),
+b2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 8 = 3 THEN t - 5400000000 ELSE t END AS t
+  FROM ev WHERE event_id % 4 = 3),
+wm1 AS (SELECT max(t) - 3600000000 AS w FROM b1),
+kept2 AS (
+  SELECT * FROM b2
+  WHERE ((t // 3600000000) + 1) * 3600000000 > (SELECT w FROM wm1)),
+allr AS (SELECT * FROM b1 UNION ALL SELECT * FROM kept2)
+SELECT (t // 3600000000) * 3600000000 AS window_start_us, user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_eid
+FROM allr GROUP BY 1, 2
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     """The composed training-data cleanup (operators/corpus.py): quality
     gate → lang gate → exact dedup → LSH+Jaccard near-dup removal. The
@@ -1570,6 +1774,7 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 25
 QUERIES = {
     "streaming_aggregate": q_streaming_aggregate,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_late_data": q_streaming_late_data,
     "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1577,6 +1782,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
     "dedup_containment_exact": q_dedup_containment_exact,
+    "dedup_containment_zipf": q_dedup_containment_zipf,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
@@ -1619,6 +1825,7 @@ QUERIES = {
 ORACLES = {
     "streaming_aggregate": SQL_STREAMING_AGGREGATE,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
+    "streaming_late_data": SQL_STREAMING_LATE_DATA,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
@@ -1626,6 +1833,7 @@ ORACLES = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
     "dedup_containment_exact": SQL_DEDUP_CONTAINMENT_EXACT,
+    "dedup_containment_zipf": SQL_DEDUP_CONTAINMENT_ZIPF,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

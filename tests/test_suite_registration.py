@@ -1,25 +1,36 @@
 """Registration-order contract: the driver's correctness gate checks the
-FIRST 50 registered queries. Round-5 rotation (VERDICT r4 #1): the 12
-never-driver-checked round-4 tail queries occupy the head of the window,
-followed by the stalest driver-green families (fewest green rows first);
-everything else — latest evidence r3/r4, i.e. ≤2 rounds old — fills the
-tail and rotates back next round."""
+FIRST 50 registered queries. Round-6 rotation (VERDICT r5 #1): the 16
+queries whose newest green row is r3 occupy slots 1-16 (the heavy
+word-level dedup family must re-verify under the round-5 64-bit SimHash
+and stop-band-guard code), the two new round-6 queries follow, and the
+single-green round-4 set (alphabetical) fills the rest; everything else
+— latest evidence r4/r5, i.e. <=2 rounds old — fills the tail and
+rotates back next round."""
 
 from reactivedb_spark import suite
 
+R3_STALE = [
+    "ann_buckets",
+    "corpus_clean",
+    "dedup_jaccard",
+    "dedup_lsh_candidates",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_near_dups",
+    "fingerprint",
+    "lang_id",
+    "multimodal_decode",
+    "multimodal_frames",
+    "similarity_topk",
+    "text_quality",
+    "token_count",
+    "topk_orders",
+    "window_rank",
+]
+
 NEVER_CHECKED = {
-    "zscore_outliers",
-    "span_dedup_rewrite",
-    "chunk_transform",
-    "zorder_scan",
-    "full_outer_join",
-    "textstats_transform",
-    "pq_rerank",
-    "bucketed_join",
-    "funnel_stages",
-    "source_schema_evolution",
-    "store_time_travel",
-    "dedup_containment",
+    "dedup_containment_zipf",
+    "streaming_late_data",
 }
 
 
@@ -27,8 +38,10 @@ def test_window_layout():
     q = list(suite.all_queries())
     assert len(q) == len(set(q)), "duplicate query names"
     assert list(q[:50]) == list(suite._WINDOW)
-    # every never-driver-checked query sits in the head of the window
-    assert NEVER_CHECKED <= set(q[: len(NEVER_CHECKED)] )
+    # the r3-stale set leads the window, the never-driver-checked round-6
+    # queries follow immediately
+    assert q[: len(R3_STALE)] == R3_STALE
+    assert set(q[len(R3_STALE): len(R3_STALE) + len(NEVER_CHECKED)]) == NEVER_CHECKED
 
 
 def test_window_names_exist_in_pool():
