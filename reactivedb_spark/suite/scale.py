@@ -1401,11 +1401,11 @@ def q_streaming_late_data(spark: SparkSession, sf: str) -> DataFrame:
       drops exactly those whose WINDOW END <= WM1 (window-end predicate,
       WatermarkSupport.watermarkExpression) and aggregates the rest,
       late-but-window-alive rows included;
-    - batches 3-5: far-future flush rows (user_id = -1, +30d/+60d/+90d)
-      that advance the watermark past every real window so append mode
-      emits them all (two spare flushes absorb the same one-batch lag
-      on the eviction side); the tick/flush rows' own groups are
-      filtered out by user_id >= 0.
+    - batch 3: a far-future flush row (user_id = -1, +30d) that
+      advances the watermark past every real window; availableNow then
+      runs one final EMPTY finalization batch (measured on 4.1) whose
+      eviction emits them all in append mode. The tick/flush rows' own
+      groups are filtered out by user_id >= 0.
 
     Determinism engineering: event times are synthesized with integer
     arithmetic (BASE + (event_id*37 % 7200) s) where BASE carries a
@@ -1422,12 +1422,12 @@ def q_streaming_late_data(spark: SparkSession, sf: str) -> DataFrame:
 
     base_us = 1_600_000_000_123_456
     day_us = 86_400_000_000
-    ev = load(spark, sf, "events").select(
+    ev = cache.pin(load(spark, sf, "events").select(
         F.col("event_id").cast("long").alias("event_id"),
         F.col("user_id").cast("long").alias("user_id"),
         (F.lit(base_us)
          + (F.col("event_id") * 37 % 7200) * F.lit(1_000_000)).alias("t_us"),
-    )
+    ))
     b1 = ev.filter(F.col("event_id") % 4 != 3)
     b2 = ev.filter(F.col("event_id") % 4 == 3).select(
         "event_id", "user_id",
@@ -1438,13 +1438,10 @@ def q_streaming_late_data(spark: SparkSession, sf: str) -> DataFrame:
     tick = spark.createDataFrame(
         [(0, -1, base_us)], "event_id long, user_id long, t_us long"
     )
-    flush = [
-        spark.createDataFrame(
-            [(0, -1, base_us + k * 30 * day_us)],
-            "event_id long, user_id long, t_us long",
-        )
-        for k in (1, 2, 3)
-    ]
+    flush = spark.createDataFrame(
+        [(0, -1, base_us + 30 * day_us)],
+        "event_id long, user_id long, t_us long",
+    )
 
     def stamped(df):
         return df.select(
@@ -1454,9 +1451,12 @@ def q_streaming_late_data(spark: SparkSession, sf: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="rdb_late_q_")
     watch = os.path.join(root, "in")
     os.makedirs(watch)
-    for i, df in enumerate([b1, tick, b2, *flush]):
+    for i, df in enumerate([b1, tick, b2, flush]):
         tmp = os.path.join(root, f"tmp{i}")
-        stamped(df).coalesce(1).write.mode("overwrite").parquet(tmp)
+        # repartition(1), not coalesce(1): coalesce would collapse the
+        # upstream scan to one task; the shuffle keeps the read parallel
+        # and only the single output file is serial
+        stamped(df).repartition(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         dst = os.path.join(watch, f"b{i}.parquet")
         shutil.copyfile(part, dst)
