@@ -54,13 +54,21 @@ def memo_types(cfg: AggregationTransformConfig, parent: T.StructType) -> dict[st
 
 
 def _sum_term(st) -> Expr | None:
-    """``dest ~ memo.dest + E`` (either side) with E memo-free → E."""
+    """``dest ~ memo.dest + E`` (either side) or ``dest ~ memo.dest - E``
+    (memo left only — ``E - memo.dest`` alternates sign per row and is NOT
+    a sum) with E memo-free → the per-row summand (negated via ``0 - E``
+    for the minus fold)."""
+    from reactivedb_spark.expr.ast import Literal
+
     e = st.expr
     if isinstance(e, BinOp) and e.op == "+":
         if isinstance(e.left, MemoRef) and e.left.name == st.dest and not has_memo(e.right):
             return e.right
         if isinstance(e.right, MemoRef) and e.right.name == st.dest and not has_memo(e.left):
             return e.left
+    if isinstance(e, BinOp) and e.op == "-":
+        if isinstance(e.left, MemoRef) and e.left.name == st.dest and not has_memo(e.right):
+            return BinOp("-", Literal(0), e.right)
     return None
 
 
