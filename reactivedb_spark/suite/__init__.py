@@ -19,10 +19,11 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 heavy word-level dedup family, which must be
 #                 re-verified under the round-5 64-bit SimHash +
 #                 stop-band-guard code),
-#   slots 17-18 — new round-6 queries (driver-unchecked by definition),
-#   slots 19-50 — the single-green round-4 set, fewest-greens-first
-#                 with alphabetical tie-break (32 of 39 fit; the 7
-#                 remaining single-green r4 rows — streaming_sliding,
+#   slots 17-19 — new round-6 queries (driver-unchecked by definition),
+#   slots 20-50 — the single-green round-4 set, fewest-greens-first
+#                 with alphabetical tie-break (31 of 39 fit; the 8
+#                 remaining single-green r4 rows — streaming_dedup,
+#                 streaming_sliding,
 #                 streaming_stateful_totals, streaming_stream_join,
 #                 streaming_tumbling, table_profile, unigram_logprob,
 #                 winsorize_prices — lead the next rotation).
@@ -50,7 +51,8 @@ _WINDOW = (
     # round-6 additions (driver-unchecked by definition)
     "dedup_containment_zipf",  # new r6: Zipfian-corpus prefix-filter join
     "streaming_late_data",  # new r6: watermark late-data dropping
-    # single-green r4 set, alphabetical (32 of 39 fit)
+    "streaming_dedup_watermark",  # new r6: bounded-state streaming dedup
+    # single-green r4 set, alphabetical (31 of 39 fit)
     "ann_knn_join",
     "asof_forward",
     "bloom_semi_join",
@@ -82,7 +84,6 @@ _WINDOW = (
     "source_jsonl",
     "source_orc",
     "source_partitioned",
-    "streaming_dedup",
 )
 assert len(_WINDOW) == 50
 

@@ -1493,6 +1493,109 @@ def q_streaming_late_data(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the BOUNDED-STATE streaming
+    dedup (the production configuration at 100 TB: plain
+    ``dropDuplicates`` keys state forever; within-watermark dedup
+    evicts keys once the watermark passes event_time + delay, trading
+    a bounded duplicate-window guarantee for O(watermark) state).
+
+    The replay makes both sides of the guarantee deterministic and
+    oracle-checkable (same mtime-ordered file trick as
+    ``streaming_late_data``):
+
+    - batch 0: every event once (t0 in a 30-min span) — all emitted;
+    - batches 1-2: clock rows at BASE+3h (two, so the one-batch lag in
+      both the eviction and late-filter watermarks is burned): every
+      batch-0 key's state (expiry t0 + 10 min) is evicted;
+    - batch 3: duplicates of event_id % 5 == 0 at fresh event times
+      ≥ BASE+3h — NOT late, and their prior state is gone, so the
+      within-watermark contract re-emits every one of them.
+
+    Oracle: events UNION ALL the %5 subset at the shifted times —
+    exactly one duplicate re-emission per expired key, zero for live
+    keys. Clock rows (event_id < 0) are filtered from the result."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base_us = 1_600_000_000_123_456
+    ev = cache.pin(load(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.lit(base_us)
+         + (F.col("event_id") * 13 % 1800) * F.lit(1_000_000)).alias("t_us"),
+    ))
+    dup = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", "user_id",
+        (F.lit(base_us + 10_800_000_000)
+         + (F.col("event_id") % 600) * F.lit(1_000_000)).alias("t_us"),
+    )
+    clocks = [
+        spark.createDataFrame(
+            [(-k, -1, base_us + 10_800_000_000 + (k - 1) * 1_000_000)],
+            "event_id long, user_id long, t_us long",
+        )
+        for k in (1, 2)
+    ]
+
+    def stamped(df):
+        return df.select(
+            "event_id", "user_id", F.timestamp_micros("t_us").alias("tstamp")
+        )
+
+    root = tempfile.mkdtemp(prefix="rdb_ddw_q_")
+    watch = os.path.join(root, "in")
+    os.makedirs(watch)
+    for i, df in enumerate([ev, clocks[0], clocks[1], dup]):
+        tmp = os.path.join(root, f"tmp{i}")
+        stamped(df).repartition(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(watch, f"b{i}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    name = "ddw_" + uuid.uuid4().hex[:8]
+    dd = (
+        spark.readStream.schema("event_id long, user_id long, tstamp timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch)
+        .withWatermark("tstamp", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    with streaming_shuffle(spark):
+        q = (
+            dd.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name).filter(F.col("event_id") >= 0).select(
+        "event_id", "user_id", F.unix_micros("tstamp").alias("t_us")
+    )
+
+
+SQL_STREAMING_DEDUP_WATERMARK = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         1600000000123456 + ((event_id * 13) % 1800) * 1000000 AS t_us
+  FROM events),
+dup AS (
+  SELECT event_id, user_id,
+         1600000000123456 + 10800000000 + (event_id % 600) * 1000000 AS t_us
+  FROM events WHERE event_id % 5 = 0)
+SELECT event_id, user_id, t_us FROM ev
+UNION ALL
+SELECT event_id, user_id, t_us FROM dup
+"""
+
+
 SQL_STREAMING_LATE_DATA = """
 WITH ev AS (
   SELECT event_id, user_id,
@@ -1775,6 +1878,7 @@ QUERIES = {
     "streaming_aggregate": q_streaming_aggregate,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_late_data": q_streaming_late_data,
+    "streaming_dedup_watermark": q_streaming_dedup_watermark,
     "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1826,6 +1930,7 @@ ORACLES = {
     "streaming_aggregate": SQL_STREAMING_AGGREGATE,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "streaming_late_data": SQL_STREAMING_LATE_DATA,
+    "streaming_dedup_watermark": SQL_STREAMING_DEDUP_WATERMARK,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,

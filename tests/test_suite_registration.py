@@ -31,6 +31,7 @@ R3_STALE = [
 NEVER_CHECKED = {
     "dedup_containment_zipf",
     "streaming_late_data",
+    "streaming_dedup_watermark",
 }
 
 
