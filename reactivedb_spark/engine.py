@@ -859,7 +859,11 @@ class Engine:
         subs = self._listeners.get(table, [])
         if not subs:
             return
-        for event, df in (("Insert", d.inserts), ("Delete", d.deletes)):
+        # Delete before Insert within a commit: the reference decomposes
+        # Update into delete-all-on-key THEN insert (database.rs:155-164),
+        # so a subscriber mirroring the table can apply the events in
+        # arrival order — Insert-first would delete the row it just wrote.
+        for event, df in (("Delete", d.deletes), ("Insert", d.inserts)):
             if df is None:
                 continue
             sync_cbs = [cb for e, cb, a in subs if e == event and not a]
@@ -873,12 +877,13 @@ class Engine:
                 # compaction may delete before the drain thread
                 # evaluates the plan. The snapshot is a staging parquet
                 # write (executor-side — a bulk insert_df commit of any
-                # size never lands on the driver), written ONCE per
-                # (table, event, commit) and shared by every async
-                # subscriber; the drain thread re-reads it, fans out the
-                # callbacks, then deletes the staging dir.
-                import uuid as _uuid
-
+                # size never lands on the driver; for tiny commits the
+                # write job costs the same order as the collect job it
+                # replaced, and the re-read runs on the drain thread,
+                # off the commit path), written ONCE per (table, event,
+                # commit) and shared by every async subscriber; the
+                # drain thread re-reads it, fans out the callbacks,
+                # then deletes the staging dir.
                 path = os.path.join(
                     self._listen_stage_root, f"{table}-{event}-{_uuid.uuid4().hex}"
                 )

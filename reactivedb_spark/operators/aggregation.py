@@ -32,7 +32,9 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 from reactivedb_spark import constants as C
 from reactivedb_spark.config import AggregationTransformConfig
 from reactivedb_spark.errors import ConfigError
-from reactivedb_spark.expr.ast import BinOp, ColumnRef, Expr, MemoRef, has_column, has_memo
+from reactivedb_spark.expr.ast import (
+    BinOp, ColumnRef, Expr, Literal, MemoRef, has_column, has_memo,
+)
 from reactivedb_spark.expr.compiler import TypedColumn, compile_expr, field_type, infer_type
 
 
@@ -58,8 +60,6 @@ def _sum_term(st) -> Expr | None:
     (memo left only — ``E - memo.dest`` alternates sign per row and is NOT
     a sum) with E memo-free → the per-row summand (negated via ``0 - E``
     for the minus fold)."""
-    from reactivedb_spark.expr.ast import Literal
-
     e = st.expr
     if isinstance(e, BinOp) and e.op == "+":
         if isinstance(e.left, MemoRef) and e.left.name == st.dest and not has_memo(e.right):

@@ -33,3 +33,54 @@ def streaming_shuffle(spark: SparkSession, n: int = 8):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def replay_batches(spark: SparkSession, dfs: list, schema: str,
+                   transform, prefix: str = "replay") -> DataFrame:
+    """Deterministic micro-batch replay: write each DataFrame as ONE
+    parquet file into a watched dir with strictly increasing mtimes
+    (mtime defines the file source's batch order), stream the dir back
+    with ``maxFilesPerTrigger=1`` so file i IS micro-batch i, apply
+    ``transform(stream)``, run availableNow into an append-mode memory
+    sink under :func:`streaming_shuffle`, and return the sink table.
+
+    The fixed mtime stamps and single-file-per-trigger admission make
+    watermark progression a pure function of the declared batch list —
+    the property the late-data / within-watermark queries' oracles
+    depend on. ``repartition(1)`` (never ``coalesce(1)``) keeps the
+    upstream scan parallel; only the final file write is serial."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    root = tempfile.mkdtemp(prefix=f"rdb_{prefix}_")
+    watch = os.path.join(root, "in")
+    os.makedirs(watch)
+    for i, df in enumerate(dfs):
+        tmp = os.path.join(root, f"tmp{i}")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(watch, f"b{i}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    name = prefix + "_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch)
+    )
+    with streaming_shuffle(spark):
+        q = (
+            transform(stream).writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)

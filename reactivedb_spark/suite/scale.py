@@ -15,7 +15,7 @@ from reactivedb_spark import cache
 from reactivedb_spark.functions import multimodal, text as textfns
 from reactivedb_spark.functions.text import LANG_MARKERS, LANG_ORDER
 from reactivedb_spark.operators import dedup, similarity
-from reactivedb_spark.suite._common import load, streaming_shuffle
+from reactivedb_spark.suite._common import load, replay_batches, streaming_shuffle
 
 EMB_DIM = 64
 HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
@@ -1413,13 +1413,9 @@ def q_streaming_late_data(spark: SparkSession, sf: str) -> DataFrame:
     tie with the watermark — the <= vs < boundary and Spark's ms-level
     watermark truncation are both unobservable. The oracle applies the
     identical rule: drop batch-2 rows with window_end <= max(batch-1
-    time) - 1h, then GROUP BY window, user."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
+    time) - 1h, then GROUP BY window, user. Replay mechanics (mtime
+    batch order, single-file triggers) live in
+    :func:`suite._common.replay_batches`."""
     base_us = 1_600_000_000_123_456
     day_us = 86_400_000_000
     ev = cache.pin(load(spark, sf, "events").select(
@@ -1448,46 +1444,21 @@ def q_streaming_late_data(spark: SparkSession, sf: str) -> DataFrame:
             "event_id", "user_id", F.timestamp_micros("t_us").alias("tstamp")
         )
 
-    root = tempfile.mkdtemp(prefix="rdb_late_q_")
-    watch = os.path.join(root, "in")
-    os.makedirs(watch)
-    for i, df in enumerate([b1, tick, b2, flush]):
-        tmp = os.path.join(root, f"tmp{i}")
-        # repartition(1), not coalesce(1): coalesce would collapse the
-        # upstream scan to one task; the shuffle keeps the read parallel
-        # and only the single output file is serial
-        stamped(df).repartition(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(watch, f"b{i}.parquet")
-        shutil.copyfile(part, dst)
-        # mtime defines micro-batch order in the file source; fixed,
-        # well-separated stamps keep the replay deterministic
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
-    name = "late_" + uuid.uuid4().hex[:8]
-    agg = (
-        spark.readStream.schema("event_id long, user_id long, tstamp timestamp")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(watch)
-        .withWatermark("tstamp", "1 hour")
-        .groupBy(F.window("tstamp", "1 hour"), "user_id")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("event_id").cast("long").alias("sum_eid"),
+    def agg(stream):
+        return (
+            stream.withWatermark("tstamp", "1 hour")
+            .groupBy(F.window("tstamp", "1 hour"), "user_id")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_eid"),
+            )
         )
+
+    out = replay_batches(
+        spark, [stamped(df) for df in (b1, tick, b2, flush)],
+        "event_id long, user_id long, tstamp timestamp", agg, prefix="late",
     )
-    with streaming_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory").queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-    return spark.table(name).filter(F.col("user_id") >= 0).select(
+    return out.filter(F.col("user_id") >= 0).select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "user_id", "n", "sum_eid",
     )
@@ -1515,12 +1486,6 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
     Oracle: events UNION ALL the %5 subset at the shifted times —
     exactly one duplicate re-emission per expired key, zero for live
     keys. Clock rows (event_id < 0) are filtered from the result."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
     base_us = 1_600_000_000_123_456
     ev = cache.pin(load(spark, sf, "events").select(
         F.col("event_id").cast("long").alias("event_id"),
@@ -1546,37 +1511,14 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
             "event_id", "user_id", F.timestamp_micros("t_us").alias("tstamp")
         )
 
-    root = tempfile.mkdtemp(prefix="rdb_ddw_q_")
-    watch = os.path.join(root, "in")
-    os.makedirs(watch)
-    for i, df in enumerate([ev, clocks[0], clocks[1], dup]):
-        tmp = os.path.join(root, f"tmp{i}")
-        stamped(df).repartition(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(watch, f"b{i}.parquet")
-        shutil.copyfile(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
-    name = "ddw_" + uuid.uuid4().hex[:8]
-    dd = (
-        spark.readStream.schema("event_id long, user_id long, tstamp timestamp")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(watch)
-        .withWatermark("tstamp", "10 minutes")
-        .dropDuplicatesWithinWatermark(["event_id"])
+    out = replay_batches(
+        spark, [stamped(df) for df in (ev, clocks[0], clocks[1], dup)],
+        "event_id long, user_id long, tstamp timestamp",
+        lambda s: s.withWatermark("tstamp", "10 minutes")
+                   .dropDuplicatesWithinWatermark(["event_id"]),
+        prefix="ddw",
     )
-    with streaming_shuffle(spark):
-        q = (
-            dd.writeStream.format("memory").queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-    return spark.table(name).filter(F.col("event_id") >= 0).select(
+    return out.filter(F.col("event_id") >= 0).select(
         "event_id", "user_id", F.unix_micros("tstamp").alias("t_us")
     )
 
