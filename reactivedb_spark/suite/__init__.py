@@ -19,11 +19,11 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 heavy word-level dedup family, which must be
 #                 re-verified under the round-5 64-bit SimHash +
 #                 stop-band-guard code),
-#   slots 17-19 — new round-6 queries (driver-unchecked by definition),
-#   slots 20-50 — the single-green round-4 set, fewest-greens-first
-#                 with alphabetical tie-break (31 of 39 fit; the 8
-#                 remaining single-green r4 rows — streaming_dedup,
-#                 streaming_sliding,
+#   slots 17-20 — new round-6 queries (driver-unchecked by definition),
+#   slots 21-50 — the single-green round-4 set, fewest-greens-first
+#                 with alphabetical tie-break (30 of 39 fit; the 9
+#                 remaining single-green r4 rows — source_partitioned,
+#                 streaming_dedup, streaming_sliding,
 #                 streaming_stateful_totals, streaming_stream_join,
 #                 streaming_tumbling, table_profile, unigram_logprob,
 #                 winsorize_prices — lead the next rotation).
@@ -52,7 +52,8 @@ _WINDOW = (
     "dedup_containment_zipf",  # new r6: Zipfian-corpus prefix-filter join
     "streaming_late_data",  # new r6: watermark late-data dropping
     "streaming_dedup_watermark",  # new r6: bounded-state streaming dedup
-    # single-green r4 set, alphabetical (31 of 39 fit)
+    "expr_functions",  # new r6: DSL scalar-function library
+    # single-green r4 set, alphabetical (30 of 39 fit)
     "ann_knn_join",
     "asof_forward",
     "bloom_semi_join",
@@ -83,7 +84,6 @@ _WINDOW = (
     "source_csv",
     "source_jsonl",
     "source_orc",
-    "source_partitioned",
 )
 assert len(_WINDOW) == 50
 

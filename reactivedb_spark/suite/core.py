@@ -318,6 +318,50 @@ FROM part
 """
 
 
+def q_expr_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """The DSL scalar-function library (declared extension — the
+    reference PARSES ``word(args)`` but errors at execution,
+    transform.rs:291 'currently unimplimented'; PythonMVP prototyped ABS,
+    transforms.py:25,188): abs/floor/ceil/sqrt/length/upper/lower/
+    concat/coalesce compiled to native Column expressions, plus the
+    declared div-by-zero → NULL contract (SURVEY.md Appendix A #6)
+    threaded through coalesce. All outputs are long/string/IEEE-double
+    (sqrt is correctly rounded per IEEE in both engines), so the hash
+    compare is exact."""
+    p = load(spark, sf, "part")
+    return _dsl_select(
+        p,
+        ["p_partkey"],
+        [
+            "a ~ abs(p_size - 30)",
+            "fl ~ floor(p_retailprice)",
+            "ce ~ ceil(p_retailprice)",
+            "sq ~ sqrt(p_size)",
+            "ln ~ length(p_type)",
+            "up ~ upper(p_type)",
+            "lo ~ lower(p_brand)",
+            'cc ~ concat(p_brand, "#", p_name)',
+            "co ~ coalesce(p_size / 0, 0 - 1)",
+        ],
+    )
+
+
+SQL_EXPR_FUNCTIONS = """
+SELECT p_partkey,
+       CAST(abs(p_size - 30) AS BIGINT) AS a,
+       CAST(floor(p_retailprice) AS BIGINT) AS fl,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+       sqrt(CAST(p_size AS DOUBLE)) AS sq,
+       CAST(length(p_type) AS BIGINT) AS ln,
+       upper(p_type) AS up,
+       lower(p_brand) AS lo,
+       p_brand || '#' || p_name AS cc,
+       -- DuckDB's // 0 is NULL, same as the engine's declared contract
+       CAST(coalesce(p_size // 0, -1) AS BIGINT) AS co
+FROM part
+"""
+
+
 def q_array_filter_dsl(spark: SparkSession, sf: str) -> DataFrame:
     """Array columns end-to-end through the DSL: per-order quantity arrays
     (ordered by linenumber) compared LEXICOGRAPHICALLY by the compiled
@@ -437,6 +481,7 @@ QUERIES = {
     "delete_cascade": q_delete_cascade,
     "action_transform": q_action_transform,
     "expr_arithmetic": q_expr_arithmetic,
+    "expr_functions": q_expr_functions,
     "array_filter_dsl": q_array_filter_dsl,
     "struct_map_project": q_struct_map_project,
 }
@@ -454,5 +499,6 @@ ORACLES = {
     "action_transform": SQL_ACTION_TRANSFORM,
     "array_filter_dsl": SQL_ARRAY_FILTER_DSL,
     "expr_arithmetic": SQL_EXPR_ARITHMETIC,
+    "expr_functions": SQL_EXPR_FUNCTIONS,
     "struct_map_project": SQL_STRUCT_MAP_PROJECT,
 }

@@ -32,6 +32,7 @@ NEVER_CHECKED = {
     "dedup_containment_zipf",
     "streaming_late_data",
     "streaming_dedup_watermark",
+    "expr_functions",
 }
 
 
