@@ -19,7 +19,7 @@ from reactivedb_spark import cache, stats
 from reactivedb_spark.engine import Engine
 from reactivedb_spark.operators import rangejoin, sketch
 from reactivedb_spark.sources.readers import read_table
-from reactivedb_spark.suite._common import load, streaming_shuffle
+from reactivedb_spark.suite._common import load, rocksdb_state, streaming_shuffle
 
 NS_PER_WEEK = 7 * 24 * 3600 * 1_000_000_000
 NS_PER_DAY = 24 * 3600 * 1_000_000_000
@@ -352,7 +352,13 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     twice, split across micro-batches) through ``dropDuplicates`` on
     event_id — state-store-backed keyed dedup, the streaming twin of
     exact dedup. The oracle is a plain DISTINCT, so duplicate delivery
-    across batch boundaries must be invisible in the result."""
+    across batch boundaries must be invisible in the result.
+
+    Runs under the ROCKSDB state store provider (round 6): per-key
+    dedup state is the suite's largest (every event_id), which is
+    exactly the state the heap-backed default cannot hold at 100 TB —
+    the gate row also proves provider-invariance of the result
+    (PLANS.md round-6 has the measured 10.9x heap reduction)."""
     from reactivedb_spark.sources import stream_parquet_dir
 
     ev = load(spark, sf, "events").select("event_id", "user_id", "event_type")
@@ -363,7 +369,7 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     import uuid
 
     name = "dedup_" + uuid.uuid4().hex[:8]
-    with streaming_shuffle(spark):
+    with streaming_shuffle(spark), rocksdb_state(spark):
         q = (
             stream_parquet_dir(spark, src, doubled.schema)
             .dropDuplicates(["event_id"])
