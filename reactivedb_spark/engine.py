@@ -174,6 +174,12 @@ class Engine:
         self._build_states()
         workspace = workspace or tempfile.mkdtemp(prefix="reactivedb_spark_")
         self._listen_stage_root = os.path.join(workspace, "_listen_stage")
+        # staged listener snapshots are deleted after delivery; anything
+        # left here is garbage from a previous process that died with
+        # queued deliveries — reclaim it (no listener can exist yet)
+        import shutil as _shutil
+
+        _shutil.rmtree(self._listen_stage_root, ignore_errors=True)
         self.store = ParquetSnapshotStore(spark, os.path.join(workspace, "tables"))
         recovered = bool(self.store.recovered_tables)
         for st in self.tables.values():
