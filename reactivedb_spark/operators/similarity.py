@@ -212,18 +212,19 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
     return cosine_topk(cand, id_col, vec_col, query_id, k=k)
 
 
-def ivf_seed_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
-                  k: int = 10, n_clusters: int = 16, nprobe: int = 4) -> DataFrame:
-    """IVF probe against SEED centroids (the ``n_clusters`` lowest-id
-    vectors) — the fully deterministic, oracle-able variant of
-    ``ivf_topk``.
-
-    Assignment and probe selection use **exact int64 fixed-point squared
-    L2** (elements are xl = round(x·10⁸); (xl−cl)² ≤ 4·10¹⁶ and ×64 dims
+def seed_assignments(df: DataFrame, id_col: str, vec_col: str,
+                     n_clusters: int = 16) -> tuple:
+    """Cluster assignment against SEED centroids (the ``n_clusters``
+    lowest-id vectors) in **exact int64 fixed-point squared L2**
+    (elements are xl = round(x·10⁸); (xl−cl)² ≤ 4·10¹⁶ and ×64 dims
     ≤ 2.6·10¹⁸ < 2⁶³), so cluster membership is bit-reproducible in any
-    engine — no float k-means means in the compare path. Scan economics
-    match ivf_topk: candidates ≈ nprobe/n_clusters of the corpus, then
-    exact fixed-point cosine top-k."""
+    engine — no float k-means means in the compare path. Only the k seed
+    IDS come back to the driver.
+
+    Returns (assign DataFrame [id, cluster], d2 DataFrame
+    [id, cluster, d2]) — callers needing probe selection reuse d2."""
+    from pyspark.sql import Window as W
+
     spark = df.sparkSession
     elem = exploded(df, id_col, vec_col)
     seed_ids = [r[0] for r in
@@ -239,11 +240,69 @@ def ivf_seed_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
         .groupBy(id_col, "cluster")
         .agg(F.sum((F.col("xl") - F.col("cl")) * (F.col("xl") - F.col("cl"))).alias("d2"))
     )
-    from pyspark.sql import Window as W
-
     assign = d2.withColumn(
         "rn", F.row_number().over(W.partitionBy(id_col).orderBy("d2", "cluster"))
     ).filter(F.col("rn") == 1).select(id_col, "cluster")
+    return assign, d2
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   n_clusters: int = 16, threshold: float = 0.999) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then WITHIN each cluster drop the
+    higher id of every pair whose cosine ≥ ``threshold`` — semantic
+    near-duplicates that exact/MinHash text dedup cannot see.
+
+    100 TB plan shape: the pair join is scoped to a cluster (the whole
+    point of the clustering stage — |cluster|² pairs instead of |corpus|²),
+    pairs ride ONE equi-shuffle on the cluster id, and each pair is a
+    single row carrying two fixed-point arrays (``zip_with`` dot, no
+    pair×dimension explode). Assignment is the exact fixed-point seed
+    quantizer (:func:`seed_assignments`), so the whole pipeline is
+    bit-reproducible in SQL. Keep-rule: drop ids that appear as the
+    HIGHER side of any qualifying pair (deterministic; the lowest id of
+    every duplicate group always survives).
+
+    Emits survivors (id, cluster)."""
+    assign = cache.pin(seed_assignments(df, id_col, vec_col, n_clusters)[0])
+    n2 = F.aggregate(
+        F.transform(F.col("vl"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vecs = (
+        df.select(F.col(id_col), _xl_array(vec_col).alias("vl"))
+        .withColumn("n2", n2)
+        .join(assign, id_col)
+    )
+    a = vecs.select(F.col(id_col).alias("_a"), F.col("vl").alias("va"),
+                    F.col("n2").alias("na2"), "cluster")
+    b = vecs.select(F.col(id_col).alias("_b"), F.col("vl").alias("vb"),
+                    F.col("n2").alias("nb2"), "cluster")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    losers = (
+        a.join(b, "cluster")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(_cosine(dot, F.col("na2"), F.col("nb2")) >= F.lit(threshold))
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+    return assign.join(losers, id_col, "left_anti").select(id_col, "cluster")
+
+
+def ivf_seed_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
+                  k: int = 10, n_clusters: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF probe against SEED centroids — the fully deterministic,
+    oracle-able variant of ``ivf_topk`` (assignment math documented at
+    :func:`seed_assignments`). Scan economics match ivf_topk:
+    candidates ≈ nprobe/n_clusters of the corpus, then exact
+    fixed-point cosine top-k."""
+    assign, d2 = seed_assignments(df, id_col, vec_col, n_clusters)
     probe = [
         r["cluster"]
         for r in d2.filter(F.col(id_col) == F.lit(query_id))

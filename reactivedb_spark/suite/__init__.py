@@ -19,10 +19,11 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 heavy word-level dedup family, which must be
 #                 re-verified under the round-5 64-bit SimHash +
 #                 stop-band-guard code),
-#   slots 17-20 — new round-6 queries (driver-unchecked by definition),
-#   slots 21-50 — the single-green round-4 set, fewest-greens-first
-#                 with alphabetical tie-break (30 of 39 fit; the 9
-#                 remaining single-green r4 rows — source_partitioned,
+#   slots 17-21 — new round-6 queries (driver-unchecked by definition),
+#   slots 22-50 — the single-green round-4 set, fewest-greens-first
+#                 with alphabetical tie-break (29 of 39 fit; the 10
+#                 remaining single-green r4 rows — source_orc,
+#                 source_partitioned,
 #                 streaming_dedup, streaming_sliding,
 #                 streaming_stateful_totals, streaming_stream_join,
 #                 streaming_tumbling, table_profile, unigram_logprob,
@@ -53,7 +54,8 @@ _WINDOW = (
     "streaming_late_data",  # new r6: watermark late-data dropping
     "streaming_dedup_watermark",  # new r6: bounded-state streaming dedup
     "expr_functions",  # new r6: DSL scalar-function library
-    # single-green r4 set, alphabetical (30 of 39 fit)
+    "semantic_dedup",  # new r6: SemDeDup embedding near-dup removal
+    # single-green r4 set, alphabetical (29 of 39 fit)
     "ann_knn_join",
     "asof_forward",
     "bloom_semi_join",
@@ -83,7 +85,6 @@ _WINDOW = (
     "skew_salted_agg",
     "source_csv",
     "source_jsonl",
-    "source_orc",
 )
 assert len(_WINDOW) == 50
 

@@ -594,6 +594,75 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 )
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    removal — cluster with the exact fixed-point seed quantizer, then
+    within-cluster cosine ≥ 0.999 drops the higher id of each pair. The
+    fixture's embeddings are random (max within-cluster cosine 0.49),
+    so the corpus is augmented with REAL semantic duplicates built
+    deterministically in both engines: every 10th vector re-enters as
+    id + 1,000,000 scaled by 1.001 (cosine is scale-invariant ⇒ ≈ 1.0
+    after fixed-point rounding). Each copy that lands in its original's
+    cluster — the expected case; boundary flips are deterministic and
+    replayed identically by the oracle — is dropped, originals all
+    survive. The oracle replays the exact quantizer, pair rule and
+    rounded-cosine threshold."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return similarity.semantic_dedup(corpus, "vec_id", "embedding")
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0),
+elem AS (
+  SELECT vec_id, g.j,
+         CAST(CAST(embedding[g.j] AS DECIMAL(12,8)) * 100000000 AS BIGINT) AS xl
+  FROM corpus, generate_series(1, {EMB_DIM}) g(j)),
+seeds AS (
+  SELECT vec_id AS sid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+  FROM (SELECT DISTINCT vec_id FROM corpus ORDER BY vec_id LIMIT 16)),
+cent AS (SELECT s.cluster, e.j, e.xl AS cl FROM elem e JOIN seeds s ON e.vec_id = s.sid),
+d2 AS (
+  SELECT e.vec_id, c.cluster, SUM((e.xl - c.cl) * (e.xl - c.cl)) AS d2
+  FROM elem e JOIN cent c ON e.j = c.j GROUP BY e.vec_id, c.cluster),
+assign AS (
+  SELECT vec_id, cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+n2 AS (SELECT vec_id, SUM(xl * xl) AS n2 FROM elem GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS da, b.vec_id AS db
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+d AS (
+  SELECT p.da, p.db, SUM(ea.xl * eb.xl) AS dot
+  FROM pairs p
+  JOIN elem ea ON ea.vec_id = p.da
+  JOIN elem eb ON eb.vec_id = p.db AND ea.j = eb.j
+  GROUP BY p.da, p.db),
+losers AS (
+  SELECT DISTINCT d.db FROM d
+  JOIN n2 na ON na.vec_id = d.da
+  JOIN n2 nb ON nb.vec_id = d.db
+  WHERE round((CAST(dot AS DOUBLE) / 1e16)
+              / (sqrt(CAST(na.n2 AS DOUBLE) / 1e16)
+                 * sqrt(CAST(nb.n2 AS DOUBLE) / 1e16)), 9) >= 0.999)
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster
+FROM assign a WHERE a.vec_id NOT IN (SELECT db FROM losers)
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_pairs(
         dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding"
@@ -1837,6 +1906,7 @@ QUERIES = {
     "ann_buckets": q_ann_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "semantic_dedup": q_semantic_dedup,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
@@ -1888,6 +1958,7 @@ ORACLES = {
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,

@@ -1,5 +1,7 @@
 """Similarity-search operators: IVF recall vs brute force, determinism."""
 
+from pyspark.sql import functions as F
+
 from reactivedb_spark.operators import similarity
 from reactivedb_spark.sources import read_fixture
 
@@ -36,3 +38,46 @@ class TestIVF:
         assert len(cents) == 8
         clusters = {r["cluster"] for r in assignments.select("cluster").distinct().collect()}
         assert clusters <= set(range(8)) and len(clusters) >= 2
+
+
+class TestSemanticDedup:
+    def test_exact_and_scaled_copies_dropped_min_id_survives(self, spark):
+        emb = read_fixture(spark, SF, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).limit(100)
+        copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"),
+            # scaled copy: cosine is scale-invariant, so this is a true
+            # semantic duplicate even though no element matches
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+        corpus = emb.unionByName(copies)
+        out = similarity.semantic_dedup(corpus, "vec_id", "embedding",
+                                        n_clusters=4, threshold=0.999)
+        survivors = {r["vec_id"] for r in out.collect()}
+        originals = {r["vec_id"] for r in emb.collect()}
+        copy_ids = {r["vec_id"] for r in copies.select("vec_id").collect()}
+        # every original survives (randoms are nowhere near 0.999 cosine)
+        assert originals <= survivors
+        # a x2-scaled vector has identical L2-normalized direction, but its
+        # SQUARED-L2 cluster can differ from the original's; any copy that
+        # shares its original's cluster must be dropped — with 4 clusters
+        # and unit-ish vectors, that is the common case
+        dropped = copy_ids - survivors
+        assert dropped, "no scaled copy was deduplicated"
+        # survivors of the copy set must be cluster-separated from their
+        # originals (never a same-cluster pair at cosine ~1 left behind)
+        assign = dict(
+            (r["vec_id"], r["cluster"])
+            for r in similarity.seed_assignments(
+                corpus, "vec_id", "embedding", n_clusters=4
+            )[0].collect()
+        )
+        for cid in copy_ids & survivors:
+            assert assign[cid] != assign[cid - 10_000]
+
+    def test_no_duplicates_means_no_drops(self, spark):
+        emb = read_fixture(spark, SF, "embeddings").limit(50)
+        out = similarity.semantic_dedup(emb, "vec_id", "embedding",
+                                        n_clusters=4, threshold=0.999)
+        assert out.count() == 50

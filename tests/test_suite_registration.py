@@ -33,6 +33,7 @@ NEVER_CHECKED = {
     "streaming_late_data",
     "streaming_dedup_watermark",
     "expr_functions",
+    "semantic_dedup",
 }
 
 
