@@ -13,78 +13,73 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 
 # Registration order is part of the external contract: the driver's
 # correctness gate checks the FIRST 50 registered queries. _WINDOW is the
-# explicit round-6 rotation (VERDICT r5 "Next round" #1):
-#   slots 1-16  — the 16 queries whose newest green row is r3 (the
-#                 stalest evidence in the pool — includes the whole
-#                 heavy word-level dedup family, which must be
-#                 re-verified under the round-5 64-bit SimHash +
-#                 stop-band-guard code),
-#   slots 17-21 — new round-6 queries (driver-unchecked by definition),
-#   slots 22-50 — the single-green round-4 set, fewest-greens-first
-#                 with alphabetical tie-break (29 of 39 fit; the 10
-#                 remaining single-green r4 rows — source_orc,
-#                 source_partitioned,
-#                 streaming_dedup, streaming_sliding,
-#                 streaming_stateful_totals, streaming_stream_join,
-#                 streaming_tumbling, table_profile, unigram_logprob,
-#                 winsorize_prices — lead the next rotation).
+# explicit round-7 rotation (VERDICT r6 "Next round" #1):
+#   slots 1-21  — the 21 queries whose newest green row is r4 (the
+#                 stalest evidence in the pool). streaming_dedup leads:
+#                 it switched to the RocksDB state-store provider AFTER
+#                 its last green row, so its rotation green doubles as
+#                 the provider-invariance proof. The rest alphabetical.
+#   slots 22-36 — the 15 queries whose only green row is r5
+#                 (fewest-greens-first), alphabetical.
+#   slots 37-50 — the 14 queries with exactly two green rows, newest r5
+#                 (greens r3+r5 — all 14 fit), alphabetical.
 # Everything not in _WINDOW keeps its registration but lands in the tail
-# (latest evidence r4/r5 — ≤2 rounds old at round 6); they rotate back in
+# (latest evidence r5/r6 — ≤2 rounds old at round 7); they rotate back in
 # next round. tests/test_suite_registration.py enforces this layout.
 _WINDOW = (
-    # r3-stale (newest green two rounds old)
-    "ann_buckets",
-    "corpus_clean",
-    "dedup_jaccard",
-    "dedup_lsh_candidates",
-    "dedup_minhash",
-    "dedup_simhash",
-    "embedding_near_dups",
-    "fingerprint",
-    "lang_id",
-    "multimodal_decode",
-    "multimodal_frames",
-    "similarity_topk",
-    "text_quality",
-    "token_count",
-    "topk_orders",
-    "window_rank",
-    # round-6 additions (driver-unchecked by definition)
-    "dedup_containment_zipf",  # new r6: Zipfian-corpus prefix-filter join
-    "streaming_late_data",  # new r6: watermark late-data dropping
-    "streaming_dedup_watermark",  # new r6: bounded-state streaming dedup
-    "expr_functions",  # new r6: DSL scalar-function library
-    "semantic_dedup",  # new r6: SemDeDup embedding near-dup removal
-    # single-green r4 set, alphabetical (29 of 39 fit)
-    "ann_knn_join",
-    "asof_forward",
-    "bloom_semi_join",
-    "bm25_topk",
-    "chunk_windows",
-    "cms_heavy_hitters",
-    "dag_chain",
-    "dedup_transform",
-    "duplicate_spans",
-    "embedding_clusters",
-    "event_deltas",
-    "events_json",
-    "grouping_sets",
-    "hll_users",
-    "multimodal_pixel_features",
-    "multimodal_resize",
-    "pagerank_orders",
-    "pq_topk",
-    "price_deciles",
-    "price_histogram",
-    "range_join_attrib",
-    "resample_gapfill",
-    "retention_weeks",
-    "rolling_avg",
-    "sample_transform",
-    "sample_weighted",
-    "skew_salted_agg",
-    "source_csv",
-    "source_jsonl",
+    # r4-stale (newest green three rounds old by round 7's gate)
+    "streaming_dedup",  # provider-invariance proof: RocksDB adopted post-green
+    "anti_join",
+    "asof_join",
+    "cube_orders",
+    "distinct_agg",
+    "median_price",
+    "pivot_priority",
+    "revenue_by_nation",
+    "rollup_orders",
+    "semi_join",
+    "set_ops",
+    "source_orc",
+    "source_partitioned",
+    "streaming_sliding",
+    "streaming_stateful_totals",
+    "streaming_stream_join",
+    "streaming_tumbling",
+    "table_profile",
+    "tpch_q1_like",
+    "unigram_logprob",
+    "winsorize_prices",
+    # single-green r5 set, alphabetical (all 15)
+    "bucketed_join",
+    "chunk_transform",
+    "dedup_containment",
+    "dedup_containment_exact",
+    "dedup_jaccard_guarded",
+    "full_outer_join",
+    "funnel_stages",
+    "multimodal_jpeg_decode",
+    "pq_rerank",
+    "source_schema_evolution",
+    "span_dedup_rewrite",
+    "store_time_travel",
+    "textstats_transform",
+    "zorder_scan",
+    "zscore_outliers",
+    # double-green r5 set (greens r3+r5), alphabetical (all 14)
+    "array_filter_dsl",
+    "decontaminate",
+    "graph_components_star",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+    "pack_budget",
+    "pii_scrub",
+    "sample_hash",
+    "sample_stratified",
+    "streaming_sessionize",
+    "struct_map_project",
+    "text_repetition",
+    "tfidf_top_terms",
+    "top_bigrams",
 )
 assert len(_WINDOW) == 50
 

@@ -1,50 +1,70 @@
 """Registration-order contract: the driver's correctness gate checks the
-FIRST 50 registered queries. Round-6 rotation (VERDICT r5 #1): the 16
-queries whose newest green row is r3 occupy slots 1-16 (the heavy
-word-level dedup family must re-verify under the round-5 64-bit SimHash
-and stop-band-guard code), the two new round-6 queries follow, and the
-single-green round-4 set (alphabetical) fills the rest; everything else
-— latest evidence r4/r5, i.e. <=2 rounds old — fills the tail and
-rotates back next round."""
+FIRST 50 registered queries. Round-7 rotation (VERDICT r6 #1): the 21
+queries whose newest green row is r4 occupy slots 1-21 with
+``streaming_dedup`` first (it switched to the RocksDB state-store
+provider after its last green row, so its rotation green is also the
+provider-invariance proof); the 15 single-green-r5 queries fill slots
+22-36 and the 14 double-green (r3+r5) queries fill slots 37-50, both
+alphabetical. Everything else — latest evidence r5/r6, i.e. <=2 rounds
+old — fills the tail and rotates back next round."""
 
 from reactivedb_spark import suite
 
-R3_STALE = [
-    "ann_buckets",
-    "corpus_clean",
-    "dedup_jaccard",
-    "dedup_lsh_candidates",
-    "dedup_minhash",
-    "dedup_simhash",
-    "embedding_near_dups",
-    "fingerprint",
-    "lang_id",
-    "multimodal_decode",
-    "multimodal_frames",
-    "similarity_topk",
-    "text_quality",
-    "token_count",
-    "topk_orders",
-    "window_rank",
+R4_STALE = [
+    "streaming_dedup",  # leads: RocksDB provider adopted after last green
+    "anti_join",
+    "asof_join",
+    "cube_orders",
+    "distinct_agg",
+    "median_price",
+    "pivot_priority",
+    "revenue_by_nation",
+    "rollup_orders",
+    "semi_join",
+    "set_ops",
+    "source_orc",
+    "source_partitioned",
+    "streaming_sliding",
+    "streaming_stateful_totals",
+    "streaming_stream_join",
+    "streaming_tumbling",
+    "table_profile",
+    "tpch_q1_like",
+    "unigram_logprob",
+    "winsorize_prices",
 ]
 
-NEVER_CHECKED = {
-    "dedup_containment_zipf",
-    "streaming_late_data",
-    "streaming_dedup_watermark",
-    "expr_functions",
-    "semantic_dedup",
-}
+SINGLE_GREEN_R5 = [
+    "bucketed_join",
+    "chunk_transform",
+    "dedup_containment",
+    "dedup_containment_exact",
+    "dedup_jaccard_guarded",
+    "full_outer_join",
+    "funnel_stages",
+    "multimodal_jpeg_decode",
+    "pq_rerank",
+    "source_schema_evolution",
+    "span_dedup_rewrite",
+    "store_time_travel",
+    "textstats_transform",
+    "zorder_scan",
+    "zscore_outliers",
+]
 
 
 def test_window_layout():
     q = list(suite.all_queries())
     assert len(q) == len(set(q)), "duplicate query names"
     assert list(q[:50]) == list(suite._WINDOW)
-    # the r3-stale set leads the window, the never-driver-checked round-6
-    # queries follow immediately
-    assert q[: len(R3_STALE)] == R3_STALE
-    assert set(q[len(R3_STALE): len(R3_STALE) + len(NEVER_CHECKED)]) == NEVER_CHECKED
+    # the r4-stale set leads the window (streaming_dedup first), the
+    # single-green-r5 set follows
+    assert q[: len(R4_STALE)] == R4_STALE
+    n = len(R4_STALE)
+    assert q[n: n + len(SINGLE_GREEN_R5)] == SINGLE_GREEN_R5
+    # slots 37-50 are alphabetical
+    tail = q[n + len(SINGLE_GREEN_R5): 50]
+    assert tail == sorted(tail)
 
 
 def test_window_names_exist_in_pool():
