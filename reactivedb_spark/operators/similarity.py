@@ -246,26 +246,139 @@ def seed_assignments(df: DataFrame, id_col: str, vec_col: str,
     return assign, d2
 
 
+def seed_assignments2(df: DataFrame, id_col: str, vec_col: str,
+                      n_clusters: int) -> DataFrame:
+    """Two-level exact fixed-point quantizer — the scale path for large
+    ``n_clusters`` (k ∝ corpus size, as :func:`semantic_dedup` needs).
+
+    A flat nearest-seed scan costs n·k·d distance terms; with k ∝ n that
+    is quadratic in the corpus. Here: level 1 assigns every vector to the
+    nearest of s = ⌈√k⌉ SUPER-seeds, level 2 to the nearest of the seeds
+    whose own super-assignment matches — n·(s + k/s)·d ≈ 2n·√k·d terms,
+    the 2-level rung of the hierarchical-k-means ladder (log-depth would
+    make it n·log k; 2 levels suffice through sf10). The cell rule is
+    "nearest seed within the nearest super-seed's cell", not global
+    nearest-seed — a deterministic space partition, which is all SemDeDup
+    needs from its (itself approximate) k-means stage.
+
+    Exactness: seeds are the k lowest-id vectors, super-seeds the first s
+    of those; distances are int64 fixed-point squared L2 (element path of
+    :func:`exploded`); argmins break ties by (d2, index) via ``min_by``
+    over an int struct — bit-reproducible in any engine. The k seed
+    vectors (k·d longs, k ≪ n) are the only driver pull; the seed→super
+    table is computed driver-side in exact int math and broadcast.
+
+    Returns assignment DataFrame (id, cluster). Plan shape: two keyed
+    groupBy shuffles of n narrow rows; both joins broadcast (s-row super
+    table, k-row seed table)."""
+    spark = df.sparkSession
+    k = int(n_clusters)
+    s = _ceil_sqrt(k)
+    vecs = df.select(F.col(id_col), _xl_array(vec_col).alias("vl"))
+    seed_rows = vecs.orderBy(id_col).limit(k).collect()  # k·d longs, k ≪ n
+    seed_vls = [[int(x) for x in r["vl"]] for r in seed_rows]
+    # seed → super assignment in exact driver-side int math (k·s·d ops)
+    seed_g = []
+    for ci, sv in enumerate(seed_vls):
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(sv, seed_vls[si])), si)
+            for si in range(s)
+        )
+        seed_g.append((ci, best[1]))
+    sup = spark.createDataFrame(
+        [(si, seed_vls[si]) for si in range(s)], "sidx int, sl array<long>"
+    )
+    cent = spark.createDataFrame(
+        [(ci, g, seed_vls[ci]) for ci, g in seed_g],
+        "cluster int, g int, cl array<long>",
+    )
+    d2_sup = F.aggregate(
+        F.zip_with("vl", "sl", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    lvl1 = (
+        vecs.crossJoin(F.broadcast(sup))
+        .select(F.col(id_col), "vl", F.col("sidx"), d2_sup.alias("d2"))
+        .groupBy(id_col)
+        .agg(
+            F.min_by("sidx", F.struct("d2", "sidx")).alias("g"),
+            F.first("vl").alias("vl"),
+        )
+    )
+    d2_cent = F.aggregate(
+        F.zip_with("vl", "cl", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    return (
+        lvl1.join(F.broadcast(cent), "g")
+        .select(F.col(id_col), F.col("cluster"), d2_cent.alias("d2"))
+        .groupBy(id_col)
+        .agg(F.min_by("cluster", F.struct("d2", "cluster")).alias("cluster"))
+    )
+
+
+def _ceil_sqrt(k: int) -> int:
+    """Smallest s with s² ≥ k — integer-exact (no float sqrt: the oracle
+    replays ``MIN(i) WHERE i*i >= k``, and double sqrt of a perfect
+    square can land an ulp off either side of the integer)."""
+    import math
+
+    return math.isqrt(k - 1) + 1 if k > 1 else 1
+
+
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
-                   n_clusters: int = 16, threshold: float = 0.999) -> DataFrame:
+                   n_clusters: int | None = 16, threshold: float = 0.999,
+                   target_cluster: int = 128,
+                   max_cluster: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
     cluster the embedding space, then WITHIN each cluster drop the
     higher id of every pair whose cosine ≥ ``threshold`` — semantic
     near-duplicates that exact/MinHash text dedup cannot see.
 
-    100 TB plan shape: the pair join is scoped to a cluster (the whole
-    point of the clustering stage — |cluster|² pairs instead of |corpus|²),
-    pairs ride ONE equi-shuffle on the cluster id, and each pair is a
-    single row carrying two fixed-point arrays (``zip_with`` dot, no
-    pair×dimension explode). Assignment is the exact fixed-point seed
-    quantizer (:func:`seed_assignments`), so the whole pipeline is
-    bit-reproducible in SQL. Keep-rule: drop ids that appear as the
-    HIGHER side of any qualifying pair (deterministic; the lowest id of
-    every duplicate group always survives).
+    Scale controls (the paper scales k with n; fixed k makes the
+    within-cluster pair join quadratic in the corpus):
+
+    - ``n_clusters=None`` → k = max(16, ⌈n / target_cluster⌉), so the
+      expected cluster size — and with it pairs-per-cluster — stays
+      constant as the corpus grows: total pairs ≈ n·target_cluster/2,
+      linear in n.
+    - ``max_cluster`` (optional) is the stop-band analogue of the LSH
+      band guard: a cluster larger than the cap is EXCLUDED from the
+      pair join (all its members survive) — bounded work under seed
+      skew, trading recall inside pathological cells only. Declared,
+      not silent: the suite query and its oracle replay the same cap.
+
+    100 TB plan shape: assignment is the two-level exact quantizer
+    (:func:`seed_assignments2`, n·O(√k)·d — flat nearest-seed would be
+    quadratic once k ∝ n); the pair join is scoped to a cluster
+    (|cluster|² pairs instead of |corpus|²), pairs ride ONE equi-shuffle
+    on the cluster id, and each pair is a single row carrying two
+    fixed-point arrays (``zip_with`` dot, no pair×dimension explode).
+    Everything is bit-reproducible in SQL.
+
+    Keep-rule: drop ids that appear as the HIGHER side of any qualifying
+    pair. Deterministic, and the lowest id of every CONNECTED near-dup
+    group always survives — but note the rule is edge-wise, not
+    group-wise greedy: in a chain a~b, b~c (a≁c), both b and c are
+    dropped even though c's only qualifying partner b was itself
+    dropped. SemDeDup's per-cluster intent tolerates either reading; the
+    oracle replays exactly this rule.
 
     Emits survivors (id, cluster)."""
-    assign = cache.pin(seed_assignments(df, id_col, vec_col, n_clusters)[0])
+    if n_clusters is None:
+        n = df.count()
+        n_clusters = max(16, -(-n // int(target_cluster)))
+    assign = cache.pin(seed_assignments2(df, id_col, vec_col, n_clusters))
+    pair_assign = assign
+    if max_cluster is not None:
+        ok = (
+            assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .filter(F.col("_csz") <= int(max_cluster))
+            .select("cluster")
+        )
+        pair_assign = assign.join(F.broadcast(ok), "cluster", "left_semi")
     n2 = F.aggregate(
         F.transform(F.col("vl"), lambda x: x * x),
         F.lit(0).cast("long"),
@@ -274,7 +387,7 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     vecs = (
         df.select(F.col(id_col), _xl_array(vec_col).alias("vl"))
         .withColumn("n2", n2)
-        .join(assign, id_col)
+        .join(pair_assign, id_col)
     )
     a = vecs.select(F.col(id_col).alias("_a"), F.col("vl").alias("va"),
                     F.col("n2").alias("na2"), "cluster")

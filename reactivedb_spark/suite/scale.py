@@ -15,7 +15,8 @@ from reactivedb_spark import cache
 from reactivedb_spark.functions import multimodal, text as textfns
 from reactivedb_spark.functions.text import LANG_MARKERS, LANG_ORDER
 from reactivedb_spark.operators import dedup, similarity
-from reactivedb_spark.suite._common import load, replay_batches, streaming_shuffle
+from reactivedb_spark.suite._common import (
+    load, replay_batches, rocksdb_state, streaming_shuffle)
 
 EMB_DIM = 64
 HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
@@ -605,8 +606,16 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     after fixed-point rounding). Each copy that lands in its original's
     cluster — the expected case; boundary flips are deterministic and
     replayed identically by the oracle — is dropped, originals all
-    survive. The oracle replays the exact quantizer, pair rule and
-    rounded-cosine threshold."""
+    survive.
+
+    Scale-true parameterization (VERDICT r6 #2): ``n_clusters=None``
+    scales k with the corpus (k = max(16, ⌈n/128⌉) — SemDeDup's own
+    recipe), so pairs grow LINEARLY instead of quadratically, and
+    ``max_cluster=1024`` is the stop-band-style guard against seed skew.
+    Assignment is the two-level exact quantizer (n·O(√k)·d). The oracle
+    replays the dynamic k, the ceil-sqrt super-seed count, both
+    assignment levels, the cluster-size cap, the pair rule and the
+    rounded-cosine threshold — all in exact integer math."""
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -617,7 +626,9 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     corpus = emb.unionByName(dup).repartition(
         spark.sparkContext.defaultParallelism
     )
-    return similarity.semantic_dedup(corpus, "vec_id", "embedding")
+    return similarity.semantic_dedup(
+        corpus, "vec_id", "embedding", n_clusters=None, max_cluster=1024
+    )
 
 
 SQL_SEMANTIC_DEDUP = f"""
@@ -631,20 +642,43 @@ elem AS (
   SELECT vec_id, g.j,
          CAST(CAST(embedding[g.j] AS DECIMAL(12,8)) * 100000000 AS BIGINT) AS xl
   FROM corpus, generate_series(1, {EMB_DIM}) g(j)),
+ncl AS (SELECT GREATEST(16, CAST(ceil(COUNT(*) / 128.0) AS BIGINT)) AS k FROM corpus),
+sup_s AS (SELECT MIN(i) AS s FROM generate_series(1, 65536) t(i), ncl WHERE i * i >= k),
 seeds AS (
-  SELECT vec_id AS sid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
-  FROM (SELECT DISTINCT vec_id FROM corpus ORDER BY vec_id LIMIT 16)),
-cent AS (SELECT s.cluster, e.j, e.xl AS cl FROM elem e JOIN seeds s ON e.vec_id = s.sid),
-d2 AS (
-  SELECT e.vec_id, c.cluster, SUM((e.xl - c.cl) * (e.xl - c.cl)) AS d2
-  FROM elem e JOIN cent c ON e.j = c.j GROUP BY e.vec_id, c.cluster),
+  SELECT sid, CAST(rn - 1 AS INT) AS cluster FROM (
+    SELECT vec_id AS sid, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM corpus), ncl
+  WHERE rn <= k),
+scent AS (SELECT s.cluster, e.j, e.xl FROM elem e JOIN seeds s ON e.vec_id = s.sid),
+supcent AS (SELECT c.cluster AS sidx, c.j, c.xl FROM scent c, sup_s WHERE c.cluster < s),
+sd2 AS (
+  SELECT c.cluster, p.sidx, SUM((c.xl - p.xl) * (c.xl - p.xl)) AS d2
+  FROM scent c JOIN supcent p USING (j) GROUP BY c.cluster, p.sidx),
+seedg AS (
+  SELECT cluster, sidx AS g FROM sd2
+  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY d2, sidx) = 1),
+vd2 AS (
+  SELECT e.vec_id, p.sidx, SUM((e.xl - p.xl) * (e.xl - p.xl)) AS d2
+  FROM elem e JOIN supcent p USING (j) GROUP BY e.vec_id, p.sidx),
+vg AS (
+  SELECT vec_id, sidx AS g FROM vd2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, sidx) = 1),
+l2 AS (
+  SELECT e.vec_id, c.cluster, SUM((e.xl - c.xl) * (e.xl - c.xl)) AS d2
+  FROM elem e
+  JOIN vg ON vg.vec_id = e.vec_id
+  JOIN seedg sg ON sg.g = vg.g
+  JOIN scent c ON c.cluster = sg.cluster AND c.j = e.j
+  GROUP BY e.vec_id, c.cluster),
 assign AS (
-  SELECT vec_id, cluster FROM d2
+  SELECT vec_id, cluster FROM l2
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+okc AS (SELECT cluster FROM assign GROUP BY cluster HAVING COUNT(*) <= 1024),
+passign AS (SELECT a.vec_id, a.cluster FROM assign a JOIN okc USING (cluster)),
 n2 AS (SELECT vec_id, SUM(xl * xl) AS n2 FROM elem GROUP BY vec_id),
 pairs AS (
   SELECT a.vec_id AS da, b.vec_id AS db
-  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+  FROM passign a JOIN passign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
 d AS (
   SELECT p.da, p.db, SUM(ea.xl * eb.xl) AS dot
   FROM pairs p
@@ -1385,7 +1419,12 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     boundaries must not change the answer.
 
     Timestamps go through exact integer µs (timestamp_micros(ns div
-    1000)) so both engines bucket identical values."""
+    1000)) so both engines bucket identical values.
+
+    Runs under the ROCKSDB state store (round 7): session state is one
+    row per (user, session) — key-proportional, the suite's largest
+    state-row count (95k at sf0.1) — at 58 → 14.3 MB state for ~1.1-1.3x
+    wall in the A/B (PLANS.md round-7)."""
     import os
     import tempfile
     import uuid
@@ -1412,7 +1451,7 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.session_window("tstamp", "30 minutes"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    with streaming_shuffle(spark):
+    with streaming_shuffle(spark), rocksdb_state(spark):
         q = (
             sessions.writeStream.format("memory").queryName(name)
             .outputMode("complete")

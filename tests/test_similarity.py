@@ -67,11 +67,12 @@ class TestSemanticDedup:
         assert dropped, "no scaled copy was deduplicated"
         # survivors of the copy set must be cluster-separated from their
         # originals (never a same-cluster pair at cosine ~1 left behind)
+        # cross-check against the same quantizer semantic_dedup uses
         assign = dict(
             (r["vec_id"], r["cluster"])
-            for r in similarity.seed_assignments(
+            for r in similarity.seed_assignments2(
                 corpus, "vec_id", "embedding", n_clusters=4
-            )[0].collect()
+            ).collect()
         )
         for cid in copy_ids & survivors:
             assert assign[cid] != assign[cid - 10_000]
