@@ -71,7 +71,8 @@ def _warm_arrow(spark) -> None:
         pass  # warm-up is best-effort; the suite runs regardless
 
 
-def run_suite(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, only: set[str] | None = None,
+              loads: dict[str, float] | None = None) -> dict[str, float]:
     import __spark_entry__ as entrymod
     from reactivedb_spark.cache import cache_scope
 
@@ -87,6 +88,14 @@ def run_suite(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, flo
         with cache_scope():
             _force(fn(spark, sf_dir))
         results[name] = round(time.perf_counter() - t0, 3)
+        if loads is not None:
+            # 1-min loadavg AT QUERY END: evidence for adjudicating a slow
+            # row as host contention vs a plan change (VERDICT r6 #4 — a
+            # contiguous >2x block with load >> ncpus is a load window)
+            try:
+                loads[name] = round(os.getloadavg()[0], 1)
+            except OSError:
+                pass
         spark.catalog.clearCache()
     return results
 
@@ -164,7 +173,8 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"--only names not registered: {sorted(unknown)}")
 
-    queries = run_suite(spark, sf_dir, only)
+    loads: dict[str, float] = {}
+    queries = run_suite(spark, sf_dir, only, loads)
     # cheapest-first inside the JSON line: stdout captures that keep only
     # the tail of a long line then lose the cheap rows, not the heavy ones
     # (BENCH_r04 lost 34 rows to front-truncation — VERDICT r4 #4)
@@ -174,6 +184,7 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "load1": {n: loads[n] for n in queries if n in loads},
         "sf": sf,
     }
     if "--micro" in sys.argv:

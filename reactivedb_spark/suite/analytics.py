@@ -402,7 +402,13 @@ def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     batch join: micro-batch interleaving must not change the pairs.
     Watermarks exceed the replay's disorder (round-robin files span the
     whole fixture range) so no pair is dropped; production sets them to
-    the real lateness bound to bound state."""
+    the real lateness bound to bound state.
+
+    Runs under the ROCKSDB state store (round 7): two-sided join state
+    retains every in-watermark row — the suite's largest streaming
+    state per input row — and the A/B measured RocksDB FASTER here
+    (5.6-7.3 s vs 7.0-8.5 s) at 17.7 → 3.8 MB state (PLANS.md round-7);
+    the gate row doubles as the provider-invariance proof."""
     import uuid
 
     from reactivedb_spark.sources import stream_parquet_dir
@@ -434,7 +440,7 @@ def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "view_id")
     name = "ssj_" + uuid.uuid4().hex[:8]
-    with streaming_shuffle(spark):
+    with streaming_shuffle(spark), rocksdb_state(spark):
         q = (
             joined.writeStream.format("memory").queryName(name)
             .outputMode("append")
@@ -471,7 +477,12 @@ def q_streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
     (streaming/listen.py) over a 3-batch replay. Values ride as exact
     integer micro-units so state accumulation is batch-composition-proof;
     the final state per user (picked by max_by over the monotone count)
-    must equal the plain batch GROUP BY of the oracle."""
+    must equal the plain batch GROUP BY of the oracle.
+
+    Runs under the ROCKSDB state store (round 7): per-user state is
+    key-proportional (billions of keys at 100 TB); the A/B measured par
+    wall (3.6-3.9 s vs 3.3-5.5 s) at 0.7 → 0.4 MB state for the
+    fixture's 1,500 users (PLANS.md round-7)."""
     import uuid
 
     from reactivedb_spark.sources import stream_parquet_dir
@@ -489,7 +500,7 @@ def q_streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
         stream_parquet_dir(spark, src, ev.schema), "user_id", "vl"
     )
     name = "sst_" + uuid.uuid4().hex[:8]
-    with streaming_shuffle(spark):
+    with streaming_shuffle(spark), rocksdb_state(spark):
         q = (
             totals.writeStream.format("memory").queryName(name)
             .outputMode("update")
