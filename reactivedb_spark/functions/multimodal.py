@@ -48,6 +48,48 @@ def _register_self_by_value() -> None:
         pass
 
 
+def _proc_age() -> float:
+    """Seconds since THIS process started (Linux /proc) — distinguishes a
+    cold-forked Python worker from a reused one in the profiler below."""
+    import os as _os
+
+    try:
+        with open("/proc/self/stat") as f:
+            start_ticks = int(f.read().split(")")[-1].split()[19])
+        with open("/proc/uptime") as f:
+            up = float(f.read().split()[0])
+        return round(up - start_ticks / _os.sysconf("SC_CLK_TCK"), 3)
+    except Exception:
+        return -1.0
+
+
+def _prof_write(tag: str, wall: float, rows: int, wait: float) -> None:
+    """Opt-in worker-side stage profiler (VERDICT r6 #3 — isolate the
+    multimodal_jpeg_decode stalls): when ``RDB_MM_PROF`` names a
+    directory, append one JSON line per Arrow batch with worker pid,
+    process age (cold fork vs reuse), batch rows, Python-side wall, and
+    the wait since this worker's previous batch (JVM feed + Arrow
+    serialization time lives there). Off without the env var; one small
+    append per batch when on."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    d = _os.environ.get("RDB_MM_PROF")
+    if not d:
+        return
+    try:
+        line = _json.dumps({
+            "tag": tag, "pid": _os.getpid(), "rows": rows,
+            "wall": round(wall, 4), "wait": round(wait, 4),
+            "age": _proc_age(), "t": round(_time.time(), 3),
+        })
+        with open(_os.path.join(d, f"prof_{_os.getpid()}.jsonl"), "a") as f:
+            f.write(line + "\n")
+    except Exception:
+        pass
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("width", T.LongType()),
@@ -405,13 +447,20 @@ def encode_jpeg(df: DataFrame, id_col: str, text_col: str = "text",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        prev_end = _time.perf_counter()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            t0 = _time.perf_counter()
             payloads = [
                 _jpeg.jpeg_encode_bytes((t or "").encode("utf-8"), blocks_per_row)
                 for t in pdf[text_col]
             ]
+            _prof_write("jpeg_encode", _time.perf_counter() - t0, len(pdf),
+                        t0 - prev_end)
+            prev_end = _time.perf_counter()
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     _register_self_by_value()
@@ -433,9 +482,13 @@ def decode_jpeg(df: DataFrame, id_col: str, payload_col: str = "payload") -> Dat
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        prev_end = _time.perf_counter()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            t0 = _time.perf_counter()
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 info = _jpeg.jpeg_decode_bytes(bytes(payload))
@@ -443,6 +496,9 @@ def decode_jpeg(df: DataFrame, id_col: str, payload_col: str = "payload") -> Dat
                     (rid, info["width"], info["height"], info["n_components"],
                      sum(info["pixels"]))
                 )
+            _prof_write("jpeg_decode", _time.perf_counter() - t0, len(pdf),
+                        t0 - prev_end)
+            prev_end = _time.perf_counter()
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "width", "height", "n_components", "pix_sum"],
