@@ -79,6 +79,17 @@ from reactivedb_spark.types import parse_type
 _DELTA_BROADCAST_LIMIT = 32 << 20  # staged delta parquet bytes
 
 
+def _pid_alive(pid: int) -> bool:
+    """Liveness probe for reaping dead engines' listener stage dirs."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _keyset(df: DataFrame) -> DataFrame:
     return broadcast_if_small(df, _DELTA_BROADCAST_LIMIT)
 
@@ -173,13 +184,26 @@ class Engine:
         self.tables: dict[str, TableState] = {}
         self._build_states()
         workspace = workspace or tempfile.mkdtemp(prefix="reactivedb_spark_")
-        self._listen_stage_root = os.path.join(workspace, "_listen_stage")
-        # staged listener snapshots are deleted after delivery; anything
-        # left here is garbage from a previous process that died with
-        # queued deliveries — reclaim it (no listener can exist yet)
+        # Per-ENGINE stage dir (ADVICE r6): a second Engine over the same
+        # workspace must not delete a live sibling's staged snapshots, so
+        # each instance stages under <workspace>/_listen_stage/<pid>-<uuid>
+        # and reaps only siblings whose creating process is dead (plus any
+        # legacy non-pid-prefixed leftovers).
+        stage_parent = os.path.join(workspace, "_listen_stage")
+        self._listen_stage_root = os.path.join(
+            stage_parent, f"{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+        )
+        self._spent_stages: list[str] = []
         import shutil as _shutil
 
-        _shutil.rmtree(self._listen_stage_root, ignore_errors=True)
+        try:
+            for d in os.listdir(stage_parent):
+                pid_s = d.split("-", 1)[0]
+                if not pid_s.isdigit() or not _pid_alive(int(pid_s)):
+                    _shutil.rmtree(os.path.join(stage_parent, d),
+                                   ignore_errors=True)
+        except FileNotFoundError:
+            pass
         self.store = ParquetSnapshotStore(spark, os.path.join(workspace, "tables"))
         recovered = bool(self.store.recovered_tables)
         for st in self.tables.values():
@@ -813,9 +837,10 @@ class Engine:
         re-reads it and invokes the callbacks, so a slow subscriber
         cannot stall commit throughput. One snapshot is written per
         (table, event, commit) and shared by every asynchronous
-        subscriber of that event. The staged files are deleted after
-        all callbacks for the commit return — a callback that must
-        retain the rows should persist or convert them within the
+        subscriber of that event. Staged files live until the next
+        ``flush_listeners()`` call reaps them — a DataFrame retained by
+        a callback stays valid up to that barrier; a callback that must
+        retain rows past it should persist or convert them within the
         call. ``flush_listeners()`` is the barrier; subscriber
         exceptions are collected in ``listener_errors`` (they must not
         poison the drain thread or other subscribers)."""
@@ -847,7 +872,11 @@ class Engine:
                         except Exception as e:  # noqa: BLE001
                             self.listener_errors.append(e)
                         finally:
-                            shutil.rmtree(path, ignore_errors=True)
+                            # NOT deleted here (ADVICE r6): a callback
+                            # that retained the lazy df must stay valid
+                            # until the flush_listeners() barrier, which
+                            # reaps delivered stages. GIL-atomic append.
+                            self._spent_stages.append(path)
                             q.task_done()
 
                 t = threading.Thread(target=drain, daemon=True,
@@ -857,9 +886,17 @@ class Engine:
         return self._dispatch_q
 
     def flush_listeners(self) -> None:
-        """Block until every queued asynchronous delivery has completed."""
+        """Block until every queued asynchronous delivery has completed,
+        then reap the delivered staging snapshots — DataFrames retained
+        by async callbacks stay valid until this barrier (never-flushed
+        engines' stages are reaped by the next engine over the workspace
+        once this process exits; see __init__)."""
         if self._dispatch_q is not None:
             self._dispatch_q.join()
+        import shutil as _shutil
+
+        while self._spent_stages:
+            _shutil.rmtree(self._spent_stages.pop(), ignore_errors=True)
 
     def _notify(self, table: str, d: Delta) -> None:
         subs = self._listeners.get(table, [])

@@ -146,18 +146,62 @@ def _compare(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
 
 # Scalar function library — a declared extension (the reference parses
 # calls but errors at execution, transform.rs:291; its abandoned Python
-# prototype shipped ABS, PythonMVP/transforms.py:25,188).
+# prototype shipped ABS, PythonMVP/transforms.py:25,188). Declared error
+# contract (tests/test_dsl_function_errors.py): unknown name, wrong
+# arity, and argument-type mismatch all raise ExpressionError at COMPILE
+# time (config/build time in the engine), never a runtime Spark error.
+def _want(fn: str, i: int, ok: bool, need: str, got) -> None:
+    if not ok:
+        raise ExpressionError(
+            f"{fn}() arg {i + 1} must be {need}, got {got.simpleString()}"
+        )
+
+
+def _num(fn):
+    def check(a):
+        for i, x in enumerate(a):
+            _want(fn, i, is_numeric(x.dtype), "numeric", x.dtype)
+    return check
+
+
+def _str(fn):
+    def check(a):
+        for i, x in enumerate(a):
+            _want(fn, i, isinstance(x.dtype, T.StringType), "a string", x.dtype)
+    return check
+
+
+def _str_or_array(fn):
+    def check(a):
+        for i, x in enumerate(a):
+            _want(fn, i, isinstance(x.dtype, (T.StringType, T.ArrayType)),
+                  "a string or array", x.dtype)
+    return check
+
+
+def _same_or_numeric(fn):
+    def check(a):
+        if all(is_numeric(x.dtype) for x in a):
+            return
+        kinds = {x.dtype.simpleString() for x in a}
+        if len(kinds) > 1:
+            raise ExpressionError(
+                f"{fn}() args must share a type, got {sorted(kinds)}"
+            )
+    return check
+
+
 def _fn_specs():
     return {
-        "abs": (1, lambda a: TypedColumn(F.abs(a[0].col), a[0].dtype)),
-        "floor": (1, lambda a: TypedColumn(F.floor(a[0].col).cast("long"), T.LongType())),
-        "ceil": (1, lambda a: TypedColumn(F.ceil(a[0].col).cast("long"), T.LongType())),
-        "sqrt": (1, lambda a: TypedColumn(F.sqrt(a[0].col.cast("double")), T.DoubleType())),
-        "length": (1, lambda a: TypedColumn(F.length(a[0].col).cast("long"), T.LongType())),
-        "upper": (1, lambda a: TypedColumn(F.upper(a[0].col), T.StringType())),
-        "lower": (1, lambda a: TypedColumn(F.lower(a[0].col), T.StringType())),
-        "concat": (None, lambda a: TypedColumn(F.concat(*[x.col for x in a]), T.StringType())),
-        "coalesce": (None, lambda a: TypedColumn(F.coalesce(*[x.col for x in a]), a[0].dtype)),
+        "abs": (1, _num("abs"), lambda a: TypedColumn(F.abs(a[0].col), a[0].dtype)),
+        "floor": (1, _num("floor"), lambda a: TypedColumn(F.floor(a[0].col).cast("long"), T.LongType())),
+        "ceil": (1, _num("ceil"), lambda a: TypedColumn(F.ceil(a[0].col).cast("long"), T.LongType())),
+        "sqrt": (1, _num("sqrt"), lambda a: TypedColumn(F.sqrt(a[0].col.cast("double")), T.DoubleType())),
+        "length": (1, _str_or_array("length"), lambda a: TypedColumn(F.length(a[0].col).cast("long"), T.LongType())),
+        "upper": (1, _str("upper"), lambda a: TypedColumn(F.upper(a[0].col), T.StringType())),
+        "lower": (1, _str("lower"), lambda a: TypedColumn(F.lower(a[0].col), T.StringType())),
+        "concat": (None, _str("concat"), lambda a: TypedColumn(F.concat(*[x.col for x in a]), T.StringType())),
+        "coalesce": (None, _same_or_numeric("coalesce"), lambda a: TypedColumn(F.coalesce(*[x.col for x in a]), a[0].dtype)),
     }
 
 
@@ -208,12 +252,13 @@ def compile_expr(
         specs = _fn_specs()
         if expr.name not in specs:
             raise ExpressionError(f"unknown function {expr.name!r}")
-        arity, build = specs[expr.name]
+        arity, typecheck, build = specs[expr.name]
         if arity is not None and len(expr.args) != arity:
             raise ExpressionError(f"{expr.name}() takes {arity} args, got {len(expr.args)}")
         if arity is None and not expr.args:
             raise ExpressionError(f"{expr.name}() needs at least one arg")
         args = [compile_expr(a, schema, memo_resolver, column_resolver) for a in expr.args]
+        typecheck(args)
         return build(args)
     raise ExpressionError(f"cannot compile {expr!r}")
 

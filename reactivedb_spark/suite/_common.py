@@ -61,6 +61,9 @@ def rocksdb_state(spark: SparkSession):
             spark.conf.set(key, old)
 
 
+_REPLAY_LEFTOVERS: list = []  # (root dir, memory-sink view name) pairs
+
+
 def replay_batches(spark: SparkSession, dfs: list, schema: str,
                    transform, prefix: str = "replay") -> DataFrame:
     """Deterministic micro-batch replay: write each DataFrame as ONE
@@ -74,12 +77,27 @@ def replay_batches(spark: SparkSession, dfs: list, schema: str,
     watermark progression a pure function of the declared batch list —
     the property the late-data / within-watermark queries' oracles
     depend on. ``repartition(1)`` (never ``coalesce(1)``) keeps the
-    upstream scan parallel; only the final file write is serial."""
+    upstream scan parallel; only the final file write is serial.
+
+    Lifetime (ADVICE r6): the returned DataFrame reads the cataloged
+    memory-sink view, so the view and the on-disk root must outlive the
+    caller's consumption — each call therefore sweeps the PREVIOUS
+    call's view + temp dir instead of its own (suite queries consume
+    their result before the next query runs, so at most one replay's
+    residue exists at a time; the last one dies with the session/tmp)."""
     import glob
     import os
     import shutil
     import tempfile
     import uuid
+
+    while _REPLAY_LEFTOVERS:
+        old_root, old_name = _REPLAY_LEFTOVERS.pop()
+        try:
+            spark.catalog.dropTempView(old_name)
+        except Exception:  # noqa: BLE001 — other-session leftovers
+            pass
+        shutil.rmtree(old_root, ignore_errors=True)
 
     root = tempfile.mkdtemp(prefix=f"rdb_{prefix}_")
     watch = os.path.join(root, "in")
@@ -109,4 +127,5 @@ def replay_batches(spark: SparkSession, dfs: list, schema: str,
             q.awaitTermination()
         finally:
             q.stop()
+    _REPLAY_LEFTOVERS.append((root, name))
     return spark.table(name)

@@ -294,3 +294,42 @@ def test_bulk_async_listener_stages_off_driver(spark, workspace):
     assert got == [100_000, 100_000]
     # ONE shared snapshot for both subscribers of the same commit+event
     assert eng._listen_staged == 1
+
+
+def test_listener_stage_lifetime_and_sibling_isolation(spark, workspace):
+    """ADVICE r6: (a) a DataFrame RETAINED by an async callback stays
+    valid until the flush_listeners() barrier (which reaps delivered
+    stages); (b) a second Engine constructed over the same workspace
+    must not delete a live sibling's staged snapshots; (c) stage dirs
+    left by DEAD processes are reaped at the next engine init."""
+    import os
+    import time
+
+    cfg = {"tables": [{"Source": {"name": "people", "columns": {
+        "name": "Str", "age": "Integer"}}}]}
+    eng = Engine(spark, cfg, workspace=workspace)
+    retained = []
+    eng.listen("people", "Insert", lambda df: retained.append(df),
+               asynchronous=True)
+    eng.insert("people", [{"name": "a", "age": 1}])
+    for _ in range(100):
+        if retained:
+            break
+        time.sleep(0.1)
+    assert retained, "async delivery never arrived"
+    # delivered but not yet flushed: the retained lazy df still evaluates
+    assert retained[0].count() == 1
+    stage_parent = os.path.dirname(eng._listen_stage_root)
+    # (b) a second LIVE engine over the workspace leaves the sibling alone
+    Engine(spark, cfg, workspace=workspace)
+    assert retained[0].count() == 1
+    # (c) a dead process's stage dir is reaped by the next engine init
+    dead = os.path.join(stage_parent, "999999999-deadbeef")
+    os.makedirs(dead, exist_ok=True)
+    Engine(spark, cfg, workspace=workspace)
+    assert not os.path.exists(dead)
+    assert os.path.exists(eng._listen_stage_root)
+    # (a) flush_listeners is the retention barrier: spent stages reaped
+    eng.flush_listeners()
+    assert (not os.path.exists(eng._listen_stage_root)
+            or os.listdir(eng._listen_stage_root) == [])
