@@ -45,6 +45,23 @@ def get_spark(app_name: str = "reactivedb_spark", cpus: int | None = None) -> Sp
         # 16g heap GC-thrashes a 32-thread suite run into ~3x slowdowns)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
     )
+    if not os.environ.get("RDB_NO_PYDAEMON"):
+        # Pre-import numpy/pandas/pyarrow in the worker daemon so forked
+        # Arrow-UDF workers inherit them copy-on-write instead of paying
+        # ~0.3 s import each — a 64-worker fork storm otherwise serializes
+        # into multi-second stalls under load (PLANS.md round-7). The
+        # daemon module must be importable by the worker python: ship the
+        # package dir via PYTHONPATH (driver env is inherited in local
+        # mode; on a cluster use spark.executorEnv.PYTHONPATH / --py-files).
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pypath = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in pypath.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + ((os.pathsep + pypath) if pypath else "")
+            )
+        builder = builder.config(
+            "spark.python.daemon.module", "rdb_pydaemon"
+        ).config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
