@@ -83,21 +83,33 @@ def _domain_bases(src: str) -> dict[str, int]:
     return bases
 
 
+# Per-copy letter substitution = AFFINE cipher x → (a·x + b) mod 26.
+# Round-7 upgrade (the plain rotation has period 26, and CHAINING
+# sf1→sf10 composes rotations into (i+j) mod 26 — copies with equal
+# totals are word-IDENTICAL shards, re-creating the quadratic cross-copy
+# blowup): with a drawn from the 12 residues coprime to 26 and b from
+# 0..25, there are 312 distinct substitutions, and any two DISTINCT
+# affine maps agree on at most gcd(a_i−a_j, 26) = 2 letters (a's are all
+# odd, so the difference is even and never 0 mod 26 unless equal; equal
+# a with different b agree nowhere). Hence no 3-gram of ≥2 distinct
+# letters survives across copies — cross-copy word AND char-n-gram
+# similarity stays ~0 for factors up to 312.
+_AFFINE_A = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
 def _salt_text(arr: pa.ChunkedArray, i: int) -> pa.Array:
-    # per-copy rotation over lowercase, UPPERCASE and digits (length and
-    # ASCII-ness preserved): tokens made only of unrotated characters
-    # would stay identical across copies and re-correlate the copies'
-    # n-grams — the exact failure mode this rotation exists to avoid
     import string
 
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
     digits = string.digits
+    a = _AFFINE_A[(i // 26) % len(_AFFINE_A)]
+    b = i % 26
+    sub_l = "".join(lower[(a * x + b) % 26] for x in range(26))
+    sub_u = "".join(upper[(a * x + b) % 26] for x in range(26))
     table = str.maketrans(
         lower + upper + digits,
-        lower[i % 26:] + lower[:i % 26]
-        + upper[i % 26:] + upper[:i % 26]
-        + digits[i % 10:] + digits[:i % 10],
+        sub_l + sub_u + digits[i % 10:] + digits[:i % 10],
     )
     return pa.array(
         [None if t is None else t.translate(table) for t in arr.to_pylist()],
@@ -106,16 +118,20 @@ def _salt_text(arr: pa.ChunkedArray, i: int) -> pa.Array:
 
 
 def _rotate_lists(arr: pa.ChunkedArray, i: int) -> pa.Array:
-    import numpy as np
-
+    # component rotation (period = dims) composed with a full sign flip
+    # on the second lap (period 2·dims = 128 for the 64-dim fixtures):
+    # same-rotation copies on different laps have cosine −1 — maximally
+    # DISsimilar, so ANN/dedup never sees cross-copy mirrors.
     pylist = arr.to_pylist()
     out = []
     for v in pylist:
-        if v is None or len(v) == 0 or i % len(v) == 0:
+        if v is None or len(v) == 0:
             out.append(v)
-        else:
-            k = i % len(v)
-            out.append(v[k:] + v[:k])
+            continue
+        k = i % len(v)
+        flip = (i // len(v)) % 2
+        r = v[k:] + v[:k] if k else list(v)
+        out.append([-x for x in r] if flip else r)
     return pa.array(out, type=arr.type)
 
 
@@ -159,14 +175,24 @@ def main() -> None:
     ap.add_argument("--dst", default="/tmp/sf1")
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
-    # the alphabet rotation in _salt_text is the identity for letters at
-    # i % 26 == 0 (and for digits at i % 10 == 0): copy 26 would be a
-    # byte-identical text clone of copy 0, silently reintroducing the
-    # quadratic cross-copy near-dup blowup the rotation exists to prevent
-    if args.factor > 26:
+    # the affine letter substitution in _salt_text has period 312
+    # (12 multipliers × 26 offsets); copy 312 would be a byte-identical
+    # text clone of copy 0, silently reintroducing the quadratic
+    # cross-copy near-dup blowup the substitution exists to prevent.
+    # NOTE: do NOT chain runs (e.g. sf1 → sf10) — composing per-copy
+    # substitutions collides (rotation i then j lands at i+j, so shards
+    # with equal totals are word-identical); always scale from the
+    # ORIGINAL fixtures with the full factor.
+    if args.factor > 312:
         raise SystemExit(
-            "--factor > 26 exceeds the alphabet-rotation period: copy 26 "
-            "would clone copy 0's text byte-for-byte (see _salt_text)"
+            "--factor > 312 exceeds the affine-substitution period: copy "
+            "312 would clone copy 0's text byte-for-byte (see _salt_text)"
+        )
+    if args.factor > 128:
+        print(
+            "WARNING: --factor > 128 exceeds the embedding "
+            "rotation+sign-flip period (2×64 dims); copies i and i+128 "
+            "re-correlate in cosine"
         )
     if args.factor > 10:
         print(
