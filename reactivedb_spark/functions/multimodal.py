@@ -350,6 +350,93 @@ def decode_wav(df: DataFrame, id_col: str, payload_col: str = "payload") -> Data
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def wav_frame_samples(payload: bytes) -> list:
+    """Raw int16 samples from a PCM16 mono WAV (same RIFF walk as
+    :func:`wav_decode_bytes`, returning the samples instead of stats)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(payload)
+    pcm = None
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"data":
+            pcm = payload[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if pcm is None:
+        raise ValueError("WAV missing data chunk")
+    return list(struct.unpack(f"<{len(pcm) // 2}h", pcm[: len(pcm) // 2 * 2]))
+
+
+# Level-crossing threshold for wav_frame_features: sample value of byte
+# 96 under the codec's (b-128)*256 mapping. ASCII text yields all-
+# negative samples (b < 128), so ZERO crossings would be degenerate; the
+# half-scale level separates lowercase (b >= 97) from everything else —
+# a real, reproducible audio-style feature over the text-derived PCM.
+_WAV_LEVEL = (96 - 128) * 256
+
+
+def wav_frame_features(df: DataFrame, id_col: str,
+                       payload_col: str = "payload",
+                       frame: int = 256) -> DataFrame:
+    """(id, frame_idx, n_samples, amp_sum, crossings): windowed audio
+    features over REAL WAV decode — the audio twin of the image
+    pixel-feature path. Each payload's PCM16 samples are cut into
+    non-overlapping ``frame``-sample windows (last window may be
+    short); per window: exact integer Σ|sample| and the count of
+    LEVEL crossings (consecutive in-window samples straddling
+    ``_WAV_LEVEL``; boundary pairs between windows are excluded, zeros
+    on the level never cross). All-integer, so any engine reproduces
+    the numbers bit-for-bit.
+
+    100 TB plan shape: one Arrow-batched ``mapInPandas`` pass, output
+    linear in total samples / frame; no shuffle at all — frames inherit
+    the scan partitioning. numpy does the per-payload windowed
+    reductions (vectorized, no per-sample Python)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("amp_sum", T.LongType()),
+            T.StructField("crossings", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fidx, ns, amps, crs = [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = np.asarray(wav_frame_samples(bytes(payload)), dtype=np.int64)
+                if s.size == 0:
+                    continue
+                n_frames = (s.size + frame - 1) // frame
+                absolute = np.abs(s)
+                rel = s - _WAV_LEVEL
+                cross = (rel[:-1] * rel[1:] < 0) if s.size > 1 else np.zeros(0, bool)
+                for f in range(n_frames):
+                    lo, hi = f * frame, min((f + 1) * frame, s.size)
+                    ids.append(rid)
+                    fidx.append(f)
+                    ns.append(hi - lo)
+                    amps.append(int(absolute[lo:hi].sum()))
+                    # in-window pairs only: indices lo..hi-2 of `cross`
+                    crs.append(int(cross[lo:hi - 1].sum()) if hi - lo > 1 else 0)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "n_samples": ns,
+                 "amp_sum": amps, "crossings": crs}
+            )
+
+    _register_self_by_value()
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def decode_bytes(payload: bytes) -> dict:
     """Dispatching decoder: REAL parse for formats we have a codec for
     (PNG, baseline JPEG), deterministic stub otherwise."""

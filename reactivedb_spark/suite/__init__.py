@@ -19,10 +19,14 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 it switched to the RocksDB state-store provider AFTER
 #                 its last green row, so its rotation green doubles as
 #                 the provider-invariance proof. The rest alphabetical.
-#   slots 22-36 — the 15 queries whose only green row is r5
+#   slots 22-23 — the two NEW round-7 queries (driver-unchecked by
+#                 definition): streaming_outer_join, wav_frame_features.
+#   slots 24-38 — the 15 queries whose only green row is r5
 #                 (fewest-greens-first), alphabetical.
-#   slots 37-50 — the 14 queries with exactly two green rows, newest r5
-#                 (greens r3+r5 — all 14 fit), alphabetical.
+#   slots 39-50 — 12 of the 14 queries with exactly two green rows,
+#                 newest r5 (greens r3+r5), alphabetical; the displaced
+#                 tail (tfidf_top_terms, top_bigrams) leads the next
+#                 rotation.
 # Everything not in _WINDOW keeps its registration but lands in the tail
 # (latest evidence r5/r6 — ≤2 rounds old at round 7); they rotate back in
 # next round. tests/test_suite_registration.py enforces this layout.
@@ -49,6 +53,9 @@ _WINDOW = (
     "tpch_q1_like",
     "unigram_logprob",
     "winsorize_prices",
+    # new round-7 queries (driver-unchecked by definition)
+    "streaming_outer_join",  # new r7: watermark-driven null emission
+    "wav_frame_features",  # new r7: windowed audio features over real WAV
     # single-green r5 set, alphabetical (all 15)
     "bucketed_join",
     "chunk_transform",
@@ -78,8 +85,6 @@ _WINDOW = (
     "streaming_sessionize",
     "struct_map_project",
     "text_repetition",
-    "tfidf_top_terms",
-    "top_bigrams",
 )
 assert len(_WINDOW) == 50
 

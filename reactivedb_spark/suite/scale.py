@@ -1228,6 +1228,45 @@ FROM documents d LEFT JOIN sums s USING (doc_id)
 """
 
 
+def q_wav_frame_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed audio features over REAL WAV decode
+    (:func:`multimodal.wav_frame_features`): 256-sample frames, exact
+    integer Σ|sample| and half-scale level crossings per frame — the
+    audio analogue of the image pixel-feature query. The oracle
+    recomputes every frame from the source text (byte b ↔ sample
+    (b−128)·256; crossings where consecutive in-frame bytes straddle
+    byte 96). A RIFF mis-parse, off-by-one at a frame boundary, or a
+    boundary-pair leak breaks the match."""
+    d = load(spark, sf, "documents")
+    pay = multimodal.encode_wav(d, "doc_id", "text", sample_rate=8000)
+    return multimodal.wav_frame_features(pay, "doc_id", frame=256)
+
+
+SQL_WAV_FRAME_FEATURES = """
+WITH b AS (
+  SELECT doc_id, p, ascii(substr(text, CAST(p AS INT), 1)) AS code
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+        FROM documents)),
+f AS (
+  SELECT doc_id, CAST((p - 1) // 256 AS BIGINT) AS frame_idx,
+         count(*) AS n_samples,
+         SUM(abs(code - 128) * 256) AS amp_sum
+  FROM b GROUP BY 1, 2),
+x AS (
+  SELECT a.doc_id, CAST((a.p - 1) // 256 AS BIGINT) AS frame_idx,
+         SUM(CASE WHEN (a.code - 96) * (c.code - 96) < 0 THEN 1 ELSE 0 END)
+           AS crossings
+  FROM b a JOIN b c ON c.doc_id = a.doc_id AND c.p = a.p + 1
+  WHERE (a.p % 256) != 0
+  GROUP BY 1, 2)
+SELECT f.doc_id, f.frame_idx,
+       CAST(f.n_samples AS BIGINT) AS n_samples,
+       CAST(f.amp_sum AS BIGINT) AS amp_sum,
+       CAST(coalesce(x.crossings, 0) AS BIGINT) AS crossings
+FROM f LEFT JOIN x USING (doc_id, frame_idx)
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling (one-to-many mapInPandas): every 100-byte window of
     the payload is a fake 'frame'; emitted as (doc_id, frame_no,
@@ -1668,6 +1707,121 @@ FROM allr GROUP BY 1, 2
 """
 
 
+def q_streaming_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-driven
+    null emission — the operator class the inner `streaming_stream_join`
+    cannot show: an unmatched purchase may only emit its NULL row once
+    the view-side watermark proves no matching view can still arrive.
+
+    Replay (same deterministic mtime-batch mechanics as
+    `streaming_late_data`): both sides ride ONE tagged file stream and
+    split into two watermarked branches (Spark supports streaming
+    self-joins; `multipleWatermarkPolicy=min` governs the pair) —
+
+    - batch 0: every purchase and view at synthesized integer times
+      BASE + (event_id·37 % 7200) s, join window = views in the 10 min
+      at-or-before the purchase;
+    - batches 1-3: one tick per SIDE at BASE+3h (ticks carry
+      event_id −1 and are filtered out of the join inputs AFTER the
+      watermark node, so they advance both watermarks without joining).
+      THREE tick batches, not two: outer-join state eviction in batch N
+      uses the watermark derived from data through batch N−2 (measured
+      on 4.1 — with only two ticks, exactly the purchases in the last
+      `delay` of the data span never flushed, and the availableNow
+      finalization batch does NOT run outer eviction), so the last tick
+      evicts with a watermark already past the whole data span and every
+      unmatched purchase emits its (purchase_id, NULL) row.
+
+    The oracle is the plain batch LEFT JOIN — matched pairs must be
+    identical and the null rows exactly the purchases with no view in
+    window, i.e. the replay's outer semantics must converge to batch
+    semantics once the watermark passes everything."""
+    base_us = 1_600_000_000_123_456
+    ev = cache.pin(load(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.when(F.col("event_type") == "purchase", F.lit("p"))
+         .otherwise(F.lit("v")).alias("tag"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.lit(base_us)
+         + (F.col("event_id") * 37 % 7200) * F.lit(1_000_000)).alias("t_us"),
+    ))
+    ticks = [
+        spark.createDataFrame(
+            [("p", -1, -1, base_us + 10_800_000_000 + k * 1_000_000),
+             ("v", -1, -1, base_us + 10_800_000_000 + k * 1_000_000)],
+            "tag string, event_id long, user_id long, t_us long",
+        )
+        for k in (0, 1, 2)
+    ]
+
+    def stamped(df):
+        return df.select(
+            "tag", "event_id", "user_id",
+            F.timestamp_micros("t_us").alias("tstamp"),
+        )
+
+    # ticks sit at BASE+3h; every data row is under BASE+2h. The tick
+    # exclusion below MUST be an EVENT-TIME predicate: Catalyst pushes
+    # ordinary predicates (e.g. event_id >= 0) BELOW the
+    # EventTimeWatermark node (PushPredicateThroughNonJoin exempts only
+    # predicates referencing the watermark column), and a pushed-down
+    # tick filter means the watermark never advances past the data and
+    # the last-minute purchases never flush (measured both for a
+    # pre-join filter and for a post-join filter pushed through the
+    # join back into the branch).
+    cutoff = F.timestamp_micros(F.lit(base_us + 9_000_000_000))
+
+    def outer(s):
+        p = (
+            s.filter(F.col("tag") == "p")
+            .withWatermark("tstamp", "1 minute")
+            .filter(F.col("tstamp") < cutoff)
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user"),
+                    F.col("tstamp").alias("p_ts"))
+        )
+        v = (
+            s.filter(F.col("tag") == "v")
+            .withWatermark("tstamp", "1 minute")
+            .filter(F.col("tstamp") < cutoff)
+            .select(F.col("event_id").alias("view_id"),
+                    F.col("user_id").alias("v_user"),
+                    F.col("tstamp").alias("v_ts"))
+        )
+        return p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "leftOuter",
+        ).select("purchase_id", "p_user", "view_id")
+
+    return replay_batches(
+        spark, [stamped(df) for df in (ev, ticks[0], ticks[1], ticks[2])],
+        "tag string, event_id long, user_id long, tstamp timestamp",
+        outer, prefix="soj",
+    )
+
+
+SQL_STREAMING_OUTER_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         1600000000123456 + ((event_id * 37) % 7200) * 1000000 AS t
+  FROM events WHERE event_type IN ('purchase', 'view')),
+p AS (SELECT event_id AS purchase_id, user_id, t AS pts
+      FROM e WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, user_id, t AS vts
+      FROM e WHERE event_type = 'view')
+SELECT p.purchase_id, p.user_id AS p_user, v.view_id
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.vts >= p.pts - 600000000
+ AND v.vts <= p.pts
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     """The composed training-data cleanup (operators/corpus.py): quality
     gate → lang gate → exact dedup → LSH+Jaccard near-dup removal. The
@@ -1929,6 +2083,7 @@ QUERIES = {
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_late_data": q_streaming_late_data,
     "streaming_dedup_watermark": q_streaming_dedup_watermark,
+    "streaming_outer_join": q_streaming_outer_join,
     "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1964,6 +2119,7 @@ QUERIES = {
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "wav_frame_features": q_wav_frame_features,
     "multimodal_embed": q_multimodal_embed,
     "multimodal_frames": q_multimodal_frames,
     "window_rank": q_window_rank,
@@ -1981,6 +2137,7 @@ ORACLES = {
     "streaming_aggregate": SQL_STREAMING_AGGREGATE,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "streaming_late_data": SQL_STREAMING_LATE_DATA,
+    "streaming_outer_join": SQL_STREAMING_OUTER_JOIN,
     "streaming_dedup_watermark": SQL_STREAMING_DEDUP_WATERMARK,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -2017,6 +2174,7 @@ ORACLES = {
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
     "multimodal_jpeg_decode": SQL_MULTIMODAL_JPEG_DECODE,
     "multimodal_wav_decode": SQL_MULTIMODAL_WAV_DECODE,
+    "wav_frame_features": SQL_WAV_FRAME_FEATURES,
     "multimodal_embed": SQL_MULTIMODAL_EMBED,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "window_rank": SQL_WINDOW_RANK,

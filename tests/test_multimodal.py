@@ -266,3 +266,26 @@ def test_rgb_png_gray_reduction_in_features_and_resize(spark):
     info = mm.png_decode_bytes(out)
     assert (info["width"], info["height"], info["color_type"]) == (1, 1, 0)
     assert list(info["pixels"]) == [20]  # NN pick = top-left gray pixel
+
+
+def test_wav_frame_features_windows_and_crossings(spark):
+    """Frame arithmetic + level-crossing contract: 600 samples at
+    frame=256 → frames of 256/256/88; crossings count in-frame pairs
+    straddling byte 96 only (boundary pairs between frames excluded)."""
+    from pyspark.sql import functions as F
+
+    from reactivedb_spark.functions import multimodal
+
+    # alternating 'a' (97, above level) / 'A' (65, below level): every
+    # consecutive pair crosses → frame of n samples has n-1 crossings
+    text = ("aA" * 300)[:600]
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    pay = multimodal.encode_wav(df, "doc_id", "text")
+    out = multimodal.wav_frame_features(pay, "doc_id", frame=256)
+    rows = {(r["doc_id"], r["frame_idx"]): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 1), (1, 2)}  # empty doc: no frames
+    assert [rows[(1, i)]["n_samples"] for i in range(3)] == [256, 256, 88]
+    assert [rows[(1, i)]["crossings"] for i in range(3)] == [255, 255, 87]
+    # amp_sum: |(97-128)*256| = 7936, |(65-128)*256| = 16128, alternating
+    assert rows[(1, 0)]["amp_sum"] == 128 * (7936 + 16128)
+    assert rows[(1, 2)]["amp_sum"] == 44 * (7936 + 16128)

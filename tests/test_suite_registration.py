@@ -3,10 +3,12 @@ FIRST 50 registered queries. Round-7 rotation (VERDICT r6 #1): the 21
 queries whose newest green row is r4 occupy slots 1-21 with
 ``streaming_dedup`` first (it switched to the RocksDB state-store
 provider after its last green row, so its rotation green is also the
-provider-invariance proof); the 15 single-green-r5 queries fill slots
-22-36 and the 14 double-green (r3+r5) queries fill slots 37-50, both
-alphabetical. Everything else — latest evidence r5/r6, i.e. <=2 rounds
-old — fills the tail and rotates back next round."""
+provider-invariance proof); the two NEW round-7 queries
+(streaming_outer_join, wav_frame_features — driver-unchecked by
+definition) take slots 22-23; the 15 single-green-r5 queries fill
+slots 24-38 and 12 of the 14 double-green (r3+r5) queries fill slots
+39-50, all alphabetical. Everything else — latest evidence r5/r6,
+i.e. <=2 rounds old — fills the tail and rotates back next round."""
 
 from reactivedb_spark import suite
 
@@ -34,6 +36,8 @@ R4_STALE = [
     "winsorize_prices",
 ]
 
+NEW_R7 = ["streaming_outer_join", "wav_frame_features"]
+
 SINGLE_GREEN_R5 = [
     "bucketed_join",
     "chunk_transform",
@@ -58,11 +62,13 @@ def test_window_layout():
     assert len(q) == len(set(q)), "duplicate query names"
     assert list(q[:50]) == list(suite._WINDOW)
     # the r4-stale set leads the window (streaming_dedup first), the
-    # single-green-r5 set follows
+    # never-checked round-7 queries follow, then the single-green-r5 set
     assert q[: len(R4_STALE)] == R4_STALE
     n = len(R4_STALE)
+    assert q[n: n + len(NEW_R7)] == NEW_R7
+    n += len(NEW_R7)
     assert q[n: n + len(SINGLE_GREEN_R5)] == SINGLE_GREEN_R5
-    # slots 37-50 are alphabetical
+    # slots 39-50 are alphabetical
     tail = q[n + len(SINGLE_GREEN_R5): 50]
     assert tail == sorted(tail)
 
