@@ -21,6 +21,8 @@ import contextlib
 
 from pyspark.sql import DataFrame, functions as F
 
+from reactivedb_spark import cache
+
 
 @contextlib.contextmanager
 def _iteration_shuffle(df: DataFrame):
@@ -218,4 +220,71 @@ def connected_components_star(edges: DataFrame, a: str = "doc_a", b: str = "doc_
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
         .unionByName(roots.select("node", F.col("node").alias("cluster")))
+    )
+
+
+def triangle_count(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
+    """Exact triangle count via DEGREE-ORIENTED wedge closing — the
+    textbook scale-correct construction (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer").
+
+    Naive node-iterator joins explode on hubs: a degree-d node yields
+    d² wedges, and real graphs' hubs make one reducer quadratic. The
+    fix: orient every undirected edge from its (degree, id)-SMALLER
+    endpoint to its larger one — each triangle is then counted exactly
+    once from its unique smallest corner, and a node's out-degree is
+    bounded by ~√(2m), so the wedge relation is at most m^{3/2} overall
+    regardless of hubs (the "last reducer" is cured).
+
+    Plan shape: two keyed shuffles — degrees (groupBy), wedge join on
+    the shared corner — then a semi-ish inner join of wedges against
+    oriented edges to close them. Degrees ride a broadcast when small;
+    all arithmetic integer-exact.
+
+    Emits ONE row (n_edges, n_wedges, n_triangles) — the wedge count is
+    part of the contract so the oracle verifies the orientation (a
+    wrong orientation still finds the same triangles but a different
+    wedge count)."""
+    und = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+        )
+        .distinct()
+    )
+    und = cache.pin(und)
+    deg = (
+        und.select(F.col("x").alias("n")).unionAll(und.select(F.col("y").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    ranked = und.join(dx, "x").join(dy, "y")
+    # orient (degree, id)-ascending: src = smaller corner
+    fwd = ranked.select(
+        F.when((F.col("dx") < F.col("dy"))
+               | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+               F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when((F.col("dx") < F.col("dy"))
+               | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+               F.col("y")).otherwise(F.col("x")).alias("dst"),
+    )
+    fwd = cache.pin(fwd)
+    w1 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("p"))
+    w2 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("q"))
+    wedges = w1.join(w2, "c").filter(F.col("p") < F.col("q"))
+    closing = fwd.select(
+        F.least("src", "dst").alias("p"), F.greatest("src", "dst").alias("q")
+    )
+    tri = wedges.join(closing, ["p", "q"])
+    return (
+        wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
     )

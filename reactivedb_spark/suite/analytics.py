@@ -286,6 +286,56 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
 SQL_PAGERANK_ORDERS = _pagerank_sql()
 
 
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle counting with DEGREE-ORIENTED wedge closing
+    (operators/graph.py:triangle_count; Suri & Vassilvitskii 2011) over
+    the part co-purchase graph: parts are linked when they appear in
+    the same order. Orders are small (≤7 items) so the edge derivation
+    is a bounded per-order pair explode; hub PARTS are where a naive
+    node-iterator would melt, and the (degree, id) orientation bounds
+    every wedge list by ~√(2m) instead. The oracle replays degrees,
+    orientation, wedges and closings in SQL — n_wedges is part of the
+    contract so a wrong orientation cannot hide behind a correct
+    triangle total."""
+    from reactivedb_spark.operators.graph import triangle_count
+
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    a = li.select("okey", F.col("pkey").alias("u"))
+    b = li.select("okey", F.col("pkey").alias("v"))
+    edges = (
+        a.join(b, "okey").filter(F.col("u") < F.col("v")).select("u", "v")
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+und AS (
+  SELECT DISTINCT a.pkey AS x, b.pkey AS y
+  FROM li a JOIN li b ON a.okey = b.okey AND a.pkey < b.pkey),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT x AS n FROM und UNION ALL SELECT y AS n FROM und) GROUP BY n),
+fwd AS (
+  SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+              THEN u.x ELSE u.y END AS src,
+         CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+              THEN u.y ELSE u.x END AS dst
+  FROM und u JOIN deg dx ON dx.n = u.x JOIN deg dy ON dy.n = u.y),
+wedges AS (
+  SELECT w1.dst AS p, w2.dst AS q
+  FROM fwd w1 JOIN fwd w2 ON w1.src = w2.src AND w1.dst < w2.dst),
+closing AS (
+  SELECT least(src, dst) AS p, greatest(src, dst) AS q FROM fwd),
+tri AS (SELECT count(*) AS n FROM wedges JOIN closing USING (p, q))
+SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
 # -- multi-hop DAG through the engine -----------------------------------------
 
 DAG_CHAIN_CFG = {
@@ -1023,6 +1073,7 @@ QUERIES = {
     "source_csv": q_source_csv,
     "unigram_logprob": q_unigram_logprob,
     "pagerank_orders": q_pagerank_orders,
+    "triangle_count": q_triangle_count,
     "dag_chain": q_dag_chain,
 }
 
@@ -1049,5 +1100,6 @@ ORACLES = {
     "source_csv": SQL_SOURCE_CSV,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "pagerank_orders": SQL_PAGERANK_ORDERS,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "dag_chain": SQL_DAG_CHAIN,
 }
