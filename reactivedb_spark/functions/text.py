@@ -242,3 +242,45 @@ def repetition_stats(df, id_col: str, text_col: str):
             ).alias("dup_bigram_frac"),
         )
     )
+
+
+def char_entropy(df, id_col: str, text_col: str):
+    """(id, n_chars, entropy_bits): character-level Shannon entropy per
+    document — a classic corpus-quality signal (boilerplate and
+    generated spam sit at abnormally low/high entropy; complements the
+    ratio-based :func:`quality_score`).
+
+    H = −Σ_c (n_c/N)·log2(n_c/N) over the doc's character histogram.
+    Determinism follows the unigram-LM pattern (q_unigram_logprob):
+    log2 may differ by 1 ulp across libms, so each term is pinned to
+    DECIMAL(28,14) before the exact decimal sum and the result rounds
+    to 6 — double-summation order can never show through.
+
+    100 TB plan shape: two keyed aggregations — (doc, char-code) counts,
+    then per-doc totals joined back on the doc key (co-partitioned: the
+    histogram and its totals share the doc-keyed shuffle) — all with
+    map-side partial aggregation, so shuffled rows are ≤ |alphabet| per
+    doc. Pure JVM column expressions; no UDF."""
+    from pyspark.sql import functions as F
+
+    from reactivedb_spark import cache
+
+    hist = cache.pin(
+        df.select(id_col, F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .select(id_col, F.ascii("ch").alias("code"))
+        .groupBy(id_col, "code")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+    )
+    totals = hist.groupBy(id_col).agg(F.sum("n_c").cast("long").alias("n"))
+    p_c = F.col("n_c").cast("double") / F.col("n").cast("double")
+    term = (p_c * F.log2(p_c)).cast("decimal(28,14)")
+    return (
+        hist.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.round((F.lit(0).cast("decimal(28,14)") - F.sum(term))
+                    .cast("double"), 6).alias("entropy_bits"),
+        )
+    )

@@ -792,6 +792,37 @@ FROM base
 """
 
 
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level Shannon entropy per document
+    (functions/text.py:char_entropy) — the distribution-shape quality
+    signal the ratio-based `text_quality` cannot see. The oracle
+    replays the histogram, the per-term DECIMAL(28,14) pin on
+    p·log2 p, the exact decimal sum and the round(6) — the same
+    cross-libm determinism contract q_unigram_logprob pioneered.
+    Documents with no characters are absent from both sides."""
+    return textfns.char_entropy(load(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_CHAR_ENTROPY = """
+WITH b AS (
+  SELECT doc_id, ascii(substr(text, CAST(p AS INT), 1)) AS code
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+        FROM documents)),
+hist AS (
+  SELECT doc_id, code, CAST(count(*) AS BIGINT) AS n_c
+  FROM b GROUP BY doc_id, code),
+tot AS (SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n FROM hist GROUP BY doc_id)
+SELECT h.doc_id,
+       CAST(max(t.n) AS BIGINT) AS n_chars,
+       round(CAST(CAST(0 AS DECIMAL(28,14)) - sum(
+         CAST((CAST(h.n_c AS DOUBLE) / CAST(t.n AS DOUBLE))
+              * log2(CAST(h.n_c AS DOUBLE) / CAST(t.n AS DOUBLE))
+              AS DECIMAL(28,14))) AS DOUBLE), 6) AS entropy_bits
+FROM hist h JOIN tot t USING (doc_id)
+GROUP BY h.doc_id
+"""
+
+
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return d.select(
@@ -2103,6 +2134,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
+    "char_entropy": q_char_entropy,
     "token_count": q_token_count,
     "token_bpe": q_token_bpe,
     "fingerprint": q_fingerprint,
@@ -2158,6 +2190,7 @@ ORACLES = {
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "token_count": SQL_TOKEN_COUNT,
     "token_bpe": SQL_TOKEN_BPE,
     "fingerprint": SQL_FINGERPRINT,
