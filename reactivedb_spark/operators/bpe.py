@@ -1,0 +1,79 @@
+"""Distributed BPE vocabulary TRAINING (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units") — the
+iterative merge-learning loop that produces the merge table
+``functions/text.py``'s tokenizers consume.
+
+Spark-first shape: the corpus collapses to a WORD-FREQUENCY relation
+first (one shuffle; at web scale the vocabulary is ~10⁸ rows — small
+next to the corpus), and every merge round is ONE aggregation over that
+relation (adjacent-pair counts weighted by word frequency, map-side
+combined) plus a single-ROW driver pull (the argmax pair — the same
+bounded-pull pattern as the IVF centroid loop). The per-round rewrite
+is a JVM string ``replace``, never a Python UDF; ``localCheckpoint``-
+free because each round's plan is one narrow projection over the pinned
+previous round.
+
+Determinism contract (oracle-replayed, tests/test_oracle_parity):
+- symbols start as the word's characters joined by single spaces with
+  sentinel spaces at both ends;
+- best pair = max Σ word-count, ties by (left, right) ascending;
+- the merge applies ``replace(s, ' l r ', ' lr ')`` exactly ``passes``
+  times (adjacent occurrences share a separator space, so one pass
+  merges alternate occurrences; ``passes`` = 6 reaches the fixpoint for
+  identical-pair runs up to 2⁶ — declared, and identical in any engine
+  with standard left-to-right non-overlapping replace semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from reactivedb_spark import cache
+
+
+def bpe_train(df: DataFrame, text_col: str, merges: int = 6,
+              passes: int = 6) -> DataFrame:
+    """Learn ``merges`` BPE merges from the corpus; emits one row per
+    learned merge: (merge_rank, left_sym, right_sym, n_pair)."""
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cur = cache.pin(words.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", F.split("w", "")), F.lit(" "))
+        .alias("s"),
+        "cnt",
+    ))
+    learned = []
+    for r in range(int(merges)):
+        pairs = (
+            cur.select("cnt", F.split(F.trim(F.col("s")), " ").alias("arr"))
+            .select("cnt", F.explode(F.expr(
+                # sequence(1, 0) DESCENDS in Spark: single-symbol words
+                # must short-circuit to an empty pair list
+                "CASE WHEN size(arr) < 2 THEN"
+                " array()::array<struct<l string, r string>>"
+                " ELSE transform(sequence(1, size(arr) - 1),"
+                " i -> struct(arr[i-1] AS l, arr[i] AS r)) END")).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        if not best:
+            break
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        learned.append((r + 1, left, right, n))
+        col = F.col("s")
+        for _ in range(int(passes)):
+            col = F.replace(
+                col, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            )
+        cur = cache.pin(cur.select(col.alias("s"), "cnt"))
+    return spark.createDataFrame(
+        learned, "merge_rank int, left_sym string, right_sym string, n_pair long"
+    )

@@ -823,6 +823,60 @@ GROUP BY h.doc_id
 """
 
 
+def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE merge LEARNING (operators/bpe.py): 6 rounds of
+    weighted adjacent-pair counting over the word-frequency relation,
+    argmax pair per round (ties (left, right) ascending), 6-pass
+    ``replace`` rewrite. The oracle unrolls the identical 6 rounds as
+    chained CTEs — pair counts, argmax and every replace pass replayed
+    in SQL — so a wrong tie-break, a missed fixpoint pass or a
+    miscounted pair breaks the hash. Complements `token_bpe`, which
+    APPLIES a merge table this operator learns."""
+    from reactivedb_spark.operators.bpe import bpe_train
+
+    return bpe_train(load(spark, sf, "documents"), "text", merges=6, passes=6)
+
+
+def _bpe_train_sql(merges: int = 6, passes: int = 6) -> str:
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1)"""
+    ]
+    for r in range(merges):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT arr[i] AS l, arr[i+1] AS r2, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(s), ' ') AS arr, cnt,
+               unnest(range(1, len(string_split(trim(s), ' ')))) AS i
+        FROM w{r})
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT l, r2, n FROM p{r} ORDER BY n DESC, l, r2 LIMIT 1)"
+        )
+        rep = "s"
+        for _ in range(passes):
+            rep = (
+                f"replace({rep}, ' ' || (SELECT l FROM b{r}) || ' ' || "
+                f"(SELECT r2 FROM b{r}) || ' ', ' ' || (SELECT l FROM b{r}) || "
+                f"(SELECT r2 FROM b{r}) || ' ')"
+            )
+        ctes.append(f"w{r + 1} AS MATERIALIZED (SELECT {rep} AS s, cnt FROM w{r})")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INT) AS merge_rank, l AS left_sym, "
+        f"r2 AS right_sym, n AS n_pair FROM b{r}"
+        for r in range(merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+SQL_BPE_TRAIN = _bpe_train_sql()
+
+
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return d.select(
@@ -2135,6 +2189,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "char_entropy": q_char_entropy,
+    "bpe_train": q_bpe_train,
     "token_count": q_token_count,
     "token_bpe": q_token_bpe,
     "fingerprint": q_fingerprint,
@@ -2191,6 +2246,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "char_entropy": SQL_CHAR_ENTROPY,
+    "bpe_train": SQL_BPE_TRAIN,
     "token_count": SQL_TOKEN_COUNT,
     "token_bpe": SQL_TOKEN_BPE,
     "fingerprint": SQL_FINGERPRINT,
