@@ -152,3 +152,95 @@ def windowed_counts(stream_df: DataFrame, ts_col: str, key_col: str,
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
         .agg(*aggs)
     )
+
+
+def stateful_timeout_sessions(stream_df: DataFrame, key_col: str,
+                              us_col: str, gap_us: int):
+    """Custom stateful SESSIONIZATION with EVENT-TIME TIMERS via
+    ``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``
+    — the timer-driven custom-operator class ``session_window`` (native,
+    q_streaming_sessionize) cannot show: the OPEN session per key lives
+    in explicit state and is emitted by the TIMEOUT callback once the
+    watermark proves no more events can extend it.
+
+    Per batch and key: the batch's event times are sorted and folded
+    into the open session; any gap > ``gap_us`` CLOSES a session
+    (emitted immediately) and opens the next. The surviving open
+    session is stored and its timeout timestamp set to
+    last_event + gap; when the event-time watermark passes that, Spark
+    hands the group back with ``state.hasTimedOut`` and the final
+    session is emitted. Exactly one emission per session, composition-
+    deterministic as long as each key's batches arrive in event-time
+    order (the replay guarantees it; out-of-order replays would need
+    state to buffer — the documented trade of this operator class).
+
+    ``us_col`` must be an int64 EPOCH-MICROSECOND column (the caller
+    applies ``withWatermark`` on its companion timestamp column). The
+    arithmetic deliberately avoids the timestamp column inside the UDF:
+    Arrow localizes timestamps to the SESSION timezone on the pandas
+    side while ``setTimeoutTimestamp`` expects UTC epoch ms — in a
+    non-UTC session that silently shifts every timeout (measured:
+    America/New_York pushed timeouts 4 h below the watermark and
+    crashed the query). Integer microseconds are timezone-proof.
+
+    Emits (key, session_start_us, session_end_us, n_events)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            stream_df.schema[key_col],
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    kcol, ucol, gap = key_col, us_col, int(gap_us)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        def frame(sessions):
+            return _pd.DataFrame(
+                {kcol: [key[0]] * len(sessions),
+                 "session_start_us": [s[0] for s in sessions],
+                 "session_end_us": [s[1] for s in sessions],
+                 "n_events": [s[2] for s in sessions]}
+            )
+
+        if state.hasTimedOut:
+            st, last, n = state.get
+            state.remove()
+            yield frame([(st, last, n)])
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(x) for x in pdf[ucol])
+        ts.sort()
+        st, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in ts:
+            if st is None:
+                st, last, n = t, t, 1
+            elif t - last > gap:
+                closed.append((st, last, n))
+                st, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if st is not None:
+            state.update((st, last, n))
+            state.setTimeoutTimestamp(last // 1000 + gap // 1000 + 1)
+        if closed:
+            yield frame(closed)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

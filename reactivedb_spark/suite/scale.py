@@ -1469,6 +1469,91 @@ FROM g
 """
 
 
+def q_streaming_timeout_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Timer-driven custom stateful sessionization
+    (streaming/listen.py:stateful_timeout_sessions —
+    ``applyInPandasWithState`` with EventTimeTimeout): sessions split on
+    >15-min gaps; CLOSED sessions emit in the batch that closes them,
+    and each key's final OPEN session emits from the TIMEOUT callback
+    once the watermark passes last_event + gap. The replay exercises
+    both paths deterministically:
+
+    - batch 0: events with t < BASE+1h, batch 1: the rest (time-split,
+      so every key's batches arrive in event-time order and a session
+      spanning the split is CONTINUED from state, not duplicated);
+    - batches 2-3: ticks at BASE+3h (event-time-cutoff-filtered above
+      the watermark node, the streaming_outer_join pattern) advance the
+      watermark — the first burns the one-batch watermark lag, the
+      second (plus availableNow's finalization batch) fires every
+      remaining timeout.
+
+    The oracle is the plain batch sessionization (lag/cumsum, the
+    `sessionize` rule) aggregated to (session_start, end, count) —
+    streamed timer semantics must converge exactly to batch sessions."""
+    base_us = 1_600_000_000_123_456
+    ev = cache.pin(load(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.lit(base_us)
+         + (F.col("event_id") * 37 % 7200) * F.lit(1_000_000)).alias("t_us"),
+    ))
+    mid = base_us + 3_600_000_000
+    b0 = ev.filter(F.col("t_us") < mid)
+    b1 = ev.filter(F.col("t_us") >= mid)
+    ticks = [
+        spark.createDataFrame(
+            [(-1, base_us + 10_800_000_000 + k * 1_000_000)],
+            "user_id long, t_us long",
+        )
+        for k in (0, 1)
+    ]
+    cutoff = F.timestamp_micros(F.lit(base_us + 9_000_000_000))
+
+    def stamped(df):
+        # the watermark rides the timestamp column; the OPERATOR's
+        # arithmetic rides the int64 µs twin (Arrow localizes
+        # timestamps to the session tz — see the operator docstring)
+        return df.select(
+            "user_id", F.timestamp_micros("t_us").alias("tstamp"), "t_us"
+        )
+
+    def sessions(s):
+        from reactivedb_spark.streaming.listen import stateful_timeout_sessions
+
+        return stateful_timeout_sessions(
+            s.withWatermark("tstamp", "1 minute")
+            .filter(F.col("tstamp") < cutoff),
+            "user_id", "t_us", gap_us=900_000_000,
+        )
+
+    return replay_batches(
+        spark, [stamped(df) for df in (b0, b1, *ticks)],
+        "user_id long, tstamp timestamp, t_us long", sessions, prefix="sto",
+    )
+
+
+SQL_STREAMING_TIMEOUT_SESSIONS = """
+WITH e AS (
+  SELECT user_id,
+         1600000000123456 + ((event_id * 37) % 7200) * 1000000 AS t
+  FROM events),
+g AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL THEN 1
+              WHEN t - lag(t) OVER w > 900000000 THEN 1 ELSE 0 END AS flag
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (
+  SELECT user_id, t,
+         SUM(flag) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       CAST(min(t) AS BIGINT) AS session_start_us,
+       CAST(max(t) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_streaming_aggregate(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming in the correctness gate: replay the events
     table as 3 micro-batches through the reactive engine
@@ -2169,6 +2254,7 @@ QUERIES = {
     "streaming_late_data": q_streaming_late_data,
     "streaming_dedup_watermark": q_streaming_dedup_watermark,
     "streaming_outer_join": q_streaming_outer_join,
+    "streaming_timeout_sessions": q_streaming_timeout_sessions,
     "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -2225,6 +2311,7 @@ ORACLES = {
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "streaming_late_data": SQL_STREAMING_LATE_DATA,
     "streaming_outer_join": SQL_STREAMING_OUTER_JOIN,
+    "streaming_timeout_sessions": SQL_STREAMING_TIMEOUT_SESSIONS,
     "streaming_dedup_watermark": SQL_STREAMING_DEDUP_WATERMARK,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "dedup_exact": SQL_DEDUP_EXACT,
