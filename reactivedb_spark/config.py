@@ -68,6 +68,24 @@ class ActionTransformConfig:
 
 
 @dataclass(frozen=True)
+class JoinTransformConfig:
+    """Extension transform (no reference analogue — the reference's only
+    multi-parent operator is UnionTransform, transform.rs:41-58): an
+    incrementally maintained INNER equi-join of two declared tables.
+    Delta rule: Δ(L⋈R) = ΔL⋈R_old ∪ L_new⋈ΔR — exact because the
+    engine's topological propagation commits each parent's delta before
+    its children apply it, and because the two parents are required to
+    be ANCESTOR-DISJOINT (a shared upstream source could deliver deltas
+    to both parents in one wave, double-counting ΔL×ΔR; the engine
+    rejects such configs at build time — declared v1 limitation)."""
+
+    left_table: str
+    right_table: str
+    left_on: str
+    right_on: str
+
+
+@dataclass(frozen=True)
 class DedupTransformConfig:
     """Extension transform (no reference analogue — SURVEY.md §7 phase 6:
     the training-data operators exposed through the same config surface):
@@ -179,6 +197,16 @@ def parse_transform(spec, name: str):
         return ActionTransformConfig(body["name"], body["source_table"])
     if kind == "DedupTransform":
         return DedupTransformConfig(body["source_table"], body["key"])
+    if kind == "JoinTransform":
+        jt = JoinTransformConfig(
+            body["left_table"], body["right_table"],
+            body["left_on"], body["right_on"],
+        )
+        if jt.left_table == jt.right_table:
+            raise ConfigError(
+                f"table {name}: JoinTransform self-joins are not supported"
+            )
+        return jt
     if kind == "SampleTransform":
         return SampleTransformConfig(
             body["source_table"], body["key"], int(body["rate_pct"])

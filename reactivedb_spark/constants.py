@@ -8,6 +8,9 @@ data (SURVEY.md §7 "what's hard" #1 — Union last-writer-wins needs it).
 
 ENTRY_ID = "_entryId"
 SOURCE_ENTRY_ID = "_sourceEntryId"
+# JoinTransform (extension): provenance of the RIGHT parent row — joins
+# have two origins, so cascading deletes need a second provenance column.
+SOURCE_ENTRY_ID2 = "_sourceEntryId2"
 MATCHING_KEY = "matchingKey"
 AGGREGATED_COLUMN = "aggregatedColumn"
 SEQ = "_seq"
@@ -21,5 +24,5 @@ N_KEY_BUCKETS = 32
 # md5 of the normalized key column, one representative row per value.
 DEDUP_KEY = "dedupKey"
 
-SYSTEM_COLUMNS = {ENTRY_ID, SOURCE_ENTRY_ID, MATCHING_KEY, AGGREGATED_COLUMN,
-                  SEQ, PARTITION_BUCKET, DEDUP_KEY}
+SYSTEM_COLUMNS = {ENTRY_ID, SOURCE_ENTRY_ID, SOURCE_ENTRY_ID2, MATCHING_KEY,
+                  AGGREGATED_COLUMN, SEQ, PARTITION_BUCKET, DEDUP_KEY}

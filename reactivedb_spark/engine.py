@@ -41,6 +41,7 @@ from reactivedb_spark.config import (
     DedupTransformConfig,
     FilterTransformConfig,
     FunctionTransformConfig,
+    JoinTransformConfig,
     SampleTransformConfig,
     TextStatsTransformConfig,
     UnionTransformConfig,
@@ -61,6 +62,7 @@ from reactivedb_spark.operators import dedup_transform as dedup_tr_op
 from reactivedb_spark.operators import sample_transform as sample_tr_op
 from reactivedb_spark.operators import filter as filter_op
 from reactivedb_spark.operators import function as function_op
+from reactivedb_spark.operators import join_transform as join_tr_op
 from reactivedb_spark.operators import union as union_op
 from reactivedb_spark.plans.dag import topo_order
 from reactivedb_spark.stats import broadcast_if_small
@@ -226,6 +228,8 @@ class Engine:
     def _parents_of(self, tr) -> tuple:
         if isinstance(tr, UnionTransformConfig):
             return tuple(t for t, _ in tr.tables_and_foreign_keys)
+        if isinstance(tr, JoinTransformConfig):
+            return (tr.left_table, tr.right_table)
         return (tr.source_table,)
 
     def _build_states(self) -> None:
@@ -266,6 +270,28 @@ class Engine:
             elif isinstance(tr, DedupTransformConfig):
                 schema = dedup_tr_op.output_schema(tr, pschemas[tr.source_table])
                 key_column = C.DEDUP_KEY
+            elif isinstance(tr, JoinTransformConfig):
+                # ancestor-disjointness: a shared upstream would deliver
+                # deltas to BOTH parents in one propagation wave and the
+                # ΔL⋈R_old ∪ L_new⋈ΔR decomposition would double-count
+                # ΔL×ΔR (declared v1 limitation on JoinTransformConfig)
+                def _closure(n):
+                    seen = {n}
+                    if n in derived_cfg:
+                        for p in self._parents_of(derived_cfg[n].transform):
+                            seen |= _closure(p)
+                    return seen
+
+                shared = _closure(tr.left_table) & _closure(tr.right_table)
+                if shared:
+                    raise ConfigError(
+                        f"table {name}: JoinTransform parents share "
+                        f"ancestry {sorted(shared)} — not supported (delta "
+                        "double-count); join the shared source directly"
+                    )
+                schema = join_tr_op.output_schema(
+                    tr, pschemas[tr.left_table], pschemas[tr.right_table]
+                )
             elif isinstance(tr, SampleTransformConfig):
                 schema = sample_tr_op.output_schema(tr, pschemas[tr.source_table])
             elif isinstance(tr, ChunkTransformConfig):
@@ -537,6 +563,8 @@ class Engine:
             return self._apply_aggregation(child, tr, parent, d)
         if isinstance(tr, DedupTransformConfig):
             return self._apply_dedup(child, tr, parent, d)
+        if isinstance(tr, JoinTransformConfig):
+            return self._apply_join(child, tr, parent, d)
         raise ConfigError(f"unknown transform on {child!r}")
 
     def _apply_rowwise(self, child: str, tr, d: Delta) -> Optional[Delta]:
@@ -589,10 +617,11 @@ class Engine:
                 child, content, [C.PARTITION_BUCKET], buckets
             )
 
-    def _delete_by_provenance(self, child: str, parent_deleted: DataFrame) -> Optional[DataFrame]:
+    def _delete_by_provenance(self, child: str, parent_deleted: DataFrame,
+                              provenance_col: str = C.SOURCE_ENTRY_ID) -> Optional[DataFrame]:
         ids = parent_deleted.select(F.col(C.ENTRY_ID).alias("_pid"))
         state = self.store.read(child)
-        cond = F.col(C.SOURCE_ENTRY_ID) == F.col("_pid")
+        cond = F.col(provenance_col) == F.col("_pid")
         child_del = self._stage_nonempty(child, state.join(_keyset(ids), cond, "left_semi"))
         if child_del is None:
             return None
@@ -613,6 +642,34 @@ class Engine:
                 child, state.join(_keyset(ids), cond, "left_anti")
             )
         return child_del
+
+    def _apply_join(self, child: str, tr: JoinTransformConfig, parent: str,
+                    d: Delta) -> Optional[Delta]:
+        """Incremental inner equi-join: the triggering parent's delta
+        joins the OTHER parent's committed state (one equi-join per
+        commit, AQE-sized build side — O(Δ ⋈ state), never O(L×R));
+        deletes cascade by the matching provenance column. Correctness
+        of the decomposition rests on the build-time ancestor-disjoint
+        check (_build_states)."""
+        out = Delta()
+        is_left = parent == tr.left_table
+        other = tr.right_table if is_left else tr.left_table
+        if d.inserts is not None:
+            derived = join_tr_op.delta_join(
+                tr, d.inserts, self.store.read(other), is_left
+            )
+            staged, _n = self.store.append_delta(
+                child, self._with_entry_id(derived)
+            )
+            if staged is not None:
+                out.inserts = staged
+        if d.deletes is not None:
+            out.deletes = self._delete_by_provenance(
+                child, d.deletes,
+                provenance_col=(C.SOURCE_ENTRY_ID if is_left
+                                else C.SOURCE_ENTRY_ID2),
+            )
+        return out if (out.inserts is not None or out.deletes is not None) else None
 
     def _apply_union(self, child: str, tr: UnionTransformConfig, parent: str, d: Delta) -> Optional[Delta]:
         out = Delta()

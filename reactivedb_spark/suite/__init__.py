@@ -19,17 +19,18 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 it switched to the RocksDB state-store provider AFTER
 #                 its last green row, so its rotation green doubles as
 #                 the provider-invariance proof. The rest alphabetical.
-#   slots 22-27 — the six NEW round-7 queries (driver-unchecked by
+#   slots 22-28 — the seven NEW round-7 queries (driver-unchecked by
 #                 definition): streaming_outer_join, wav_frame_features,
 #                 triangle_count, char_entropy, bpe_train,
-#                 streaming_timeout_sessions.
-#   slots 28-42 — the 15 queries whose only green row is r5
+#                 streaming_timeout_sessions, join_transform.
+#   slots 29-43 — the 15 queries whose only green row is r5
 #                 (fewest-greens-first), alphabetical.
-#   slots 43-50 — 8 of the 14 queries with exactly two green rows,
+#   slots 44-50 — 7 of the 14 queries with exactly two green rows,
 #                 newest r5 (greens r3+r5), alphabetical; the displaced
-#                 tail (sample_stratified, streaming_sessionize,
-#                 struct_map_project, text_repetition, tfidf_top_terms,
-#                 top_bigrams) leads the next rotation.
+#                 tail (sample_hash, sample_stratified,
+#                 streaming_sessionize, struct_map_project,
+#                 text_repetition, tfidf_top_terms, top_bigrams) leads
+#                 the next rotation.
 # Everything not in _WINDOW keeps its registration but lands in the tail
 # (latest evidence r5/r6 — ≤2 rounds old at round 7); they rotate back in
 # next round. tests/test_suite_registration.py enforces this layout.
@@ -63,6 +64,7 @@ _WINDOW = (
     "char_entropy",  # new r7: per-doc Shannon entropy quality signal
     "bpe_train",  # new r7: distributed BPE merge learning
     "streaming_timeout_sessions",  # new r7: event-time-timer custom operator
+    "join_transform",  # new r7: incrementally maintained inner equi-join
     # single-green r5 set, alphabetical (all 15)
     "bucketed_join",
     "chunk_transform",
@@ -79,7 +81,7 @@ _WINDOW = (
     "textstats_transform",
     "zorder_scan",
     "zscore_outliers",
-    # double-green r5 set (greens r3+r5), alphabetical (8 of 14)
+    # double-green r5 set (greens r3+r5), alphabetical (7 of 14)
     "array_filter_dsl",
     "decontaminate",
     "graph_components_star",
@@ -87,7 +89,6 @@ _WINDOW = (
     "multimodal_wav_decode",
     "pack_budget",
     "pii_scrub",
-    "sample_hash",
 )
 assert len(_WINDOW) == 50
 

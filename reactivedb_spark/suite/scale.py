@@ -2211,6 +2211,57 @@ FROM documents GROUP BY 1
 
 
 
+def q_join_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-level JoinTransform end-to-end (round-7 extension — the
+    reference's only multi-parent operator is the LWW UnionTransform;
+    this is the incrementally maintained INNER equi-join,
+    operators/join_transform.py). Customers bulk-insert first (the
+    derived join stays empty — no left rows), then orders: the orders
+    delta joins the committed customer state in ONE AQE-sized equi-join
+    (Δ(L⋈R) decomposition; ancestor-disjoint parents enforced at build
+    time). The oracle is the plain SQL inner join — the reactive path
+    must converge to it exactly. Integer/string columns only: zero FP
+    surface."""
+    import tempfile as _tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {"tables": [
+        {"Source": {"name": "ord", "columns": {
+            "okey": "Integer", "ckey": "Integer",
+            "opriority": "Str"}}},
+        {"Source": {"name": "cust", "columns": {
+            "cust_id": "Integer", "cseg": "Str"}}},
+        {"Derived": {"name": "joined", "transform_definition": {
+            "JoinTransform": {"left_table": "ord", "right_table": "cust",
+                              "left_on": "ckey", "right_on": "cust_id"}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_jtq_"))
+    eng.insert_df("cust", load(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("cust_id"),
+        F.col("c_mktsegment").alias("cseg"),
+    ))
+    eng.insert_df("ord", load(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.col("o_orderpriority").alias("opriority"),
+    ))
+    return eng.table("joined").select(
+        F.col("okey").cast("long").alias("okey"),
+        F.col("ckey").cast("long").alias("ckey"),
+        "opriority", "cseg",
+    )
+
+
+SQL_JOIN_TRANSFORM = """
+SELECT CAST(o.o_orderkey AS BIGINT) AS okey,
+       CAST(o.o_custkey AS BIGINT) AS ckey,
+       o.o_orderpriority AS opriority,
+       c.c_mktsegment AS cseg
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_sample_transform(spark: SparkSession, sf: str) -> DataFrame:
     """Config-level SampleTransform end-to-end (extension transform #2):
     documents through the reactive engine into a 25% hash-sampled
@@ -2303,6 +2354,7 @@ QUERIES = {
     "source_orc": q_source_orc,
     "embedding_clusters": q_embedding_clusters,
     "dedup_transform": q_dedup_transform,
+    "join_transform": q_join_transform,
     "sample_transform": q_sample_transform,
 }
 
@@ -2361,5 +2413,6 @@ ORACLES = {
     "source_orc": SQL_SOURCE_ORC,
     "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
     "dedup_transform": SQL_DEDUP_TRANSFORM,
+    "join_transform": SQL_JOIN_TRANSFORM,
     "sample_transform": SQL_SAMPLE_TRANSFORM,
 }

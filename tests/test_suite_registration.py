@@ -3,12 +3,12 @@ FIRST 50 registered queries. Round-7 rotation (VERDICT r6 #1): the 21
 queries whose newest green row is r4 occupy slots 1-21 with
 ``streaming_dedup`` first (it switched to the RocksDB state-store
 provider after its last green row, so its rotation green is also the
-provider-invariance proof); the six NEW round-7 queries
+provider-invariance proof); the seven NEW round-7 queries
 (streaming_outer_join, wav_frame_features, triangle_count,
-char_entropy, bpe_train, streaming_timeout_sessions —
-driver-unchecked by definition) take slots 22-27; the 15
-single-green-r5 queries fill slots 28-42 and 8 of the 14 double-green
-(r3+r5) queries fill slots 43-50, all alphabetical. Everything else — latest evidence r5/r6,
+char_entropy, bpe_train, streaming_timeout_sessions, join_transform —
+driver-unchecked by definition) take slots 22-28; the 15
+single-green-r5 queries fill slots 29-43 and 7 of the 14 double-green
+(r3+r5) queries fill slots 44-50, all alphabetical. Everything else — latest evidence r5/r6,
 i.e. <=2 rounds old — fills the tail and rotates back next round."""
 
 from reactivedb_spark import suite
@@ -38,7 +38,8 @@ R4_STALE = [
 ]
 
 NEW_R7 = ["streaming_outer_join", "wav_frame_features", "triangle_count",
-          "char_entropy", "bpe_train", "streaming_timeout_sessions"]
+          "char_entropy", "bpe_train", "streaming_timeout_sessions",
+          "join_transform"]
 
 SINGLE_GREEN_R5 = [
     "bucketed_join",
@@ -70,7 +71,7 @@ def test_window_layout():
     assert q[n: n + len(NEW_R7)] == NEW_R7
     n += len(NEW_R7)
     assert q[n: n + len(SINGLE_GREEN_R5)] == SINGLE_GREEN_R5
-    # slots 43-50 are alphabetical
+    # slots 44-50 are alphabetical
     tail = q[n + len(SINGLE_GREEN_R5): 50]
     assert tail == sorted(tail)
 
