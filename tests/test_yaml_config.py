@@ -70,3 +70,34 @@ def test_union_three_parents(spark, workspace):
     rows = {r["matchingKey"]: r.asDict() for r in eng.table("u").collect()}
     assert rows["m"]["x"] == 1 and rows["m"]["y"] == 2 and rows["m"]["z"] == 3
     assert rows["n"]["z"] == 9 and rows["n"]["x"] is None
+
+
+def test_yaml_join_transform(spark, tmp_path):
+    """JoinTransform parses from the YAML surface like every other
+    transform kind."""
+    import textwrap
+
+    from reactivedb_spark.config import JoinTransformConfig, load_config
+
+    y = tmp_path / "join.yaml"
+    y.write_text(textwrap.dedent("""\
+        tables:
+          - Source:
+              name: ord
+              columns: {okey: Integer, ckey: Integer}
+          - Source:
+              name: cust
+              columns: {cust_id: Integer, cname: Str}
+          - Derived:
+              name: joined
+              transform_definition:
+                JoinTransform:
+                  left_table: ord
+                  right_table: cust
+                  left_on: ckey
+                  right_on: cust_id
+    """))
+    cfg = load_config(str(y))
+    (j,) = [d for d in cfg.derived if d.name == "joined"]
+    assert isinstance(j.transform, JoinTransformConfig)
+    assert j.transform.left_on == "ckey" and j.transform.right_on == "cust_id"
