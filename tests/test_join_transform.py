@@ -76,6 +76,33 @@ def test_join_result_matches_plain_join_on_bulk(spark, workspace):
     assert _rows(eng) == expected
 
 
+def test_restart_resumes_join_maintenance(spark, workspace):
+    """A new Engine over the same workspace re-opens the derived join
+    table from disk (same static-derivation path as test_restart.py) and
+    keeps maintaining it: post-restart deltas join the PRE-restart
+    committed state of the other parent, and deletes still cascade
+    through both provenance columns."""
+    eng1 = Engine(spark, _cfg(), workspace=workspace)
+    eng1.insert("cust", [{"cust_id": 1, "cname": "a"}, {"cust_id": 2, "cname": "b"}])
+    eng1.insert("ord", [{"okey": 10, "ckey": 1}])
+    seq_before = eng1._seq
+
+    eng2 = Engine(spark, _cfg(), workspace=workspace)  # reattach
+    assert eng2._seq >= seq_before
+    assert _rows(eng2) == [(10, 1, "a")]
+    # ΔL ⋈ R_old where R_old was committed by the PREVIOUS engine
+    eng2.insert("ord", [{"okey": 11, "ckey": 2}])
+    assert _rows(eng2) == [(10, 1, "a"), (11, 2, "b")]
+    # L_old ⋈ ΔR across the restart boundary too
+    eng2.insert("cust", [{"cust_id": 9, "cname": "late"}])
+    eng2.insert("ord", [{"okey": 12, "ckey": 9}])
+    assert _rows(eng2) == [(10, 1, "a"), (11, 2, "b"), (12, 9, "late")]
+    # provenance survived the restart: delete cascades from either side
+    eng2.delete("ord", "okey", 10)
+    eng2.delete("cust", "cust_id", 9)
+    assert _rows(eng2) == [(11, 2, "b")]
+
+
 def test_config_rejections(spark, workspace):
     # self-join
     bad = _cfg()
