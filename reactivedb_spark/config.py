@@ -72,12 +72,13 @@ class JoinTransformConfig:
     """Extension transform (no reference analogue — the reference's only
     multi-parent operator is UnionTransform, transform.rs:41-58): an
     incrementally maintained INNER equi-join of two declared tables.
-    Delta rule: Δ(L⋈R) = ΔL⋈R_old ∪ L_new⋈ΔR — exact because the
-    engine's topological propagation commits each parent's delta before
-    its children apply it, and because the two parents are required to
-    be ANCESTOR-DISJOINT (a shared upstream source could deliver deltas
-    to both parents in one wave, double-counting ΔL×ΔR; the engine
-    rejects such configs at build time — declared v1 limitation)."""
+    Delta rule: Δ(L⋈R) = ΔL⋈R_new ∪ (L_new−ΔL)⋈ΔR — exact for ANY
+    DAG shape, including shared-ancestry diamonds, because propagation
+    is wave-aware: the engine commits every parent's delta before the
+    join child pops in topo order, then applies the whole wave at once
+    (Engine._apply_join_wave), so ΔL×ΔR pairs are counted exactly
+    once. Only true self-joins (left_table == right_table) are
+    rejected."""
 
     left_table: str
     right_table: str

@@ -271,24 +271,10 @@ class Engine:
                 schema = dedup_tr_op.output_schema(tr, pschemas[tr.source_table])
                 key_column = C.DEDUP_KEY
             elif isinstance(tr, JoinTransformConfig):
-                # ancestor-disjointness: a shared upstream would deliver
-                # deltas to BOTH parents in one propagation wave and the
-                # ΔL⋈R_old ∪ L_new⋈ΔR decomposition would double-count
-                # ΔL×ΔR (declared v1 limitation on JoinTransformConfig)
-                def _closure(n):
-                    seen = {n}
-                    if n in derived_cfg:
-                        for p in self._parents_of(derived_cfg[n].transform):
-                            seen |= _closure(p)
-                    return seen
-
-                shared = _closure(tr.left_table) & _closure(tr.right_table)
-                if shared:
-                    raise ConfigError(
-                        f"table {name}: JoinTransform parents share "
-                        f"ancestry {sorted(shared)} — not supported (delta "
-                        "double-count); join the shared source directly"
-                    )
+                # shared ancestry (diamonds) is fine: _propagate is
+                # wave-aware for join children — both parents' deltas of
+                # one wave are applied together (_apply_join_wave), so
+                # ΔL×ΔR is never double-counted
                 schema = join_tr_op.output_schema(
                     tr, pschemas[tr.left_table], pschemas[tr.right_table]
                 )
@@ -524,26 +510,43 @@ class Engine:
     # -- propagation -------------------------------------------------------
     def _propagate(self, seed: dict[str, Delta]) -> dict[str, Delta]:
         incoming: dict[str, Delta] = dict(seed)
+        # JoinTransform children are WAVE-AWARE: a parent's delta is only
+        # stashed here when the parent pops; the join applies ONCE when the
+        # child itself pops in topo order — by then every parent that
+        # changes in this wave has delivered (topo order puts parents
+        # first), so shared-ancestry diamonds cannot double-count ΔL×ΔR.
+        pending_join: dict[str, dict[str, Delta]] = {}
         report: dict[str, Delta] = {}
         for name in self._topo:
             d = incoming.pop(name, None)
+            if name in pending_join:
+                jd = self._apply_join_wave(name, pending_join.pop(name))
+                if jd is not None:
+                    d = jd if d is None else d.merged_with(jd)
             if d is None:
                 continue
             report[name] = d  # listeners are notified post-commit (_commit)
             st = self.tables[name]
-            if len(st.children) > 1:
+            join_kids = [
+                c for c in st.children
+                if isinstance(self.tables[c].transform, JoinTransformConfig)
+            ]
+            for c in join_kids:
+                pending_join.setdefault(c, {})[name] = d
+            other_kids = [c for c in st.children if c not in join_kids]
+            if len(other_kids) > 1:
                 # sibling derived tables are independent — compute them as
                 # concurrent Spark jobs (each touches only its own state)
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=min(8, len(st.children))) as ex:
+                with ThreadPoolExecutor(max_workers=min(8, len(other_kids))) as ex:
                     futures = [
                         (child, ex.submit(self._apply_child, child, name, d))
-                        for child in st.children
+                        for child in other_kids
                     ]
                     results = [(child, fut.result()) for child, fut in futures]
             else:
-                results = [(c, self._apply_child(c, name, d)) for c in st.children]
+                results = [(c, self._apply_child(c, name, d)) for c in other_kids]
             for child, cd in results:
                 if cd is not None:
                     incoming[child] = (
@@ -563,8 +566,8 @@ class Engine:
             return self._apply_aggregation(child, tr, parent, d)
         if isinstance(tr, DedupTransformConfig):
             return self._apply_dedup(child, tr, parent, d)
-        if isinstance(tr, JoinTransformConfig):
-            return self._apply_join(child, tr, parent, d)
+        # JoinTransform never dispatches here — _propagate stashes its
+        # parents' deltas and applies the whole wave in _apply_join_wave
         raise ConfigError(f"unknown transform on {child!r}")
 
     def _apply_rowwise(self, child: str, tr, d: Delta) -> Optional[Delta]:
@@ -643,32 +646,54 @@ class Engine:
             )
         return child_del
 
-    def _apply_join(self, child: str, tr: JoinTransformConfig, parent: str,
-                    d: Delta) -> Optional[Delta]:
-        """Incremental inner equi-join: the triggering parent's delta
-        joins the OTHER parent's committed state (one equi-join per
-        commit, AQE-sized build side — O(Δ ⋈ state), never O(L×R));
-        deletes cascade by the matching provenance column. Correctness
-        of the decomposition rests on the build-time ancestor-disjoint
-        check (_build_states)."""
+    def _apply_join_wave(self, child: str,
+                         parent_deltas: dict[str, Delta]) -> Optional[Delta]:
+        """Incremental inner equi-join, applied once per propagation wave
+        with EVERY parent delta of the wave in hand (parents pop before
+        the child in topo order, so by child-pop time both parents'
+        states are committed and final).
+
+        Insert rule — exact even when BOTH parents changed in one wave
+        (shared-ancestry diamond):  Δ(L⋈R) = ΔL⋈R_new ∪ (L_new−ΔL)⋈ΔR.
+        The first term counts ΔL×R_old and ΔL×ΔR; anti-joining ΔL out of
+        the left state in the second term leaves L_old×ΔR — each new pair
+        exactly once. Each term is ONE equi-join of a staged delta against
+        committed state (AQE-sized build side — O(Δ ⋈ state), never
+        O(L×R)). Deletes cascade first (update = delete + insert), one
+        provenance semi-join per changed side."""
+        tr = self.tables[child].transform
+        dl = parent_deltas.get(tr.left_table)
+        dr = parent_deltas.get(tr.right_table)
         out = Delta()
-        is_left = parent == tr.left_table
-        other = tr.right_table if is_left else tr.left_table
-        if d.inserts is not None:
-            derived = join_tr_op.delta_join(
-                tr, d.inserts, self.store.read(other), is_left
-            )
+        for d, col in ((dl, C.SOURCE_ENTRY_ID), (dr, C.SOURCE_ENTRY_ID2)):
+            if d is not None and d.deletes is not None:
+                staged = self._delete_by_provenance(
+                    child, d.deletes, provenance_col=col
+                )
+                if staged is not None:
+                    out.deletes = (staged if out.deletes is None
+                                   else out.deletes.unionByName(staged))
+        li = dl.inserts if dl is not None else None
+        ri = dr.inserts if dr is not None else None
+        terms = []
+        if li is not None:
+            terms.append(join_tr_op.delta_join(
+                tr, li, self.store.read(tr.right_table), True
+            ))
+        if ri is not None:
+            left_state = self.store.read(tr.left_table)
+            if li is not None:
+                left_state = left_state.join(
+                    li.select(C.ENTRY_ID), C.ENTRY_ID, "left_anti"
+                )
+            terms.append(join_tr_op.delta_join(tr, ri, left_state, False))
+        if terms:
+            derived = terms[0] if len(terms) == 1 else terms[0].unionByName(terms[1])
             staged, _n = self.store.append_delta(
                 child, self._with_entry_id(derived)
             )
             if staged is not None:
                 out.inserts = staged
-        if d.deletes is not None:
-            out.deletes = self._delete_by_provenance(
-                child, d.deletes,
-                provenance_col=(C.SOURCE_ENTRY_ID if is_left
-                                else C.SOURCE_ENTRY_ID2),
-            )
         return out if (out.inserts is not None or out.deletes is not None) else None
 
     def _apply_union(self, child: str, tr: UnionTransformConfig, parent: str, d: Delta) -> Optional[Delta]:

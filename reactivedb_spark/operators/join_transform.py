@@ -7,8 +7,10 @@ Spark-first shape: each delta application is ONE equi-join of the
 AQE sizes the build side at runtime, so a tiny reactive delta rides a
 broadcast join while a bulk ``insert_df`` backfill gets a shuffle join.
 Cost is O(Δ ⋈ other-state) per commit, never O(L×R): the classic
-incremental view maintenance decomposition Δ(L⋈R) = ΔL⋈R_old ∪
-L_new⋈ΔR (exactness conditions documented on
+incremental view maintenance decomposition Δ(L⋈R) = ΔL⋈R_new ∪
+(L_new−ΔL)⋈ΔR, applied once per propagation wave with both parents'
+deltas in hand so shared-ancestry diamonds never double-count ΔL×ΔR
+(wave mechanics on ``Engine._apply_join_wave``; exactness conditions on
 :class:`~reactivedb_spark.config.JoinTransformConfig`).
 
 Provenance: every join row carries BOTH origins —

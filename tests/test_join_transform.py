@@ -103,14 +103,10 @@ def test_restart_resumes_join_maintenance(spark, workspace):
     assert _rows(eng2) == [(11, 2, "b")]
 
 
-def test_config_rejections(spark, workspace):
-    # self-join
-    bad = _cfg()
-    bad["tables"][2]["Derived"]["transform_definition"]["JoinTransform"]["right_table"] = "ord"
-    with pytest.raises(ConfigError, match="self-join"):
-        Engine(spark, bad, workspace=workspace)
-    # shared ancestry (diamond): both parents derive from ord
-    diamond = {"tables": [
+def _diamond_cfg():
+    """Shared-ancestry diamond: both join parents derive from ord, so ONE
+    source commit delivers deltas to BOTH parents in the same wave."""
+    return {"tables": [
         {"Source": {"name": "ord", "columns": {"okey": "Integer", "ckey": "Integer"}}},
         {"Derived": {"name": "l", "transform_definition": {
             "FunctionTransform": {"source_table": "ord",
@@ -122,8 +118,51 @@ def test_config_rejections(spark, workspace):
             "JoinTransform": {"left_table": "l", "right_table": "r",
                               "left_on": "k1", "right_on": "k2"}}}},
     ]}
-    with pytest.raises(ConfigError, match="ancestry"):
-        Engine(spark, diamond, workspace=workspace)
+
+
+def _jrows(eng):
+    return sorted(
+        (r["a"], r["b"], r["k1"])
+        for r in eng.table("j").select("a", "b", "k1").collect()
+    )
+
+
+def test_diamond_wave_counts_delta_cross_once(spark, workspace):
+    """The ΔL×ΔR exactness case the old build-time rejection guarded
+    against: with both parents changed in ONE wave, every new pair must
+    appear exactly once (Δ(L⋈R) = ΔL⋈R_new ∪ (L_new−ΔL)⋈ΔR)."""
+    eng = Engine(spark, _diamond_cfg(), workspace=workspace)
+    eng.insert("ord", [{"okey": 1, "ckey": 7}, {"okey": 2, "ckey": 7},
+                       {"okey": 3, "ckey": 8}])
+    # key 7: 2 l-rows × 2 r-rows; key 8: 1×1 — 5 pairs, no doubles
+    assert _jrows(eng) == [(1, 1, 7), (1, 2, 7), (2, 1, 7), (2, 2, 7),
+                           (3, 3, 8)]
+    # second wave: the new row pairs with old rows on BOTH sides and
+    # with itself, each exactly once (key 7 now 3×3, key 8 still 1×1)
+    eng.insert("ord", [{"okey": 4, "ckey": 7}])
+    rows = _jrows(eng)
+    assert len(rows) == 10
+    for pair in [(1, 4, 7), (4, 1, 7), (4, 4, 7)]:
+        assert rows.count(pair) == 1
+
+
+def test_diamond_delete_cascades_both_sides_one_wave(spark, workspace):
+    """A source delete reaches the join through BOTH provenance columns
+    in one wave: every pair touching the deleted row vanishes, the rest
+    survive."""
+    eng = Engine(spark, _diamond_cfg(), workspace=workspace)
+    eng.insert("ord", [{"okey": 1, "ckey": 7}, {"okey": 2, "ckey": 7},
+                       {"okey": 3, "ckey": 8}])
+    eng.delete("ord", "okey", 2)
+    assert _jrows(eng) == [(1, 1, 7), (3, 3, 8)]
+
+
+def test_config_rejections(spark, workspace):
+    # self-join
+    bad = _cfg()
+    bad["tables"][2]["Derived"]["transform_definition"]["JoinTransform"]["right_table"] = "ord"
+    with pytest.raises(ConfigError, match="self-join"):
+        Engine(spark, bad, workspace=workspace)
     # column collision
     coll = _cfg()
     coll["tables"][1]["Source"]["columns"] = {"cust_id": "Integer", "okey": "Str"}
