@@ -2262,6 +2262,65 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def q_join_transform_diamond(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared-ancestry diamond through the wave-aware join
+    (Engine._apply_join_wave): ONE source table (orders) feeds BOTH join
+    parents — urgent orders on the left, low-priority on the right,
+    each renamed through a FunctionTransform below a FilterTransform —
+    so every insert_df commit delivers deltas to both parents in the
+    SAME propagation wave and the ΔL×ΔR pairs must be counted exactly
+    once (the regime the old build-time ancestor-disjoint rejection
+    forbade). Two commit waves: even orderkeys then odd, so the second
+    wave exercises all three pair regimes (ΔL×R_old, L_old×ΔR, ΔL×ΔR).
+    Oracle: the plain per-customer urgent×low pair join. Integer/string
+    columns only: zero FP surface."""
+    import tempfile as _tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {"tables": [
+        {"Source": {"name": "ord", "columns": {
+            "okey": "Integer", "ckey": "Integer", "opriority": "Str"}}},
+        {"Derived": {"name": "urgent", "transform_definition": {
+            "FilterTransform": {"source_table": "ord",
+                                "filter": 'opriority == "1-URGENT"'}}}},
+        {"Derived": {"name": "lrn", "transform_definition": {
+            "FunctionTransform": {"source_table": "urgent",
+                                  "functions": ["k1 ~ ckey", "lkey ~ okey"]}}}},
+        {"Derived": {"name": "low", "transform_definition": {
+            "FilterTransform": {"source_table": "ord",
+                                "filter": 'opriority == "5-LOW"'}}}},
+        {"Derived": {"name": "rrn", "transform_definition": {
+            "FunctionTransform": {"source_table": "low",
+                                  "functions": ["k2 ~ ckey", "rkey ~ okey"]}}}},
+        {"Derived": {"name": "pairs", "transform_definition": {
+            "JoinTransform": {"left_table": "lrn", "right_table": "rrn",
+                              "left_on": "k1", "right_on": "k2"}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_jtd_"))
+    src = load(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.col("o_orderpriority").alias("opriority"),
+    )
+    eng.insert_df("ord", src.filter(F.col("okey") % 2 == 0))
+    eng.insert_df("ord", src.filter(F.col("okey") % 2 == 1))
+    return eng.table("pairs").select(
+        F.col("k1").cast("long").alias("ckey"),
+        F.col("lkey").cast("long").alias("urgent_okey"),
+        F.col("rkey").cast("long").alias("low_okey"),
+    )
+
+
+SQL_JOIN_TRANSFORM_DIAMOND = """
+SELECT CAST(l.o_custkey AS BIGINT) AS ckey,
+       CAST(l.o_orderkey AS BIGINT) AS urgent_okey,
+       CAST(r.o_orderkey AS BIGINT) AS low_okey
+FROM orders l JOIN orders r ON l.o_custkey = r.o_custkey
+WHERE l.o_orderpriority = '1-URGENT' AND r.o_orderpriority = '5-LOW'
+"""
+
+
 def q_sample_transform(spark: SparkSession, sf: str) -> DataFrame:
     """Config-level SampleTransform end-to-end (extension transform #2):
     documents through the reactive engine into a 25% hash-sampled
@@ -2355,6 +2414,7 @@ QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "dedup_transform": q_dedup_transform,
     "join_transform": q_join_transform,
+    "join_transform_diamond": q_join_transform_diamond,
     "sample_transform": q_sample_transform,
 }
 
@@ -2414,5 +2474,6 @@ ORACLES = {
     "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
     "dedup_transform": SQL_DEDUP_TRANSFORM,
     "join_transform": SQL_JOIN_TRANSFORM,
+    "join_transform_diamond": SQL_JOIN_TRANSFORM_DIAMOND,
     "sample_transform": SQL_SAMPLE_TRANSFORM,
 }
