@@ -284,3 +284,57 @@ def char_entropy(df, id_col: str, text_col: str):
                     .cast("double"), 6).alias("entropy_bits"),
         )
     )
+
+
+def ngram_novelty(df, id_col: str, text_col: str, n: int = 8):
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams whose globally first occurrence (lowest id)
+    is this document — the "how much of this text is new vs the rest of
+    the corpus" quality signal that large-corpus curation pipelines
+    compute alongside the duplicated-span census (the per-doc dual of
+    operators/dedup.span_census). Documents with fewer than ``n`` words
+    carry no grams and are omitted.
+
+    Plan shape (100 TB): grams come from one sequence-explode +
+    ``slice`` (no UDF) keyed by a 16-byte md5 instead of the span text;
+    per-doc distinct and the global min-id census are two hash
+    aggregations on that key (map-side partial combine), the census
+    joins back on the SAME key — co-partitioned with the distinct's
+    shuffle output — and the per-doc fold is one id-keyed aggregation.
+    Never a pair join, never a driver pull. The novelty fraction is a
+    single int/int IEEE division (bit-identical cross-engine).
+    """
+    from pyspark.sql import functions as F
+
+    words = F.split(F.col(text_col), " ")
+    grams = (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(
+            "_id",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1))).alias("_p"),
+            "_w",
+        )
+        .select(
+            "_id",
+            F.md5(F.concat_ws(" ", F.expr(f"slice(_w, _p, {n})"))).alias("_h"),
+        )
+        .distinct()
+    )
+    census = grams.groupBy("_h").agg(F.min("_id").alias("_first"))
+    return (
+        grams.join(census, "_h")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("_id") == F.col("_first")).cast("long"))
+            .cast("long").alias("n_novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
+            .alias("novelty"),
+        )
+    )

@@ -152,3 +152,43 @@ SELECT id AS {id_col}, CAST(count(*) AS BIGINT) AS n_terms,
 FROM ts GROUP BY id
 ORDER BY score DESC, id LIMIT {k}
 """
+
+
+def phrase_match(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document occurrence count of the exact token phrase ``terms``
+    via a positional inverted index — the phrase-query primitive of a
+    full-text engine, and the "find every document containing this exact
+    passage" tool of corpus forensics.
+
+    Plan shape (100 TB): one ``posexplode`` builds the posting relation
+    (id, pos, token); each phrase slot i keeps only ``token = terms[i]``
+    — a constant predicate evaluated inside the explode's stage, so the
+    joins below see |postings of that term| rows, not the corpus. Slot i
+    is re-keyed to its would-be phrase start ``pos - i`` and the slots
+    are chained with (id, start) equi-joins — narrow int keys, AQE-sized,
+    never a per-document scan. Overlapping matches count individually
+    (each start position is its own row), matching the positional-index
+    semantics of Lucene-style phrase queries.
+
+    Emits (id, n_matches) for documents with ≥1 match.
+    """
+    if not terms:
+        raise ValueError("phrase_match: terms must be non-empty")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    postings = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "token")
+    )
+    starts = None
+    for i, term in enumerate(terms):
+        slot = postings.filter(F.col("token") == term).select(
+            F.col(id_col), (F.col("pos") - F.lit(i)).alias("start")
+        )
+        starts = slot if starts is None else starts.join(slot, [id_col, "start"])
+    return starts.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_matches")
+    )

@@ -19,18 +19,22 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 it switched to the RocksDB state-store provider AFTER
 #                 its last green row, so its rotation green doubles as
 #                 the provider-invariance proof. The rest alphabetical.
-#   slots 22-28 — the seven NEW round-7 queries (driver-unchecked by
+#   slots 22-32 — the eleven NEW round-7 queries (driver-unchecked by
 #                 definition): streaming_outer_join, wav_frame_features,
 #                 triangle_count, char_entropy, bpe_train,
-#                 streaming_timeout_sessions, join_transform.
-#   slots 29-43 — the 15 queries whose only green row is r5
+#                 streaming_timeout_sessions, join_transform,
+#                 phrase_search, ngram_novelty, regression_by_group,
+#                 stream_static_enrich.
+#   slots 33-47 — the 15 queries whose only green row is r5
 #                 (fewest-greens-first), alphabetical.
-#   slots 44-50 — 7 of the 14 queries with exactly two green rows,
+#   slots 48-50 — 3 of the 14 queries with exactly two green rows,
 #                 newest r5 (greens r3+r5), alphabetical; the displaced
-#                 tail (sample_hash, sample_stratified,
-#                 streaming_sessionize, struct_map_project,
-#                 text_repetition, tfidf_top_terms, top_bigrams) leads
-#                 the next rotation.
+#                 tail (multimodal_png_decode, multimodal_wav_decode,
+#                 pack_budget, pii_scrub, sample_hash,
+#                 sample_stratified, streaming_sessionize,
+#                 struct_map_project, text_repetition, tfidf_top_terms,
+#                 top_bigrams — all newest-green r5) leads the next
+#                 rotation.
 # Everything not in _WINDOW keeps its registration but lands in the tail
 # (latest evidence r5/r6 — ≤2 rounds old at round 7); they rotate back in
 # next round. tests/test_suite_registration.py enforces this layout.
@@ -65,6 +69,10 @@ _WINDOW = (
     "bpe_train",  # new r7: distributed BPE merge learning
     "streaming_timeout_sessions",  # new r7: event-time-timer custom operator
     "join_transform",  # new r7: incrementally maintained inner equi-join
+    "phrase_search",  # new r7: positional-index exact phrase query
+    "ngram_novelty",  # new r7: per-doc first-seen 8-gram fraction
+    "regression_by_group",  # new r7: exact-sum OLS as one aggregation
+    "stream_static_enrich",  # new r7: stateless stream-static dim join
     # single-green r5 set, alphabetical (all 15)
     "bucketed_join",
     "chunk_transform",
@@ -81,14 +89,10 @@ _WINDOW = (
     "textstats_transform",
     "zorder_scan",
     "zscore_outliers",
-    # double-green r5 set (greens r3+r5), alphabetical (7 of 14)
+    # double-green r5 set (greens r3+r5), alphabetical (3 of 14)
     "array_filter_dsl",
     "decontaminate",
     "graph_components_star",
-    "multimodal_png_decode",
-    "multimodal_wav_decode",
-    "pack_budget",
-    "pii_scrub",
 )
 assert len(_WINDOW) == 50
 

@@ -1103,3 +1103,54 @@ ORACLES = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "dag_chain": SQL_DAG_CHAIN,
 }
+
+
+def q_stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical Structured-
+    Streaming dimension lookup: a purchase stream joined per micro-batch
+    against a STATIC dim (customer ⋈ nation, prepared batch-side and
+    broadcast). Stream-static inner joins are STATELESS — each
+    micro-batch probes the dim and emits; nothing accumulates in the
+    state store, so at 100 TB the cost is the broadcast hash probe per
+    batch and watermarks are unnecessary. The oracle is the equivalent
+    batch join: micro-batch slicing must not change the enriched rows.
+    `value` passes through untouched (no arithmetic → bit-exact)."""
+    from reactivedb_spark.suite._common import replay_batches
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_mktsegment", "n_name")
+    )
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def transform(stream):
+        return (
+            stream.filter(F.col("event_type") == "purchase")
+            .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+            .select("event_id", "user_id", "c_mktsegment", "n_name", "value")
+        )
+
+    return replay_batches(
+        spark, batches,
+        "event_id long, user_id long, event_type string, value double",
+        transform, prefix="sse",
+    )
+
+
+SQL_STREAM_STATIC_ENRICH = """
+SELECT e.event_id, e.user_id, c.c_mktsegment, n.n_name, e.value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE e.event_type = 'purchase'
+"""
+
+QUERIES["stream_static_enrich"] = q_stream_static_enrich
+ORACLES["stream_static_enrich"] = SQL_STREAM_STATIC_ENRICH

@@ -315,3 +315,31 @@ ORACLES = {
     "set_ops": SQL_SET_OPS,
     "pivot_priority": SQL_PIVOT_PRIORITY,
 }
+
+
+def q_regression_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-supplier OLS fit of extended price on quantity
+    (operators/regression.py): the whole fit is ONE partial-aggregable
+    hash aggregation of five exact-decimal sufficient statistics, then
+    narrow per-group scalar math — a SUM's cost at any scale. Spark's
+    builtin regr_slope aggregates in doubles (partition-order-
+    dependent); this is the order-proof formulation."""
+    from reactivedb_spark.operators import regression
+
+    return regression.ols_by_group(
+        load(spark, sf, "lineitem"), ["l_suppkey"], "l_quantity", "l_extendedprice"
+    )
+
+
+def _sql_regression_by_group() -> str:
+    from reactivedb_spark.operators import regression
+
+    return regression.oracle_sql(
+        "lineitem", ["l_suppkey"], "l_quantity", "l_extendedprice"
+    )
+
+
+SQL_REGRESSION_BY_GROUP = _sql_regression_by_group()
+
+QUERIES["regression_by_group"] = q_regression_by_group
+ORACLES["regression_by_group"] = SQL_REGRESSION_BY_GROUP

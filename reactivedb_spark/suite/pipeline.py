@@ -987,3 +987,92 @@ FROM j WHERE n_inter > 0
 
 QUERIES_TAIL["dedup_containment"] = q_dedup_containment
 ORACLES_TAIL["dedup_containment"] = _sql_dedup_containment()
+
+
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional-index phrase query (retrieval.phrase_match): find the
+    corpus's most frequent adjacent bigram, then count its exact
+    occurrences per document through the (id, pos, token) posting
+    relation — slot i filters to term i BEFORE any join, the slots chain
+    on (id, pos−i) equi-keys, and overlapping matches count one row per
+    start position (Lucene phrase semantics). The argmax bigram is a
+    bounded single-row driver pull (the bpe_train convention); ties
+    break on the bigram text. Emits the phrase on every row so the
+    result is self-describing."""
+    from reactivedb_spark.functions import text as textfn
+
+    docs = load(spark, sf, "documents")
+    top = textfn.top_ngrams(docs, "doc_id", "text", k=1).collect()[0]
+    w1, w2 = top["bigram"].split(" ")
+    return (
+        retrieval.phrase_match(docs, [w1, w2], "doc_id", "text")
+        .select(
+            "doc_id",
+            F.lit(w1).alias("w1"),
+            F.lit(w2).alias("w2"),
+            "n_matches",
+        )
+    )
+
+
+SQL_PHRASE_SEARCH = """
+WITH arr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+  FROM arr),
+big AS (
+  SELECT token AS w1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok),
+top1 AS (
+  SELECT w1, w2, count(*) AS n FROM big WHERE w2 IS NOT NULL
+  GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 1)
+SELECT t0.doc_id, top1.w1, top1.w2, CAST(count(*) AS BIGINT) AS n_matches
+FROM tok t0
+JOIN top1 ON t0.token = top1.w1
+JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+           AND t1.token = top1.w2
+GROUP BY t0.doc_id, top1.w1, top1.w2
+"""
+
+
+QUERIES_TAIL["phrase_search"] = q_phrase_search
+ORACLES_TAIL["phrase_search"] = SQL_PHRASE_SEARCH
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 8-gram novelty fraction (functions/text.py
+    ngram_novelty) — the per-doc dual of the duplicated-span census:
+    share of the doc's distinct 8-grams whose globally first occurrence
+    (lowest doc_id) is this document. Two hash aggregations + one
+    co-partitioned join on a 16-byte gram hash; the fraction is one
+    int/int IEEE division."""
+    from reactivedb_spark.functions import text as textfn
+
+    return textfn.ngram_novelty(load(spark, sf, "documents"), "doc_id", "text", n=8)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 8),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(words, p, p + 7), ' ') AS gram
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS p FROM w)),
+census AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN g.doc_id = c.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN g.doc_id = c.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM grams g JOIN census c ON g.gram = c.gram
+GROUP BY g.doc_id
+"""
+
+
+QUERIES_TAIL["ngram_novelty"] = q_ngram_novelty
+ORACLES_TAIL["ngram_novelty"] = SQL_NGRAM_NOVELTY

@@ -1,0 +1,141 @@
+"""Semantics + plan contracts for the late-round-7 operators:
+positional phrase matching, per-doc n-gram novelty, group-wise
+exact-sum OLS, and the stream-static enrichment join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- phrase_match ---------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_match_counts_overlapping_occurrences(spark):
+    from reactivedb_spark.operators.retrieval import phrase_match
+
+    docs = _docs(spark, [
+        (1, "a a a"),          # "a a" overlaps: starts at 0 and 1
+        (2, "a b a b a"),      # "a b" at 0 and 2
+        (3, "b b"),            # no "a a"
+        (4, "a"),              # too short
+    ])
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_match(docs, ["a", "a"]).collect()}
+    assert got == {1: 2}
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_match(docs, ["a", "b"]).collect()}
+    assert got == {2: 2}
+
+
+def test_phrase_match_three_term_and_empty_token_handling(spark):
+    from reactivedb_spark.operators.retrieval import phrase_match
+
+    # doubled separators must not break adjacency (positions are
+    # assigned after dropping empty tokens)
+    docs = _docs(spark, [(1, "x  y   z"), (2, "x y q z")])
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_match(docs, ["x", "y", "z"]).collect()}
+    assert got == {1: 1}
+    with pytest.raises(ValueError):
+        phrase_match(docs, [])
+
+
+def test_phrase_match_filters_terms_before_join(spark):
+    """The posting relation must be filtered to the phrase terms below
+    the join (constant predicate in the explode stage) — the plan may
+    not join unfiltered corpus-sized sides."""
+    from reactivedb_spark.operators.retrieval import phrase_match
+
+    docs = _docs(spark, [(1, "a b c"), (2, "c b a")])
+    plan = _plan(phrase_match(docs, ["a", "b"]))
+    assert "token#" in plan and "= a" in plan and "= b" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# -- ngram_novelty --------------------------------------------------------------
+
+def test_ngram_novelty_first_seen_semantics(spark):
+    from reactivedb_spark.functions.text import ngram_novelty
+
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = _docs(spark, [
+        (1, eight),                      # 1 gram, first occurrence
+        (2, eight),                      # same gram, seen in doc 1
+        (3, eight + " w9"),              # grams: [w1..w8] (dup), [w2..w9] (new)
+        (4, "w1 w2 w3"),                 # < 8 words: no row
+    ])
+    rows = {r["doc_id"]: r for r in ngram_novelty(docs, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1]["n_grams"], rows[1]["n_novel"]) == (1, 1)
+    assert (rows[2]["n_grams"], rows[2]["n_novel"]) == (1, 0)
+    assert (rows[3]["n_grams"], rows[3]["n_novel"]) == (2, 1)
+    assert rows[3]["novelty"] == 0.5
+
+
+def test_ngram_novelty_distinct_within_doc(spark):
+    """A gram repeated inside one document counts once (distinct per
+    doc), and the doc still owns it if it is globally first."""
+    from reactivedb_spark.functions.text import ngram_novelty
+
+    eight = "r r r r r r r r"
+    docs = _docs(spark, [(7, eight + " r")])  # two positions, one distinct gram
+    [row] = ngram_novelty(docs, "doc_id", "text").collect()
+    assert (row["n_grams"], row["n_novel"], row["novelty"]) == (1, 1, 1.0)
+
+
+# -- ols_by_group ---------------------------------------------------------------
+
+def test_ols_exact_fit_and_constant_x_guard(spark):
+    from reactivedb_spark.operators.regression import ols_by_group
+
+    df = spark.createDataFrame(
+        # group a: y = 2x + 1 exactly; group b: constant x (undefined fit)
+        [("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),
+         ("b", 4.0, 1.0), ("b", 4.0, 9.0)],
+        "g string, x double, y double",
+    )
+    rows = {r["g"]: r for r in ols_by_group(df, ["g"], "x", "y").collect()}
+    assert rows["a"]["n"] == 3
+    assert rows["a"]["slope"] == pytest.approx(2.0, abs=1e-12)
+    assert rows["a"]["intercept"] == pytest.approx(1.0, abs=1e-12)
+    assert rows["b"]["slope"] is None and rows["b"]["intercept"] is None
+
+
+def test_ols_single_aggregation_no_join(spark):
+    """The whole fit must ride ONE hash aggregation: no Exchange beyond
+    the group-key shuffle, no join, no window."""
+    from reactivedb_spark.operators.regression import ols_by_group
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"),
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    plan = _plan(ols_by_group(df, ["g"], "x", "y"))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_ols_order_invariance(spark):
+    """Decimal sufficient statistics make the fit partition-order-proof:
+    any repartitioning yields bit-identical doubles."""
+    from reactivedb_spark.operators.regression import ols_by_group
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 37 % 101) / 7.0).alias("x"),
+        ((F.col("id") * 53 % 997) / 13.0).alias("y"),
+    )
+    a = sorted(map(tuple, ols_by_group(df, ["g"], "x", "y").collect()))
+    b = sorted(map(tuple, ols_by_group(
+        df.repartition(17, "x"), ["g"], "x", "y").collect()))
+    assert a == b

@@ -3,13 +3,15 @@ FIRST 50 registered queries. Round-7 rotation (VERDICT r6 #1): the 21
 queries whose newest green row is r4 occupy slots 1-21 with
 ``streaming_dedup`` first (it switched to the RocksDB state-store
 provider after its last green row, so its rotation green is also the
-provider-invariance proof); the seven NEW round-7 queries
+provider-invariance proof); the eleven NEW round-7 queries
 (streaming_outer_join, wav_frame_features, triangle_count,
-char_entropy, bpe_train, streaming_timeout_sessions, join_transform —
-driver-unchecked by definition) take slots 22-28; the 15
-single-green-r5 queries fill slots 29-43 and 7 of the 14 double-green
-(r3+r5) queries fill slots 44-50, all alphabetical. Everything else — latest evidence r5/r6,
-i.e. <=2 rounds old — fills the tail and rotates back next round."""
+char_entropy, bpe_train, streaming_timeout_sessions, join_transform,
+phrase_search, ngram_novelty, regression_by_group,
+stream_static_enrich — driver-unchecked by definition) take slots
+22-32; the 15 single-green-r5 queries fill slots 33-47 and 3 of the 14
+double-green (r3+r5) queries fill slots 48-50, all alphabetical.
+Everything else — latest evidence r5/r6, i.e. <=2 rounds old — fills
+the tail and rotates back next round."""
 
 from reactivedb_spark import suite
 
@@ -39,7 +41,8 @@ R4_STALE = [
 
 NEW_R7 = ["streaming_outer_join", "wav_frame_features", "triangle_count",
           "char_entropy", "bpe_train", "streaming_timeout_sessions",
-          "join_transform"]
+          "join_transform", "phrase_search", "ngram_novelty",
+          "regression_by_group", "stream_static_enrich"]
 
 SINGLE_GREEN_R5 = [
     "bucketed_join",
