@@ -98,6 +98,23 @@ class DedupTransformConfig:
 
 
 @dataclass(frozen=True)
+class TopKTransformConfig:
+    """Extension transform #5: incrementally maintained per-group top-k —
+    the derived table holds the ``k`` live parent rows ranking highest
+    by ``order_by`` per distinct ``group_by`` value (``descending=False``
+    flips to lowest-first; ties break by arrival order). Inserts are
+    O(delta) by top-k monotonicity — top-k(S ∪ Δ) = top-k(top-k(S) ∪ Δ) —
+    so the child state is its own sufficient summary; only parent
+    deletes refill from the parent, restricted to the losing groups."""
+
+    source_table: str
+    group_by: str
+    order_by: str
+    k: int
+    descending: bool = True
+
+
+@dataclass(frozen=True)
 class SampleTransformConfig:
     """Extension transform #2: deterministic hash sample — keep a row iff
     ``md5(key) mod 100 < rate_pct`` (repeatable, join-consistent)."""
@@ -211,6 +228,14 @@ def parse_transform(spec, name: str):
     if kind == "SampleTransform":
         return SampleTransformConfig(
             body["source_table"], body["key"], int(body["rate_pct"])
+        )
+    if kind == "TopKTransform":
+        k = int(body["k"])
+        if k < 1:
+            raise ConfigError(f"table {name}: TopKTransform k must be >= 1")
+        return TopKTransformConfig(
+            body["source_table"], body["group_by"], body["order_by"],
+            k, bool(body.get("descending", True)),
         )
     if kind == "TextStatsTransform":
         return TextStatsTransformConfig(body["source_table"], body["text_column"])

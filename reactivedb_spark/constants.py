@@ -23,6 +23,11 @@ N_KEY_BUCKETS = 32
 # DedupTransform merge key (extension transform — no reference analogue):
 # md5 of the normalized key column, one representative row per value.
 DEDUP_KEY = "dedupKey"
+# TopKTransform group key (extension transform): md5 of the normalized
+# group column — same convention as DEDUP_KEY so keyed state buckets
+# identically across the keyed extension transforms.
+GROUP_KEY = "groupKey"
 
 SYSTEM_COLUMNS = {ENTRY_ID, SOURCE_ENTRY_ID, SOURCE_ENTRY_ID2, MATCHING_KEY,
-                  AGGREGATED_COLUMN, SEQ, PARTITION_BUCKET, DEDUP_KEY}
+                  AGGREGATED_COLUMN, SEQ, PARTITION_BUCKET, DEDUP_KEY,
+                  GROUP_KEY}

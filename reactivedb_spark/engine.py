@@ -44,6 +44,7 @@ from reactivedb_spark.config import (
     JoinTransformConfig,
     SampleTransformConfig,
     TextStatsTransformConfig,
+    TopKTransformConfig,
     UnionTransformConfig,
     load_config,
     parse_config,
@@ -63,6 +64,7 @@ from reactivedb_spark.operators import sample_transform as sample_tr_op
 from reactivedb_spark.operators import filter as filter_op
 from reactivedb_spark.operators import function as function_op
 from reactivedb_spark.operators import join_transform as join_tr_op
+from reactivedb_spark.operators import topk_transform as topk_tr_op
 from reactivedb_spark.operators import union as union_op
 from reactivedb_spark.plans.dag import topo_order
 from reactivedb_spark.stats import broadcast_if_small
@@ -278,6 +280,9 @@ class Engine:
                 schema = join_tr_op.output_schema(
                     tr, pschemas[tr.left_table], pschemas[tr.right_table]
                 )
+            elif isinstance(tr, TopKTransformConfig):
+                schema = topk_tr_op.output_schema(tr, pschemas[tr.source_table])
+                key_column = C.GROUP_KEY
             elif isinstance(tr, SampleTransformConfig):
                 schema = sample_tr_op.output_schema(tr, pschemas[tr.source_table])
             elif isinstance(tr, ChunkTransformConfig):
@@ -566,6 +571,8 @@ class Engine:
             return self._apply_aggregation(child, tr, parent, d)
         if isinstance(tr, DedupTransformConfig):
             return self._apply_dedup(child, tr, parent, d)
+        if isinstance(tr, TopKTransformConfig):
+            return self._apply_topk(child, tr, parent, d)
         # JoinTransform never dispatches here — _propagate stashes its
         # parents' deltas and applies the whole wave in _apply_join_wave
         raise ConfigError(f"unknown transform on {child!r}")
@@ -843,6 +850,112 @@ class Engine:
                     self._replace_keyed(
                         child,
                         state2.unionByName(staged2).sortWithinPartitions(C.DEDUP_KEY),
+                        buckets2,
+                    )
+                    out.inserts = (
+                        staged2 if out.inserts is None
+                        else out.inserts.unionByName(staged2)
+                    )
+        return out if (out.inserts is not None or out.deletes is not None) else None
+
+    def _apply_topk(self, child: str, tr: TopKTransformConfig, parent: str,
+                    d: Delta) -> Optional[Delta]:
+        """Per-group top-k as keyed reactive state
+        (operators/topk_transform.py for the declared semantics).
+
+        Inserts are O(delta) by top-k monotonicity — the delta unions
+        the affected groups' CURRENT members (child state is its own
+        sufficient summary; the parent is never rescanned), one keyed
+        window re-ranks, delta rows that place ≤ k stage as inserts and
+        members they displace become cascading child deletes. Parent
+        deletes cascade by provenance, then only the groups that lost a
+        member refill from the committed parent state restricted to
+        those groups — survivors of a shrinking set can never be
+        evicted, so the refill emits inserts only (the same
+        affected-keys shape as the dedup delete path)."""
+        out = Delta()
+        if d.inserts is not None:
+            cand = self._with_bucket(
+                self._with_entry_id(topk_tr_op.to_child(tr, d.inserts)),
+                C.GROUP_KEY,
+            )
+            keys = cand.select(C.GROUP_KEY).distinct()
+            buckets = self._affected_buckets(child, keys, C.GROUP_KEY)
+            state = self.store.read(child)
+            state_aff = state.filter(F.col(C.PARTITION_BUCKET).isin(buckets))
+            old = state_aff.join(_keyset(keys), C.GROUP_KEY, "left_semi")
+            cols = self.tables[child].schema.fieldNames()
+            u = (
+                old.select(*cols).withColumn("_new", F.lit(False))
+                .unionByName(cand.select(*cols).withColumn("_new", F.lit(True)))
+            )
+            # the ranked relation feeds TWO stagings (surviving delta
+            # rows + displaced members) — persist so the window over
+            # state ∪ delta runs once, released before the commit
+            r = topk_tr_op.ranked(tr, u).persist()
+            try:
+                staged = self._stage_nonempty(
+                    child, r.filter((F.col("_rn") <= tr.k) & F.col("_new"))
+                )
+                evicted = self._stage_nonempty(
+                    child, r.filter((F.col("_rn") > tr.k) & ~F.col("_new"))
+                )
+            finally:
+                r.unpersist()
+            if staged is not None or evicted is not None:
+                new_state = state_aff
+                if evicted is not None:
+                    new_state = new_state.join(
+                        _keyset(evicted.select(C.ENTRY_ID)), C.ENTRY_ID, "left_anti"
+                    )
+                if staged is not None:
+                    new_state = new_state.unionByName(staged)
+                self._replace_keyed(
+                    child, new_state.sortWithinPartitions(C.GROUP_KEY), buckets
+                )
+                out.inserts = staged
+                out.deletes = evicted
+        if d.deletes is not None:
+            dd = self._delete_by_provenance(child, d.deletes)
+            if dd is not None:
+                out.deletes = (
+                    dd if out.deletes is None else out.deletes.unionByName(dd)
+                )
+                # groups that lost a member refill from the committed
+                # parent state (already minus the deleted rows here),
+                # restricted to those groups; rows already present are
+                # excluded by provenance so only genuinely promoted rows
+                # stage — survivors are never evicted by a shrinking set
+                lost = dd.select(C.GROUP_KEY).distinct()
+                buckets2 = self._affected_buckets(child, lost, C.GROUP_KEY)
+                state2 = self.store.read(child).filter(
+                    F.col(C.PARTITION_BUCKET).isin(buckets2)
+                )
+                current = state2.join(_keyset(lost), C.GROUP_KEY, "left_semi")
+                cand2 = (
+                    topk_tr_op.to_child(tr, self.store.read(parent))
+                    .join(_keyset(lost), C.GROUP_KEY, "left_semi")
+                    .join(
+                        _keyset(current.select(C.SOURCE_ENTRY_ID)),
+                        C.SOURCE_ENTRY_ID, "left_anti",
+                    )
+                )
+                cand2 = self._with_bucket(self._with_entry_id(cand2), C.GROUP_KEY)
+                cols = self.tables[child].schema.fieldNames()
+                u2 = (
+                    current.select(*cols).withColumn("_new", F.lit(False))
+                    .unionByName(cand2.select(*cols).withColumn("_new", F.lit(True)))
+                )
+                staged2 = self._stage_nonempty(
+                    child,
+                    topk_tr_op.ranked(tr, u2)
+                    .filter((F.col("_rn") <= tr.k) & F.col("_new")).drop("_rn", "_new"),
+                )
+                if staged2 is not None:
+                    self._replace_keyed(
+                        child,
+                        state2.unionByName(staged2)
+                        .sortWithinPartitions(C.GROUP_KEY),
                         buckets2,
                     )
                     out.inserts = (

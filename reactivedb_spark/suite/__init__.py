@@ -19,19 +19,19 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 it switched to the RocksDB state-store provider AFTER
 #                 its last green row, so its rotation green doubles as
 #                 the provider-invariance proof. The rest alphabetical.
-#   slots 22-32 — the eleven NEW round-7 queries (driver-unchecked by
+#   slots 22-33 — the twelve NEW round-7 queries (driver-unchecked by
 #                 definition): streaming_outer_join, wav_frame_features,
 #                 triangle_count, char_entropy, bpe_train,
 #                 streaming_timeout_sessions, join_transform,
 #                 phrase_search, ngram_novelty, regression_by_group,
-#                 stream_static_enrich.
-#   slots 33-47 — the 15 queries whose only green row is r5
+#                 stream_static_enrich, topk_transform.
+#   slots 34-48 — the 15 queries whose only green row is r5
 #                 (fewest-greens-first), alphabetical.
-#   slots 48-50 — 3 of the 14 queries with exactly two green rows,
+#   slots 49-50 — 2 of the 14 queries with exactly two green rows,
 #                 newest r5 (greens r3+r5), alphabetical; the displaced
-#                 tail (multimodal_png_decode, multimodal_wav_decode,
-#                 pack_budget, pii_scrub, sample_hash,
-#                 sample_stratified, streaming_sessionize,
+#                 tail (graph_components_star, multimodal_png_decode,
+#                 multimodal_wav_decode, pack_budget, pii_scrub,
+#                 sample_hash, sample_stratified, streaming_sessionize,
 #                 struct_map_project, text_repetition, tfidf_top_terms,
 #                 top_bigrams — all newest-green r5) leads the next
 #                 rotation.
@@ -73,6 +73,7 @@ _WINDOW = (
     "ngram_novelty",  # new r7: per-doc first-seen 8-gram fraction
     "regression_by_group",  # new r7: exact-sum OLS as one aggregation
     "stream_static_enrich",  # new r7: stateless stream-static dim join
+    "topk_transform",  # new r7: incrementally maintained per-group top-k
     # single-green r5 set, alphabetical (all 15)
     "bucketed_join",
     "chunk_transform",
@@ -89,10 +90,9 @@ _WINDOW = (
     "textstats_transform",
     "zorder_scan",
     "zscore_outliers",
-    # double-green r5 set (greens r3+r5), alphabetical (3 of 14)
+    # double-green r5 set (greens r3+r5), alphabetical (2 of 14)
     "array_filter_dsl",
     "decontaminate",
-    "graph_components_star",
 )
 assert len(_WINDOW) == 50
 

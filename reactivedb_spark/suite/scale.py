@@ -2477,3 +2477,50 @@ ORACLES = {
     "join_transform_diamond": SQL_JOIN_TRANSFORM_DIAMOND,
     "sample_transform": SQL_SAMPLE_TRANSFORM,
 }
+
+
+def q_topk_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-level TopKTransform end-to-end (extension transform #5,
+    operators/topk_transform.py): the 5 highest-value orders per
+    priority, maintained reactively across TWO bulk commit waves (even
+    orderkeys, then odd) so the second wave exercises the real
+    insert-path maintenance — delta rows displace committed members and
+    the evictions cascade as child deletes. Determinism: arrival order
+    is (wave, orderkey) via ``insert_df(order_by=["okey"])`` per wave,
+    so value ties resolve to the earliest wave then lowest key — which
+    is exactly the oracle's window tie-break."""
+    import tempfile as _tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {"tables": [
+        {"Source": {"name": "ord", "columns": {
+            "okey": "Integer", "opriority": "Str", "total": "Float"}}},
+        {"Derived": {"name": "top_orders", "transform_definition": {
+            "TopKTransform": {"source_table": "ord", "group_by": "opriority",
+                              "order_by": "total", "k": 5}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_tkq_"))
+    orders = load(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_orderpriority").alias("opriority"),
+        F.col("o_totalprice").alias("total"),
+    )
+    for wave in (0, 1):
+        eng.insert_df("ord", orders.filter(F.col("okey") % 2 == wave),
+                      order_by=["okey"])
+    return eng.table("top_orders").select("opriority", "okey", "total")
+
+
+SQL_TOPK_TRANSFORM = """
+SELECT o_orderpriority AS opriority,
+       CAST(o_orderkey AS BIGINT) AS okey,
+       o_totalprice AS total
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_orderpriority
+  ORDER BY o_totalprice DESC, o_orderkey % 2, o_orderkey) <= 5
+"""
+
+QUERIES["topk_transform"] = q_topk_transform
+ORACLES["topk_transform"] = SQL_TOPK_TRANSFORM

@@ -101,3 +101,31 @@ def test_yaml_join_transform(spark, tmp_path):
     (j,) = [d for d in cfg.derived if d.name == "joined"]
     assert isinstance(j.transform, JoinTransformConfig)
     assert j.transform.left_on == "ckey" and j.transform.right_on == "cust_id"
+
+
+def test_yaml_topk_transform(spark, tmp_path):
+    """TopKTransform parses from the YAML surface like every other
+    transform kind; descending defaults to true."""
+    import textwrap
+
+    from reactivedb_spark.config import TopKTransformConfig, load_config
+
+    y = tmp_path / "topk.yaml"
+    y.write_text(textwrap.dedent("""\
+        tables:
+          - Source:
+              name: scores
+              columns: {player: Integer, team: Str, points: Integer}
+          - Derived:
+              name: leaders
+              transform_definition:
+                TopKTransform:
+                  source_table: scores
+                  group_by: team
+                  order_by: points
+                  k: 3
+    """))
+    cfg = load_config(str(y))
+    (t,) = [d for d in cfg.derived if d.name == "leaders"]
+    assert isinstance(t.transform, TopKTransformConfig)
+    assert t.transform.k == 3 and t.transform.descending is True
