@@ -148,3 +148,41 @@ def test_restart_recovers_topk_state(spark):
     assert _members(eng2) == {"a": {3, 4}}
     eng2.delete("scores", "player", 4)
     assert _members(eng2) == {"a": {2, 3}}
+
+
+def test_randomized_waves_match_recompute(spark):
+    """Differential check: a seeded random sequence of insert/delete
+    waves through the engine must leave the derived table equal to a
+    from-scratch top-k recomputation over the surviving rows with the
+    same (points desc, arrival) rank — the incremental path may never
+    diverge from the batch definition."""
+    import random
+
+    rng = random.Random(42)
+    eng = Engine(spark, CFG, workspace=tempfile.mkdtemp(prefix="rdb_topkp_"))
+    live = {}  # player -> (team, points, arrival)
+    arrival = 0
+    next_id = 0
+    for _wave in range(5):
+        batch = []
+        for _ in range(rng.randint(3, 8)):
+            batch.append({"player": next_id,
+                          "team": rng.choice(["a", "b", "c"]),
+                          "points": rng.randint(0, 9)})  # ties likely
+            next_id += 1
+        for row in batch:
+            live[row["player"]] = (row["team"], row["points"], arrival)
+            arrival += 1
+        eng.insert("scores", batch)
+        for pid in rng.sample(sorted(live), k=min(2, len(live))):
+            del live[pid]
+            eng.delete("scores", "player", pid)
+        expected = {}
+        by_team = {}
+        for pid, (team, pts, arr) in live.items():
+            by_team.setdefault(team, []).append((-pts, arr, pid))
+        for team, rows in by_team.items():
+            expected[team] = {pid for _, _, pid in sorted(rows)[:2]}
+        got = _members(eng)
+        assert got == {t: m for t, m in expected.items() if m}, \
+            f"diverged after wave {_wave}"
