@@ -625,3 +625,85 @@ def pq_topk_rerank(df: DataFrame, id_col: str, vec_col: str, query_id,
         df.filter(F.col(id_col) == F.lit(query_id))
     ).distinct()
     return cosine_topk(cand, id_col, vec_col, query_id, k=k)
+
+
+def kmeans_assignments(df: DataFrame, id_col: str, vec_col: str,
+                       k: int = 8, iters: int = 2) -> DataFrame:
+    """Grid-quantized Lloyd's k-means, fully deterministic and fully
+    distributed — the first-class iterative-ML demo (the IVF coarse
+    quantizer's big sibling; semantic_dedup's two-level quantizer is
+    the k ∝ n scale rung, this is the classic fixed-k loop).
+
+    Exactness design: assignment distances are int64 fixed-point
+    squared L2 on the 10⁻⁸ element grid (exact, order-proof, ALU
+    speed); the centroid UPDATE re-quantizes each per-dimension mean
+    back onto the same grid with integer round-half-away-from-zero
+    ((|s| + n div 2) div n on nonnegative operands — identical in any
+    engine, no float division anywhere). Grid-quantized means keep
+    every subsequent iteration exact, so cluster membership after T
+    iterations is bit-reproducible cross-engine — the property the
+    DuckDB oracle (unrolled CTE per iteration) checks. Ties break on
+    the lower cluster index; empty clusters keep their previous
+    centroid.
+
+    Plan shape (100 TB): the centroid relation is k×d rows and rides a
+    BROADCAST join into the element stream; one assignment = that join
+    + a (id, cluster)-keyed aggregation + a per-id argmin window; one
+    update = an id-keyed join back + a (cluster, j)-keyed aggregation.
+    No driver-side math in the loop (only the k seed ids are pulled);
+    cost is n·k·d per iteration — for k ∝ corpus use the two-level
+    quantizer (:func:`seed_assignments2`) instead.
+
+    Returns (id, cluster int, d2 long) — the final assignment and its
+    exact fixed-point distance.
+    """
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    elem = cache.pin(exploded(df, id_col, vec_col))
+    seed_ids = [int(r[0]) for r in
+                df.select(id_col).orderBy(id_col).limit(k).collect()]
+    seed_map = spark.createDataFrame(
+        [(s, ci) for ci, s in enumerate(seed_ids)], "_sid long, cluster int"
+    )
+    cent = (
+        elem.join(F.broadcast(seed_map), F.col(id_col) == F.col("_sid"))
+        .select("cluster", "j", F.col("xl").alias("cl"))
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        d2 = (
+            elem.join(F.broadcast(c), "j")
+            .groupBy(id_col, "cluster")
+            .agg(F.sum((F.col("xl") - F.col("cl"))
+                       * (F.col("xl") - F.col("cl"))).alias("d2"))
+        )
+        return (
+            d2.withColumn(
+                "_rn",
+                F.row_number().over(W.partitionBy(id_col).orderBy("d2", "cluster")),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(F.col(id_col), F.col("cluster"),
+                    F.col("d2").cast("long").alias("d2"))
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        sums = (
+            a.select(id_col, "cluster").join(elem, id_col)
+            .groupBy("cluster", "j")
+            .agg(F.sum("xl").alias("s"), F.count("*").cast("long").alias("n"))
+        )
+        newc = sums.select(
+            "cluster", "j",
+            F.when(
+                F.col("s") >= 0, F.expr("(s + (n div 2)) div n")
+            ).otherwise(-F.expr("((-s) + (n div 2)) div n"))
+            .cast("long").alias("ncl"),
+        )
+        cent = cache.pin(
+            cent.join(newc, ["cluster", "j"], "left")
+            .select("cluster", "j", F.coalesce("ncl", "cl").alias("cl"))
+        )
+    return assign(cent)

@@ -19,17 +19,17 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 it switched to the RocksDB state-store provider AFTER
 #                 its last green row, so its rotation green doubles as
 #                 the provider-invariance proof. The rest alphabetical.
-#   slots 22-33 — the twelve NEW round-7 queries (driver-unchecked by
-#                 definition): streaming_outer_join, wav_frame_features,
-#                 triangle_count, char_entropy, bpe_train,
-#                 streaming_timeout_sessions, join_transform,
+#   slots 22-34 — the thirteen NEW round-7 queries (driver-unchecked
+#                 by definition): streaming_outer_join,
+#                 wav_frame_features, triangle_count, char_entropy,
+#                 bpe_train, streaming_timeout_sessions, join_transform,
 #                 phrase_search, ngram_novelty, regression_by_group,
-#                 stream_static_enrich, topk_transform.
-#   slots 34-48 — the 15 queries whose only green row is r5
+#                 stream_static_enrich, topk_transform, kmeans_iterate.
+#   slots 35-49 — the 15 queries whose only green row is r5
 #                 (fewest-greens-first), alphabetical.
-#   slots 49-50 — 2 of the 14 queries with exactly two green rows,
+#   slot 50     — 1 of the 14 queries with exactly two green rows,
 #                 newest r5 (greens r3+r5), alphabetical; the displaced
-#                 tail (graph_components_star, multimodal_png_decode,
+#                 tail (decontaminate, graph_components_star, multimodal_png_decode,
 #                 multimodal_wav_decode, pack_budget, pii_scrub,
 #                 sample_hash, sample_stratified, streaming_sessionize,
 #                 struct_map_project, text_repetition, tfidf_top_terms,
@@ -74,6 +74,7 @@ _WINDOW = (
     "regression_by_group",  # new r7: exact-sum OLS as one aggregation
     "stream_static_enrich",  # new r7: stateless stream-static dim join
     "topk_transform",  # new r7: incrementally maintained per-group top-k
+    "kmeans_iterate",  # new r7: grid-quantized Lloyd's, exact unrolled oracle
     # single-green r5 set, alphabetical (all 15)
     "bucketed_join",
     "chunk_transform",
@@ -90,9 +91,8 @@ _WINDOW = (
     "textstats_transform",
     "zorder_scan",
     "zscore_outliers",
-    # double-green r5 set (greens r3+r5), alphabetical (2 of 14)
+    # double-green r5 set (greens r3+r5), alphabetical (1 of 14)
     "array_filter_dsl",
-    "decontaminate",
 )
 assert len(_WINDOW) == 50
 

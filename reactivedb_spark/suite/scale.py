@@ -2524,3 +2524,67 @@ QUALIFY row_number() OVER (
 
 QUERIES["topk_transform"] = q_topk_transform
 ORACLES["topk_transform"] = SQL_TOPK_TRANSFORM
+
+
+def q_kmeans_iterate(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-quantized Lloyd's k-means over the embeddings table
+    (similarity.kmeans_assignments): 2 full update iterations + the
+    final assignment, every arithmetic step exact int64 fixed-point so
+    the unrolled-CTE oracle hash-matches bit-for-bit. k=8 fixed — the
+    classic iterative loop; the k ∝ n rung is semantic_dedup's
+    two-level quantizer."""
+    from reactivedb_spark.operators.dedup import widen
+
+    emb = widen(load(spark, sf, "embeddings"))
+    return similarity.kmeans_assignments(emb, "vec_id", "embedding",
+                                         k=8, iters=2)
+
+
+def _sql_kmeans_iterate(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd's as chained CTEs — one (assign, sums, cent) trio
+    per iteration, integer round-half-away-from-zero on nonnegative
+    operands so `//` (floor) and Spark's `div` (trunc) agree."""
+    parts = [_ELEM_CTE.strip().rstrip(")") + ")", f"""
+seedmap AS (
+  SELECT vec_id AS _sid,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+cent0 AS (
+  SELECT s.cluster, e.j, e.xl AS cl
+  FROM elem e JOIN seedmap s ON e.vec_id = s._sid)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM (SELECT e.vec_id, c.cluster,
+                 SUM((e.xl - c.cl) * (e.xl - c.cl)) AS d2
+          FROM elem e JOIN cent{i-1} c ON e.j = c.j
+          GROUP BY e.vec_id, c.cluster))
+  WHERE rn = 1),
+sums{i} AS (
+  SELECT a.cluster, e.j, SUM(e.xl) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{i} a JOIN elem e ON a.vec_id = e.vec_id
+  GROUP BY a.cluster, e.j),
+cent{i} AS (
+  SELECT c.cluster, c.j,
+         COALESCE(CASE WHEN s.s >= 0 THEN (s.s + (s.n // 2)) // s.n
+                       ELSE -(((-s.s) + (s.n // 2)) // s.n) END,
+                  c.cl) AS cl
+  FROM cent{i-1} c LEFT JOIN sums{i} s
+    ON c.cluster = s.cluster AND c.j = s.j)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM (SELECT e.vec_id, c.cluster,
+               SUM((e.xl - c.cl) * (e.xl - c.cl)) AS d2
+        FROM elem e JOIN cent{iters} c ON e.j = c.j
+        GROUP BY e.vec_id, c.cluster))
+WHERE rn = 1
+""")
+
+
+QUERIES["kmeans_iterate"] = q_kmeans_iterate
+ORACLES["kmeans_iterate"] = _sql_kmeans_iterate()

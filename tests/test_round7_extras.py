@@ -139,3 +139,47 @@ def test_ols_order_invariance(spark):
     b = sorted(map(tuple, ols_by_group(
         df.repartition(17, "x"), ["g"], "x", "y").collect()))
     assert a == b
+
+
+# -- kmeans_assignments ----------------------------------------------------------
+
+def test_kmeans_converges_on_separated_clusters(spark):
+    from reactivedb_spark.operators.similarity import kmeans_assignments
+
+    # two tight blobs far apart; seeds (2 lowest ids) start one per blob
+    rows = [(0, [0.0, 0.0]), (2, [0.1, 0.0]), (4, [0.0, 0.1]),
+            (1, [5.0, 5.0]), (3, [5.1, 5.0]), (5, [5.0, 5.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assignments(df, "vec_id", "embedding",
+                                       k=2, iters=2).collect()}
+    assert got[0] == got[2] == got[4] == 0
+    assert got[1] == got[3] == got[5] == 1
+
+
+def test_kmeans_empty_cluster_keeps_seed_centroid(spark):
+    from reactivedb_spark.operators.similarity import kmeans_assignments
+
+    # seed 1 (vec 1) is nearer seed 0's blob than to anything else, so
+    # cluster 1 empties after iteration 1 — its centroid must persist
+    # (not NULL out) and the final assignment still covers every vector
+    rows = [(0, [0.0, 0.0]), (1, [0.2, 0.0]), (2, [0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assignments(df, "vec_id", "embedding", k=2, iters=2).collect()
+    assert len(out) == 3
+    assert all(r["cluster"] in (0, 1) and r["d2"] is not None for r in out)
+
+
+def test_kmeans_partition_order_invariance(spark):
+    from reactivedb_spark.operators.similarity import kmeans_assignments
+
+    df = spark.range(60).selectExpr(
+        "id AS vec_id",
+        "array(cast(hash(id, 1) % 100 as float) / 100.0,"
+        "      cast(hash(id, 2) % 100 as float) / 100.0) AS embedding",
+    )
+    a = sorted(map(tuple, kmeans_assignments(
+        df, "vec_id", "embedding", k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_assignments(
+        df.repartition(13), "vec_id", "embedding", k=4, iters=2).collect()))
+    assert a == b
