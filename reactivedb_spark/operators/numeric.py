@@ -284,3 +284,88 @@ SELECT grp AS {group_col}, CAST(any_value(n) AS BIGINT) AS n,
        CAST(sum(is_out) AS BIGINT) AS n_outliers
 FROM probe GROUP BY grp
 """
+
+
+def ks_pairs(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic for EVERY unordered
+    pair of groups — the distribution-shift detector of a training-data
+    pipeline (has source X started producing different document lengths
+    than source Y?).
+
+    Exactness: at each observed value the ECDF gap is kept as the
+    INTEGER |cum_a·n_b − cum_b·n_a| (cross-multiplied, so no float
+    accumulates across rows); the statistic is max_gap / (n_a·n_b), one
+    int-derived IEEE division at the end — bit-identical cross-engine.
+    The default RANGE window frame evaluates each ECDF after all ties
+    of a value, which is the textbook ECDF (right-continuous).
+
+    Plan shape (100 TB): group sizes are one hash aggregation; the
+    pair relation is a deliberate cross of that p-row SIZES relation
+    with itself (bounded by the number of groups, never by rows) and
+    BROADCASTs into two equi-joins on the value stream (never an
+    OR-condition nested loop); the scan per pair is a keyed
+    window — partitions parallelize across pairs, the within-pair sort
+    is the ECDF's inherent cost. For corpus-scale values switch to a
+    binned ECDF (histogram KS) — same algebra over bin ids.
+    """
+    from pyspark.sql.window import Window
+
+    vals = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("long").alias("_x")
+    )
+    sizes = vals.groupBy("_g").agg(F.count("*").cast("long").alias("_n"))
+    pairs = F.broadcast(
+        sizes.alias("a").join(sizes.alias("b"), F.col("a._g") < F.col("b._g"))
+        .select(
+            F.col("a._g").alias("s1"), F.col("b._g").alias("s2"),
+            F.col("a._n").alias("na"), F.col("b._n").alias("nb"),
+        )
+    )
+    ta = vals.join(pairs, F.col("_g") == F.col("s1")).select(
+        "s1", "s2", "na", "nb", "_x",
+        F.lit(1).alias("_ia"), F.lit(0).alias("_ib"),
+    )
+    tb = vals.join(pairs, F.col("_g") == F.col("s2")).select(
+        "s1", "s2", "na", "nb", "_x",
+        F.lit(0).alias("_ia"), F.lit(1).alias("_ib"),
+    )
+    w = Window.partitionBy("s1", "s2").orderBy("_x")
+    gap = F.abs(
+        F.sum("_ia").over(w) * F.col("nb") - F.sum("_ib").over(w) * F.col("na")
+    )
+    return (
+        ta.unionByName(tb)
+        .withColumn("_gap", gap)
+        .groupBy("s1", "s2", "na", "nb")
+        .agg(F.max("_gap").alias("_mg"))
+        .select(
+            "s1", "s2", "na", "nb",
+            (F.col("_mg").cast("double")
+             / (F.col("na").cast("double") * F.col("nb").cast("double")))
+            .alias("ks"),
+        )
+    )
+
+
+def ks_oracle_sql(src: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`ks_pairs` — same integer gap algebra, same
+    default RANGE frame, same final division tree."""
+    return f"""
+WITH v AS (SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS x FROM {src}),
+g AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+p AS (SELECT a.g AS s1, b.g AS s2, a.n AS na, b.n AS nb
+      FROM g a JOIN g b ON a.g < b.g),
+t AS (
+  SELECT p.s1, p.s2, p.na, p.nb, v.x, 1 AS ia, 0 AS ib
+  FROM v JOIN p ON v.g = p.s1
+  UNION ALL
+  SELECT p.s1, p.s2, p.na, p.nb, v.x, 0 AS ia, 1 AS ib
+  FROM v JOIN p ON v.g = p.s2),
+c AS (
+  SELECT s1, s2, na, nb,
+         abs(sum(ia) OVER w * nb - sum(ib) OVER w * na) AS gap
+  FROM t WINDOW w AS (PARTITION BY s1, s2 ORDER BY x))
+SELECT s1, s2, na, nb,
+       CAST(max(gap) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
+FROM c GROUP BY s1, s2, na, nb
+"""

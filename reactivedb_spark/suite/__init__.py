@@ -19,17 +19,18 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 it switched to the RocksDB state-store provider AFTER
 #                 its last green row, so its rotation green doubles as
 #                 the provider-invariance proof. The rest alphabetical.
-#   slots 22-34 — the thirteen NEW round-7 queries (driver-unchecked
+#   slots 22-36 — the fifteen NEW round-7 queries (driver-unchecked
 #                 by definition): streaming_outer_join,
 #                 wav_frame_features, triangle_count, char_entropy,
 #                 bpe_train, streaming_timeout_sessions, join_transform,
 #                 phrase_search, ngram_novelty, regression_by_group,
-#                 stream_static_enrich, topk_transform, kmeans_iterate.
-#   slots 35-49 — the 15 queries whose only green row is r5
-#                 (fewest-greens-first), alphabetical.
-#   slot 50     — 1 of the 14 queries with exactly two green rows,
-#                 newest r5 (greens r3+r5), alphabetical; the displaced
-#                 tail (decontaminate, graph_components_star, multimodal_png_decode,
+#                 stream_static_enrich, topk_transform, kmeans_iterate,
+#                 ks_drift, corr_matrix.
+#   slots 37-50 — 14 of the 15 queries whose only green row is r5
+#                 (fewest-greens-first), alphabetical; the displaced
+#                 tail (zscore_outliers [single-green r5],
+#                 array_filter_dsl, decontaminate,
+#                 graph_components_star, multimodal_png_decode,
 #                 multimodal_wav_decode, pack_budget, pii_scrub,
 #                 sample_hash, sample_stratified, streaming_sessionize,
 #                 struct_map_project, text_repetition, tfidf_top_terms,
@@ -75,6 +76,8 @@ _WINDOW = (
     "stream_static_enrich",  # new r7: stateless stream-static dim join
     "topk_transform",  # new r7: incrementally maintained per-group top-k
     "kmeans_iterate",  # new r7: grid-quantized Lloyd's, exact unrolled oracle
+    "ks_drift",  # new r7: exact two-sample KS over source pairs
+    "corr_matrix",  # new r7: one-pass exact-sum Pearson matrix
     # single-green r5 set, alphabetical (all 15)
     "bucketed_join",
     "chunk_transform",
@@ -90,9 +93,6 @@ _WINDOW = (
     "store_time_travel",
     "textstats_transform",
     "zorder_scan",
-    "zscore_outliers",
-    # double-green r5 set (greens r3+r5), alphabetical (1 of 14)
-    "array_filter_dsl",
 )
 assert len(_WINDOW) == 50
 

@@ -1154,3 +1154,25 @@ WHERE e.event_type = 'purchase'
 
 QUERIES["stream_static_enrich"] = q_stream_static_enrich
 ORACLES["stream_static_enrich"] = SQL_STREAM_STATIC_ENRICH
+
+
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-shift detection (operators/numeric.ks_pairs): exact
+    two-sample KS statistic of the document-length distribution for
+    every unordered pair of sources. Integer cross-multiplied ECDF gaps
+    (no float accumulates), one division per pair at the end; the pair
+    relation broadcasts into two equi-joins — never an OR-condition
+    nested loop."""
+    from reactivedb_spark.operators import numeric
+
+    return numeric.ks_pairs(load(spark, sf, "documents"), "source", "n_chars")
+
+
+def _sql_ks_drift() -> str:
+    from reactivedb_spark.operators import numeric
+
+    return numeric.ks_oracle_sql("documents", "source", "n_chars")
+
+
+QUERIES["ks_drift"] = q_ks_drift
+ORACLES["ks_drift"] = _sql_ks_drift()

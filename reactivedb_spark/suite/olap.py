@@ -343,3 +343,29 @@ SQL_REGRESSION_BY_GROUP = _sql_regression_by_group()
 
 QUERIES["regression_by_group"] = q_regression_by_group
 ORACLES["regression_by_group"] = SQL_REGRESSION_BY_GROUP
+
+
+def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem's four measures in ONE
+    hash aggregation (operators/regression.corr_matrix): exact-decimal
+    sufficient statistics, a single inline() unpivot, and sqrt — the
+    one libm call IEEE requires to be correctly rounded, hence
+    bit-portable."""
+    from reactivedb_spark.operators import regression
+
+    return regression.corr_matrix(
+        load(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _sql_corr_matrix() -> str:
+    from reactivedb_spark.operators import regression
+
+    return regression.corr_oracle_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+QUERIES["corr_matrix"] = q_corr_matrix
+ORACLES["corr_matrix"] = _sql_corr_matrix()

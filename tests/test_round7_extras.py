@@ -183,3 +183,79 @@ def test_kmeans_partition_order_invariance(spark):
     b = sorted(map(tuple, kmeans_assignments(
         df.repartition(13), "vec_id", "embedding", k=4, iters=2).collect()))
     assert a == b
+
+
+# -- ks_pairs -------------------------------------------------------------------
+
+def test_ks_known_values(spark):
+    from reactivedb_spark.operators.numeric import ks_pairs
+
+    # a = {1,2,3}, b = {4,5,6}: fully separated -> KS = 1
+    # a = {1,2,3}, c = {1,2,3}: identical -> KS = 0
+    rows = ([("a", v) for v in (1, 2, 3)] + [("b", v) for v in (4, 5, 6)]
+            + [("c", v) for v in (1, 2, 3)])
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {(r["s1"], r["s2"]): r["ks"] for r in ks_pairs(df, "g", "x").collect()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == 0.0
+    # a={1,2,3,4} vs d={3,4,5,6}: max gap at x=2 -> |2/4 - 0/4| = 0.5
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("d", v) for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    [r] = ks_pairs(df, "g", "x").collect()
+    assert (r["s1"], r["s2"], r["ks"]) == ("a", "d", 0.5)
+
+
+def test_ks_ties_within_and_across_groups(spark):
+    from reactivedb_spark.operators.numeric import ks_pairs
+
+    # ECDF is right-continuous: at a tied value both groups' counts
+    # advance together before the gap is read (RANGE frame peers)
+    rows = [("a", 1), ("a", 1), ("b", 1), ("b", 2)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    [r] = ks_pairs(df, "g", "x").collect()
+    # at x=1: F_a=1, F_b=0.5 -> gap 0.5; at x=2 both 1 -> KS = 0.5
+    assert r["ks"] == 0.5
+
+
+def test_ks_no_nested_loop_join(spark):
+    from reactivedb_spark.operators.numeric import ks_pairs
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 4), i) for i in range(40)], "g string, x long")
+    plan = _plan(ks_pairs(df, "g", "x"))
+    # the VALUE stream joins the pair relation via broadcast hash joins;
+    # the only cross product is the group-SIZES self-join building the
+    # p(p-1)/2 pairs (bounded by group count, never by rows)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- corr_matrix ----------------------------------------------------------------
+
+def test_corr_known_values_and_guards(spark):
+    import pytest as _pytest
+
+    from reactivedb_spark.operators.regression import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0), (3.0, 6.0, -3.0, 5.0)],
+        "a double, b double, c double, d double",
+    )
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")] == _pytest.approx(1.0)    # b = 2a
+    assert got[("a", "c")] == _pytest.approx(-1.0)   # c = -a
+    assert got[("a", "d")] is None                   # d constant
+    assert len(got) == 6
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["a"])
+
+
+def test_corr_single_aggregation(spark):
+    from reactivedb_spark.operators.regression import corr_matrix
+
+    df = spark.range(200).selectExpr(
+        "cast(id as double) a", "cast(id * id as double) b",
+        "cast(id % 7 as double) c")
+    plan = _plan(corr_matrix(df, ["a", "b", "c"]))
+    assert "Join" not in plan and plan.count("Exchange") == 1
