@@ -77,3 +77,52 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 6,
     return spark.createDataFrame(
         learned, "merge_rank int, left_sym string, right_sym string, n_pair long"
     )
+
+
+def bpe_encode(df: DataFrame, id_col: str, text_col: str, merges: int = 6,
+               passes: int = 6) -> DataFrame:
+    """Tokenize the corpus with a vocabulary TRAINED ON ITSELF — the
+    apply half of :func:`bpe_train` (train → encode is the full
+    Sennrich pipeline). Emits (id, n_tokens): the per-document symbol
+    count after the learned merges.
+
+    Plan shape (100 TB): training runs on the word-frequency relation
+    (see bpe_train); the learned merge table is ≤ ``merges`` rows and
+    comes to the driver (the bounded argmax pulls already did), so the
+    ENCODE is a constant JVM replace chain over the DISTINCT-word
+    relation — vocabulary-sized, not corpus-sized — and one equi-join
+    back to the (id, word) occurrences with a final per-id sum. No
+    Python anywhere; the corpus is touched exactly twice (word counts,
+    occurrence join).
+
+    Documents with no tokens carry no row (declared; the oracle's
+    inner join drops them identically).
+    """
+    trained = bpe_train(df, text_col, merges=merges, passes=passes).collect()
+    occurrences = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = occurrences.select("w").distinct().select(
+        "w",
+        F.concat(F.lit(" "), F.concat_ws(" ", F.split("w", "")), F.lit(" "))
+        .alias("s"),
+    )
+    col = F.col("s")
+    for m in sorted(trained, key=lambda r: r["merge_rank"]):
+        left, right = m["left_sym"], m["right_sym"]
+        for _ in range(int(passes)):
+            col = F.replace(
+                col, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            )
+    counts = vocab.select(
+        "w", F.size(F.split(F.trim(col), " ")).cast("long").alias("n_sym")
+    )
+    return (
+        occurrences.join(counts, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_sym").cast("long").alias("n_tokens"))
+    )

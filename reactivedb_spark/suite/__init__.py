@@ -19,16 +19,16 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 it switched to the RocksDB state-store provider AFTER
 #                 its last green row, so its rotation green doubles as
 #                 the provider-invariance proof. The rest alphabetical.
-#   slots 22-36 — the fifteen NEW round-7 queries (driver-unchecked
+#   slots 22-37 — the sixteen NEW round-7 queries (driver-unchecked
 #                 by definition): streaming_outer_join,
 #                 wav_frame_features, triangle_count, char_entropy,
 #                 bpe_train, streaming_timeout_sessions, join_transform,
 #                 phrase_search, ngram_novelty, regression_by_group,
 #                 stream_static_enrich, topk_transform, kmeans_iterate,
-#                 ks_drift, corr_matrix.
-#   slots 37-50 — 14 of the 15 queries whose only green row is r5
+#                 ks_drift, corr_matrix, bpe_encode.
+#   slots 38-50 — 13 of the 15 queries whose only green row is r5
 #                 (fewest-greens-first), alphabetical; the displaced
-#                 tail (zscore_outliers [single-green r5],
+#                 tail (zorder_scan, zscore_outliers [single-green r5],
 #                 array_filter_dsl, decontaminate,
 #                 graph_components_star, multimodal_png_decode,
 #                 multimodal_wav_decode, pack_budget, pii_scrub,
@@ -78,6 +78,7 @@ _WINDOW = (
     "kmeans_iterate",  # new r7: grid-quantized Lloyd's, exact unrolled oracle
     "ks_drift",  # new r7: exact two-sample KS over source pairs
     "corr_matrix",  # new r7: one-pass exact-sum Pearson matrix
+    "bpe_encode",  # new r7: train-then-apply BPE tokenization
     # single-green r5 set, alphabetical (all 15)
     "bucketed_join",
     "chunk_transform",
@@ -92,7 +93,6 @@ _WINDOW = (
     "span_dedup_rewrite",
     "store_time_travel",
     "textstats_transform",
-    "zorder_scan",
 )
 assert len(_WINDOW) == 50
 

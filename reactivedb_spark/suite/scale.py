@@ -2588,3 +2588,51 @@ WHERE rn = 1
 
 QUERIES["kmeans_iterate"] = q_kmeans_iterate
 ORACLES["kmeans_iterate"] = _sql_kmeans_iterate()
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-then-apply BPE (operators/bpe.bpe_encode): the corpus is
+    tokenized with the 6 merges learned from itself — per-doc symbol
+    counts after the replace chain. The encode runs over the
+    DISTINCT-word relation (vocabulary-sized) and joins back to the
+    (doc, word) occurrences; docs with no tokens carry no row."""
+    from reactivedb_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(load(spark, sf, "documents"), "doc_id", "text",
+                      merges=6, passes=6)
+
+
+def _bpe_encode_sql(merges: int = 6, passes: int = 6) -> str:
+    """Train CTEs from _bpe_train_sql, plus a WORD-KEYED merge chain
+    (m0..mN applies the same replace rounds to the distinct-word
+    relation, keeping the word as the join key) and the per-doc sum."""
+    train = _bpe_train_sql(merges, passes)
+    ctes = train.split("WITH ", 1)[1].rsplit(")\n", 1)[0] + ")"
+    m = ["""m0 AS MATERIALIZED (
+  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+  FROM (SELECT DISTINCT unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents)
+  WHERE w <> '')"""]
+    for r in range(merges):
+        rep = "s"
+        for _ in range(passes):
+            rep = (
+                f"replace({rep}, ' ' || (SELECT l FROM b{r}) || ' ' || "
+                f"(SELECT r2 FROM b{r}) || ' ', ' ' || (SELECT l FROM b{r}) || "
+                f"(SELECT r2 FROM b{r}) || ' ')"
+            )
+        m.append(f"m{r + 1} AS MATERIALIZED (SELECT w, {rep} AS s FROM m{r})")
+    return (
+        "WITH " + ctes + ",\n" + ",\n".join(m) + f"""
+SELECT d.doc_id,
+       CAST(sum(len(string_split(trim(m.s), ' '))) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents) d
+JOIN m{merges} m ON d.w = m.w
+WHERE d.w <> ''
+GROUP BY d.doc_id
+""")
+
+
+QUERIES["bpe_encode"] = q_bpe_encode
+ORACLES["bpe_encode"] = _bpe_encode_sql()

@@ -259,3 +259,39 @@ def test_corr_single_aggregation(spark):
         "cast(id % 7 as double) c")
     plan = _plan(corr_matrix(df, ["a", "b", "c"]))
     assert "Join" not in plan and plan.count("Exchange") == 1
+
+
+# -- bpe_encode -----------------------------------------------------------------
+
+def test_bpe_encode_counts_match_manual_merge(spark):
+    """Tiny corpus with a known merge sequence: 'ab' dominates, so after
+    one merge 'abab' is 2 symbols and 'abc' is 2 — the per-doc counts
+    must equal the hand-computed tokenization."""
+    from reactivedb_spark.operators.bpe import bpe_encode
+
+    docs = _docs(spark, [
+        (1, "abab abab"),   # each word: a b a b -> (ab) (ab) -> (abab)...
+        (2, "abc"),
+        (3, ""),            # tokenless: no row
+    ])
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_encode(docs, "doc_id", "text", merges=2).collect()}
+    # merge 1: ('a','b') count 5 -> 'ab'; merge 2: ('ab','ab') count 2
+    # (ties: ('ab','c') count 1) -> 'abab'
+    # doc 1: two words 'abab' -> 1 symbol each = 2; doc 2: 'ab','c' = 2
+    assert got == {1: 2, 2: 2}
+
+
+def test_bpe_encode_total_consistency_with_training_relation(spark):
+    """Σ per-doc tokens must equal Σ word-count × per-word symbols —
+    the encode join may not duplicate or drop occurrences."""
+    from reactivedb_spark.operators.bpe import bpe_encode
+
+    docs = _docs(spark, [
+        (1, "aa bb aa"), (2, "bb aa bb cc"), (3, "cc aa"),
+    ])
+    enc = bpe_encode(docs, "doc_id", "text", merges=1).collect()
+    total = sum(r["n_tokens"] for r in enc)
+    # merge 1 is ('a','a') (count 4 beats ('b','b') 3 by count): words
+    # aa->1 symbol, bb->2, cc->2. Occurrences: aa x4, bb x3, cc x2
+    assert total == 4 * 1 + 3 * 2 + 2 * 2

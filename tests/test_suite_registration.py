@@ -3,15 +3,16 @@ FIRST 50 registered queries. Round-7 rotation (VERDICT r6 #1): the 21
 queries whose newest green row is r4 occupy slots 1-21 with
 ``streaming_dedup`` first (it switched to the RocksDB state-store
 provider after its last green row, so its rotation green is also the
-provider-invariance proof); the fifteen NEW round-7 queries
+provider-invariance proof); the sixteen NEW round-7 queries
 (streaming_outer_join, wav_frame_features, triangle_count,
 char_entropy, bpe_train, streaming_timeout_sessions, join_transform,
 phrase_search, ngram_novelty, regression_by_group,
 stream_static_enrich, topk_transform, kmeans_iterate, ks_drift,
-corr_matrix — driver-unchecked by definition) take slots 22-36; 14 of
-the 15 single-green-r5 queries fill slots 37-50 (zscore_outliers,
-alphabetically last, joins the displaced tail — its newest green stays
-r5 like the displaced double-green set).
+corr_matrix, bpe_encode — driver-unchecked by definition) take slots
+22-37; 13 of the 15 single-green-r5 queries fill slots 38-50
+(zorder_scan and zscore_outliers, alphabetically last, join the
+displaced tail — their newest green stays r5 like the displaced
+double-green set).
 Everything else — latest evidence r5/r6, i.e. <=2 rounds old — fills
 the tail and rotates back next round."""
 
@@ -45,7 +46,8 @@ NEW_R7 = ["streaming_outer_join", "wav_frame_features", "triangle_count",
           "char_entropy", "bpe_train", "streaming_timeout_sessions",
           "join_transform", "phrase_search", "ngram_novelty",
           "regression_by_group", "stream_static_enrich",
-          "topk_transform", "kmeans_iterate", "ks_drift", "corr_matrix"]
+          "topk_transform", "kmeans_iterate", "ks_drift", "corr_matrix",
+          "bpe_encode"]
 
 SINGLE_GREEN_R5 = [
     "bucketed_join",
@@ -61,7 +63,6 @@ SINGLE_GREEN_R5 = [
     "span_dedup_rewrite",
     "store_time_travel",
     "textstats_transform",
-    "zorder_scan",
 ]
 
 
