@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time as _time
 import uuid as _uuid
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -81,6 +82,12 @@ from reactivedb_spark.types import parse_type
 # leave the join unhinted and let AQE pick broadcast vs shuffle from
 # runtime stats.
 _DELTA_BROADCAST_LIMIT = 32 << 20  # staged delta parquet bytes
+# Listener staging hygiene (ADVICE r7): delivered snapshots past this
+# count are reaped at the next commit boundary even without a
+# flush_listeners() call; stage dirs older than this age are reaped by
+# any engine over the workspace regardless of pid liveness (PID reuse).
+_SPENT_STAGE_REAP = 64
+_STAGE_MAX_AGE_S = 24 * 3600
 
 
 def _pid_alive(pid: int) -> bool:
@@ -194,16 +201,28 @@ class Engine:
         # and reaps only siblings whose creating process is dead (plus any
         # legacy non-pid-prefixed leftovers).
         stage_parent = os.path.join(workspace, "_listen_stage")
+        # Dir name carries pid AND creation epoch (ADVICE r7): PID reuse
+        # can make a dead engine's dir look alive to the pid probe, so
+        # the reaper ALSO ages out dirs past _STAGE_MAX_AGE_S regardless
+        # of pid liveness (no live engine legitimately retains an
+        # undelivered snapshot that long — delivery is a daemon drain).
         self._listen_stage_root = os.path.join(
-            stage_parent, f"{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+            stage_parent,
+            f"{os.getpid()}-{int(_time.time())}-{_uuid.uuid4().hex[:8]}",
         )
         self._spent_stages: list[str] = []
         import shutil as _shutil
 
         try:
+            now = _time.time()
             for d in os.listdir(stage_parent):
-                pid_s = d.split("-", 1)[0]
-                if not pid_s.isdigit() or not _pid_alive(int(pid_s)):
+                parts = d.split("-")
+                pid_s = parts[0]
+                born = float(parts[1]) if (
+                    len(parts) >= 3 and parts[1].isdigit()) else None
+                dead = not pid_s.isdigit() or not _pid_alive(int(pid_s))
+                aged = born is not None and now - born > _STAGE_MAX_AGE_S
+                if dead or aged:
                     _shutil.rmtree(os.path.join(stage_parent, d),
                                    ignore_errors=True)
         except FileNotFoundError:
@@ -1122,6 +1141,20 @@ class Engine:
                 # commit) and shared by every async subscriber; the
                 # drain thread re-reads it, fans out the callbacks,
                 # then deletes the staging dir.
+                # Commit-boundary backlog reap (ADVICE r7): an engine
+                # that subscribes but never calls flush_listeners()
+                # must not accumulate delivered snapshots for the
+                # process lifetime. Past _SPENT_STAGE_REAP delivered
+                # stages, reap the oldest down to the threshold —
+                # callbacks retaining a lazy DataFrame across MORE than
+                # 64 later commits are outside the documented contract
+                # (retain-until-flush, or persist within the call).
+                if len(self._spent_stages) > _SPENT_STAGE_REAP:
+                    import shutil as _sh
+
+                    excess = len(self._spent_stages) - _SPENT_STAGE_REAP
+                    for old in [self._spent_stages.pop(0) for _ in range(excess)]:
+                        _sh.rmtree(old, ignore_errors=True)
                 path = os.path.join(
                     self._listen_stage_root, f"{table}-{event}-{_uuid.uuid4().hex}"
                 )

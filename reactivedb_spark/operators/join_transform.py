@@ -43,6 +43,22 @@ def output_schema(cfg: JoinTransformConfig, left: T.StructType,
         raise ConfigError(f"JoinTransform: unknown left_on {cfg.left_on!r}")
     if cfg.right_on not in {f.name for f in _data_fields(right)}:
         raise ConfigError(f"JoinTransform: unknown right_on {cfg.right_on!r}")
+    # Key TYPE compatibility is a config-time error (ADVICE r7), matching
+    # the DSL's compile-time error contract — an Integer-vs-Str join must
+    # fail here, not surface later as Spark's implicit-cast semantics
+    # (silent empty/partial joins).
+    ltype = next(f.dataType for f in lf if f.name == cfg.left_on)
+    rtype = next(
+        f.dataType for f in _data_fields(right) if f.name == cfg.right_on
+    )
+    if ltype != rtype:
+        raise ConfigError(
+            f"JoinTransform: join key type mismatch — left_on "
+            f"{cfg.left_on!r} is {ltype.simpleString()}, right_on "
+            f"{cfg.right_on!r} is {rtype.simpleString()}; cast upstream "
+            "(e.g. via a FunctionTransform) so both keys are identically "
+            "typed"
+        )
     overlap = {f.name for f in lf} & {f.name for f in rf}
     if overlap:
         raise ConfigError(

@@ -299,6 +299,15 @@ def ks_pairs(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     The default RANGE window frame evaluates each ECDF after all ties
     of a value, which is the textbook ECDF (right-continuous).
 
+    Contract (ADVICE r7): ``value_col`` must be an INTEGRAL column
+    (byte/short/int/long) — the exact-integer gap algebra is defined on
+    the int64 value grid. A float/decimal column raises ``TypeError``
+    instead of being silently floored by the long cast; callers with
+    continuous values scale to a fixed-point grid first (e.g.
+    ``F.round(col * 1000).cast("long")``) — KS is invariant under any
+    strictly monotone transform, so a consistent grid preserves the
+    statistic up to grid resolution.
+
     Plan shape (100 TB): group sizes are one hash aggregation; the
     pair relation is a deliberate cross of that p-row SIZES relation
     with itself (bounded by the number of groups, never by rows) and
@@ -310,6 +319,13 @@ def ks_pairs(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    vtype = df.schema[value_col].dataType.typeName()
+    if vtype not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"ks_pairs: value_col {value_col!r} is {vtype}, not integral — "
+            "scale continuous values to a fixed-point grid (e.g. "
+            "round(col*1000).cast('long')) before calling"
+        )
     vals = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).cast("long").alias("_x")
     )

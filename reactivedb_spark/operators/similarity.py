@@ -273,10 +273,16 @@ def seed_assignments2(df: DataFrame, id_col: str, vec_col: str,
     table, k-row seed table)."""
     spark = df.sparkSession
     k = int(n_clusters)
-    s = _ceil_sqrt(k)
     vecs = df.select(F.col(id_col), _xl_array(vec_col).alias("vl"))
     seed_rows = vecs.orderBy(id_col).limit(k).collect()  # k·d longs, k ≪ n
-    seed_vls = [[int(x) for x in r["vl"]] for r in seed_rows]
+    # Clamp to the rows that exist (ADVICE r7): a corpus smaller than k
+    # (or than ⌈√k⌉) must train with every row as a seed, not index past
+    # the collected list; s is recomputed from the CLAMPED k.
+    if not seed_rows:
+        raise ValueError("seed_assignments2: empty input relation")
+    k = min(k, len(seed_rows))
+    s = min(_ceil_sqrt(k), k)
+    seed_vls = [[int(x) for x in r["vl"]] for r in seed_rows[:k]]
     # seed → super assignment in exact driver-side int math (k·s·d ops)
     seed_g = []
     for ci, sv in enumerate(seed_vls):

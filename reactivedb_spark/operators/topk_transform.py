@@ -98,10 +98,22 @@ def ranked(cfg: TopKTransformConfig, rows: DataFrame) -> DataFrame:
     """``rows`` plus their ``_rn`` rank — one keyed window shuffle on
     the group hash (the same economics as any groupBy). Rank order:
     ``order_by`` (direction per config), then arrival (``_seq``, unique
-    per row, so the order is total and deterministic)."""
+    per row, so the order is total and deterministic).
+
+    NULL handling (ADVICE r7): NULL ``order_by`` values rank LAST in
+    BOTH directions — explicitly ``desc_nulls_last`` /
+    ``asc_nulls_last``, never Spark's direction-dependent default
+    (plain ``asc`` ranks NULLs FIRST, which would let NULL rows fill
+    the k slots ahead of real values on ascending top-k and diverge
+    from the documented lowest-first semantics and from SQL oracles,
+    where DuckDB defaults to NULLS LAST either way)."""
     from pyspark.sql.window import Window
 
-    lead = F.col(cfg.order_by).desc() if cfg.descending else F.col(cfg.order_by).asc()
+    lead = (
+        F.col(cfg.order_by).desc_nulls_last()
+        if cfg.descending
+        else F.col(cfg.order_by).asc_nulls_last()
+    )
     w = Window.partitionBy(C.GROUP_KEY).orderBy(lead, C.SEQ)
     return rows.withColumn("_rn", F.row_number().over(w))
 
