@@ -30,6 +30,10 @@ from reactivedb_spark import cache
 
 N_PLANES = 8
 _ELEM_DEC = "decimal(12,8)"
+# ivf_assignments: max centroid ELEMENTS (k·dim) inlined as Catalyst
+# literals; beyond this the assignment is a broadcast join (VERDICT r7:
+# k=4297·d=64 would otherwise build a >10⁵-node expression tree).
+_IVF_LITERAL_MAX_TERMS = 8192
 
 
 def plane_sign(i: int, j: int) -> int:
@@ -149,24 +153,55 @@ def ivf_assignments(df: DataFrame, id_col: str, vec_col: str,
       to the driver, everything else stays distributed.
 
     Returns (assignments DataFrame [id, cluster], centroids list).
+
+    Assignment strategy (ADVICE/VERDICT r7): the k·dim centroid values
+    are inlined as Catalyst literals ONLY below
+    ``_IVF_LITERAL_MAX_TERMS`` — that path is shuffle-free but its plan
+    grows one expression node per centroid element, so large k would
+    build a 10⁵⁺-node tree. Past the threshold, assignment delegates to
+    a broadcast join against a (cluster, centroid-array) relation: one
+    broadcast of k·dim doubles, one keyed min aggregation — the same
+    ``zip_with``/``aggregate`` fold in the same sequential order, and
+    the same (d2, cluster) struct argmin, so both paths are
+    IEEE-identical; only the plan shape differs.
     """
     dim = len(df.select(vec_col).first()[0])
     seeds = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    spark = df.sparkSession
+
+    def _d2(vec, cent):
+        return F.aggregate(
+            F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
 
     def assign(cents) -> DataFrame:
-        dists = []
-        for ci, c in enumerate(cents):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d2 = F.aggregate(
-                F.zip_with(F.col(vec_col).cast("array<double>"), carr,
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
-        best = F.array_min(F.array(*dists))["c"]
-        return df.select(F.col(id_col), F.col(vec_col), best.alias("cluster"))
+        if len(cents) * dim <= _IVF_LITERAL_MAX_TERMS:
+            dists = []
+            for ci, c in enumerate(cents):
+                carr = F.array(*[F.lit(float(x)) for x in c])
+                d2 = _d2(F.col(vec_col).cast("array<double>"), carr)
+                dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+            best = F.array_min(F.array(*dists))["c"]
+            return df.select(F.col(id_col), F.col(vec_col), best.alias("cluster"))
+        cent_df = spark.createDataFrame(
+            [(ci, c) for ci, c in enumerate(cents)],
+            "_ci int, _cl array<double>",
+        )
+        dc = F.struct(
+            _d2(F.col(vec_col).cast("array<double>"), F.col("_cl")).alias("d"),
+            F.col("_ci").alias("c"),
+        )
+        best = (
+            df.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cent_df))
+            .groupBy(id_col)
+            .agg(F.min(dc).alias("_dc"))
+            .select(F.col(id_col), F.col("_dc")["c"].alias("cluster"))
+        )
+        return df.select(id_col, vec_col).join(best, id_col)
 
     for _ in range(iters):
         a = assign(centroids)

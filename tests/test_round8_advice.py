@@ -100,6 +100,41 @@ def test_seed_assignments2_empty_corpus_raises(spark):
         seed_assignments2(df, "id", "emb", n_clusters=4)
 
 
+# -- ivf_assignments: large k routes off the literal-array path ----------
+
+def test_ivf_assignments_paths_agree(spark, monkeypatch):
+    import reactivedb_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(4)])
+         for i in range(40)],
+        "id long, emb array<double>")
+    lit_rows = sorted(
+        (r["id"], r["cluster"])
+        for r in sim.ivf_assignments(df, "id", "emb", k=4)[0].collect())
+    monkeypatch.setattr(sim, "_IVF_LITERAL_MAX_TERMS", 1)  # force join path
+    join_rows = sorted(
+        (r["id"], r["cluster"])
+        for r in sim.ivf_assignments(df, "id", "emb", k=4)[0].collect())
+    assert lit_rows == join_rows
+
+
+def test_ivf_assignments_k1024_uses_join_not_literal_tree(spark):
+    from reactivedb_spark.operators.similarity import ivf_assignments
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 13 + j) % 17) for j in range(16)])
+         for i in range(1030)],
+        "id long, emb array<double>")
+    assign, cents = ivf_assignments(df, "id", "emb", k=1024, iters=1)
+    assert len(cents) == 1024
+    # the join path's plan is join-shaped and BOUNDED — no k·dim literal
+    # expression tree (k=1024·d=16 would inline 16384 literals)
+    plan = assign._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 200_000
+    assert assign.count() == 1030
+
+
 # -- JoinTransform: key type mismatch is a ConfigError -------------------
 
 def test_join_transform_key_type_mismatch_is_config_error(spark):
