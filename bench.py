@@ -189,13 +189,17 @@ def main() -> None:
     }
     if "--micro" in sys.argv:
         payload["micro"] = run_micro(spark)
-    # the full record also lands on disk, immune to any stdout capture
-    # limit; the driver commits stray files at round end. Subset runs
-    # (--only) must NOT clobber the committed full-suite record.
+    # Record hygiene (VERDICT r7 #3): every full run lands on disk as a
+    # DATED raw file — bench.py never touches BENCH_FULL.json, so a
+    # driver run under a load window can no longer overwrite the
+    # committed calm record in place. Load-gated medians are promoted
+    # into BENCH_FULL.json explicitly via scripts/promote_bench.py
+    # (protocol in BASELINE.md). Subset runs (--only) stay stdout-only.
     if only is None:
         try:
             here = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            stamp = time.strftime("%Y%m%d-%H%M%S", time.gmtime())
+            with open(os.path.join(here, f"BENCH_RAW_{stamp}.json"), "w") as f:
                 json.dump(payload, f, indent=1)
         except OSError:
             pass
