@@ -22,6 +22,27 @@ Determinism contract (oracle-replayed, tests/test_oracle_parity):
   merges alternate occurrences; ``passes`` = 6 reaches the fixpoint for
   identical-pair runs up to 2⁶ — declared, and identical in any engine
   with standard left-to-right non-overlapping replace semantics).
+
+Batched merge learning (``batch`` > 1, VERDICT r7 #4): one aggregation
+round learns up to ``batch`` merges, so a 32k-merge production
+vocabulary costs 32k/batch Spark jobs instead of 32k. Selection rule
+(deterministic AND purely relational, so the SQL oracle replays it):
+
+- rank this round's pairs by (n desc, left, right) and keep the top
+  ``top_c`` (= 16·batch) CANDIDATES — the bounded driver pull;
+- a candidate QUALIFIES iff no higher-ranked candidate shares a symbol
+  with it (dominance filter). Qualifying pairs are pairwise
+  symbol-DISJOINT — {l,r} sets never intersect — so their replaces
+  touch disjoint symbol occurrences, commute, and each selected pair's
+  pre-round count stays exact after the other replaces apply;
+- the round schedule is FIXED: ceil(merges/batch) rounds, round r
+  selecting the first min(batch, merges−batch·r) qualifying pairs by
+  rank; merge_rank numbers them sequentially across rounds. Rank 1
+  always qualifies, so every non-empty round learns ≥ 1 merge; a round
+  may under-fill when the dominance filter thins the candidates, and
+  the shortfall is NOT made up by extra rounds — total merges simply
+  fall short, identically on both engines (declared; keeps the round
+  count static so the SQL oracle unrolls it).
 """
 
 from __future__ import annotations
@@ -31,11 +52,34 @@ from pyspark.sql import DataFrame, functions as F
 from reactivedb_spark import cache
 
 
+def _select_batch(ranked_rows, limit: int) -> list:
+    """Dominance-filtered batch selection over the (already ranked)
+    candidate rows: a candidate qualifies iff NO higher-ranked candidate
+    shares a symbol with it; the first ``limit`` qualifying rows win.
+    Driver-side over ≤ top_c rows — the oracle replays the same rule
+    relationally (NOT EXISTS over rank-lower symbol overlap)."""
+    out = []
+    for i, row in enumerate(ranked_rows):
+        syms = {row["l"], row["r"]}
+        dominated = any(
+            q["l"] in syms or q["r"] in syms for q in ranked_rows[:i]
+        )
+        if not dominated:
+            out.append(row)
+            if len(out) == limit:
+                break
+    return out
+
+
 def bpe_train(df: DataFrame, text_col: str, merges: int = 6,
-              passes: int = 6) -> DataFrame:
+              passes: int = 6, batch: int = 1) -> DataFrame:
     """Learn ``merges`` BPE merges from the corpus; emits one row per
-    learned merge: (merge_rank, left_sym, right_sym, n_pair)."""
+    learned merge: (merge_rank, left_sym, right_sym, n_pair).
+    ``batch`` > 1 learns up to that many symbol-disjoint merges per
+    aggregation round (module docstring: the dominance-filter rule)."""
     spark = df.sparkSession
+    batch = max(1, int(batch))
+    top_c = 16 * batch
     words = (
         df.select(
             F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("w")
@@ -50,7 +94,12 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 6,
         "cnt",
     ))
     learned = []
-    for r in range(int(merges)):
+    # FIXED round schedule (static, so the oracle unrolls identically):
+    # ceil(merges/batch) rounds, round r capped at min(batch, merges−b·r).
+    # A round that under-fills is NOT made up by extra rounds — the total
+    # simply falls short, on both engines alike.
+    n_rounds = -(-int(merges) // batch)
+    for rnd in range(n_rounds):
         pairs = (
             cur.select("cnt", F.split(F.trim(F.col("s")), " ").alias("arr"))
             .select("cnt", F.explode(F.expr(
@@ -63,16 +112,18 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 6,
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").cast("long").alias("n"))
         )
-        best = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
-        if not best:
+        cand = pairs.orderBy(F.col("n").desc(), "l", "r").limit(top_c).collect()
+        picked = _select_batch(cand, min(batch, int(merges) - batch * rnd))
+        if not picked:
             break
-        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
-        learned.append((r + 1, left, right, n))
         col = F.col("s")
-        for _ in range(int(passes)):
-            col = F.replace(
-                col, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
-            )
+        for row in picked:
+            left, right, n = row["l"], row["r"], int(row["n"])
+            learned.append((len(learned) + 1, left, right, n))
+            for _ in range(int(passes)):
+                col = F.replace(
+                    col, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+                )
         cur = cache.pin(cur.select(col.alias("s"), "cnt"))
     return spark.createDataFrame(
         learned, "merge_rank int, left_sym string, right_sym string, n_pair long"

@@ -877,6 +877,87 @@ def _bpe_train_sql(merges: int = 6, passes: int = 6) -> str:
 SQL_BPE_TRAIN = _bpe_train_sql()
 
 
+def q_bpe_train_batched(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCHED BPE merge learning (operators/bpe.py, VERDICT r7 #4):
+    64 merges in 8 aggregation rounds of up to 8 symbol-disjoint merges
+    each — the round schedule is fixed and the selection rule
+    (rank by (n desc, l, r), keep top 128 candidates, dominance-filter
+    on symbol overlap, take the first 8 qualifying) is purely
+    relational, so the oracle unrolls the identical 8 rounds in SQL:
+    candidate ranking, NOT-EXISTS dominance, per-slot replace chain and
+    the cross-round merge_rank numbering are all replayed. A wrong
+    dominance test, a candidate-cap drift or a misordered batch breaks
+    the hash."""
+    from reactivedb_spark.operators.bpe import bpe_train
+
+    return bpe_train(load(spark, sf, "documents"), "text",
+                     merges=64, passes=6, batch=8)
+
+
+def _bpe_train_batched_sql(merges: int = 64, passes: int = 6,
+                           batch: int = 8) -> str:
+    top_c = 16 * batch
+    n_rounds = -(-merges // batch)
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1)"""
+    ]
+    unions = []
+    for r in range(n_rounds):
+        limit_r = min(batch, merges - batch * r)
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT arr[i] AS l, arr[i+1] AS r2, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(s), ' ') AS arr, cnt,
+               unnest(range(1, len(string_split(trim(s), ' ')))) AS i
+        FROM w{r})
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""rk{r} AS MATERIALIZED (
+  SELECT l, r2, n, row_number() OVER (ORDER BY n DESC, l, r2) AS rk
+  FROM p{r} ORDER BY n DESC, l, r2 LIMIT {top_c})"""
+        )
+        ctes.append(
+            f"""b{r} AS MATERIALIZED (
+  SELECT l, r2, n, row_number() OVER (ORDER BY rk) AS j
+  FROM rk{r} a
+  WHERE NOT EXISTS (SELECT 1 FROM rk{r} b WHERE b.rk < a.rk
+    AND (b.l = a.l OR b.l = a.r2 OR b.r2 = a.l OR b.r2 = a.r2))
+  ORDER BY rk LIMIT {limit_r})"""
+        )
+        rep = "s"
+        for j in range(1, limit_r + 1):
+            # a slot with no selected pair must be an identity replace:
+            # the two-space fallback pattern can never occur in the
+            # single-space-separated symbol strings
+            pat = (f"coalesce((SELECT ' ' || l || ' ' || r2 || ' ' "
+                   f"FROM b{r} WHERE j = {j}), '  ')")
+            sub = (f"coalesce((SELECT ' ' || l || r2 || ' ' "
+                   f"FROM b{r} WHERE j = {j}), '')")
+            for _ in range(passes):
+                rep = f"replace({rep}, {pat}, {sub})"
+        ctes.append(f"w{r + 1} AS MATERIALIZED (SELECT {rep} AS s, cnt FROM w{r})")
+        unions.append(
+            f"SELECT {r} AS rnd, j, l AS left_sym, r2 AS right_sym, "
+            f"n AS n_pair FROM b{r}"
+        )
+    body = " UNION ALL ".join(unions)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(row_number() OVER (ORDER BY rnd, j) AS INT) AS merge_rank,"
+        " left_sym, right_sym, n_pair\n"
+        f"FROM ({body})"
+    )
+
+
+SQL_BPE_TRAIN_BATCHED = _bpe_train_batched_sql()
+
+
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return d.select(
@@ -2386,6 +2467,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "char_entropy": q_char_entropy,
     "bpe_train": q_bpe_train,
+    "bpe_train_batched": q_bpe_train_batched,
     "token_count": q_token_count,
     "token_bpe": q_token_bpe,
     "fingerprint": q_fingerprint,
@@ -2446,6 +2528,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "char_entropy": SQL_CHAR_ENTROPY,
     "bpe_train": SQL_BPE_TRAIN,
+    "bpe_train_batched": SQL_BPE_TRAIN_BATCHED,
     "token_count": SQL_TOKEN_COUNT,
     "token_bpe": SQL_TOKEN_BPE,
     "fingerprint": SQL_FINGERPRINT,

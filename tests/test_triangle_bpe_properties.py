@@ -97,3 +97,90 @@ def test_bpe_train_matches_reference(spark, seed):
         for r in bpe_train(df, "text", merges=4).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def _ref_bpe_batched(word_counts, merges, passes=6, batch=8):
+    """Pure-python replay of the BATCHED selection contract
+    (operators/bpe.py module docstring): fixed ceil(merges/batch) round
+    schedule, (n desc, l, r) rank, top-16·batch candidate cap, dominance
+    filter on symbol overlap, first min(batch, merges−batch·r)
+    qualifying pairs per round."""
+    state = {}
+    for w, c in word_counts.items():
+        s = " " + " ".join(list(w)) + " "
+        state[s] = state.get(s, 0) + c
+    learned = []
+    n_rounds = -(-merges // batch)
+    for rnd in range(n_rounds):
+        pairs = {}
+        for s, c in state.items():
+            arr = s.strip().split(" ")
+            for i in range(len(arr) - 1):
+                pairs[(arr[i], arr[i + 1])] = pairs.get((arr[i], arr[i + 1]), 0) + c
+        cand = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: 16 * batch]
+        picked, limit = [], min(batch, merges - batch * rnd)
+        for i, ((l, r), n) in enumerate(cand):
+            syms = {l, r}
+            if any(pl in syms or pr in syms for (pl, pr), _ in cand[:i]):
+                continue
+            picked.append((l, r, n))
+            if len(picked) == limit:
+                break
+        if not picked:
+            break
+        new_state = {}
+        for s, c in state.items():
+            for l, r, _ in picked:
+                pat, rep = f" {l} {r} ", f" {l}{r} "
+                for _ in range(passes):
+                    s = s.replace(pat, rep)
+            new_state[s] = new_state.get(s, 0) + c
+        for l, r, n in picked:
+            learned.append((len(learned) + 1, l, r, n))
+        state = new_state
+    return learned
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_bpe_train_batched_matches_reference(spark, seed):
+    from reactivedb_spark.operators.bpe import bpe_train
+
+    rng = random.Random(seed)
+    vocab = ["".join(rng.choices("abcdef", k=rng.randint(2, 7))) for _ in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    counts = {}
+    for _, text in docs:
+        for w in text.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    expected = _ref_bpe_batched(counts, merges=12, batch=4)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["n_pair"])
+        for r in bpe_train(df, "text", merges=12, batch=4)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_batch_is_symbol_disjoint_and_batch1_is_sequential(spark):
+    from reactivedb_spark.operators.bpe import bpe_train
+
+    docs = [(i, "banana bandana cabana banana") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    seq = [(r["left_sym"], r["right_sym"], r["n_pair"])
+           for r in bpe_train(df, "text", merges=3, batch=1)
+           .orderBy("merge_rank").collect()]
+    ref = _ref_bpe(
+        {"banana": 20, "bandana": 10, "cabana": 10}, merges=3)
+    assert seq == [(l, r, n) for _, l, r, n in ref]
+    # one batched round: selected pairs must be pairwise symbol-disjoint
+    batched = [(r["left_sym"], r["right_sym"])
+               for r in bpe_train(df, "text", merges=3, batch=3)
+               .orderBy("merge_rank").collect()]
+    seen = set()
+    for l, r in batched:
+        assert l not in seen and r not in seen
+        seen.update((l, r))
