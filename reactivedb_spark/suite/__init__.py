@@ -13,86 +13,87 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 
 # Registration order is part of the external contract: the driver's
 # correctness gate checks the FIRST 50 registered queries. _WINDOW is the
-# explicit round-7 rotation (VERDICT r6 "Next round" #1):
-#   slots 1-21  — the 21 queries whose newest green row is r4 (the
-#                 stalest evidence in the pool). streaming_dedup leads:
-#                 it switched to the RocksDB state-store provider AFTER
-#                 its last green row, so its rotation green doubles as
-#                 the provider-invariance proof. The rest alphabetical.
-#   slots 22-37 — the sixteen NEW round-7 queries (driver-unchecked
-#                 by definition): streaming_outer_join,
-#                 wav_frame_features, triangle_count, char_entropy,
-#                 bpe_train, streaming_timeout_sessions, join_transform,
-#                 phrase_search, ngram_novelty, regression_by_group,
-#                 stream_static_enrich, topk_transform, kmeans_iterate,
-#                 ks_drift, corr_matrix, bpe_encode.
-#   slots 38-50 — 13 of the 15 queries whose only green row is r5
-#                 (fewest-greens-first), alphabetical; the displaced
-#                 tail (zorder_scan, zscore_outliers [single-green r5],
-#                 array_filter_dsl, decontaminate,
-#                 graph_components_star, multimodal_png_decode,
-#                 multimodal_wav_decode, pack_budget, pii_scrub,
-#                 sample_hash, sample_stratified, streaming_sessionize,
-#                 struct_map_project, text_repetition, tfidf_top_terms,
-#                 top_bigrams — all newest-green r5) leads the next
-#                 rotation.
+# explicit round-8 rotation (VERDICT r7 "Next round" #1):
+#   slot 1      — join_transform_diamond: the ONLY registered query with
+#                 zero driver evidence (landed after the r7 window
+#                 froze; builder-verified only until now).
+#   slots 2-38  — the 37 queries whose newest green row is r5 (the
+#                 stalest evidence in the pool), alphabetical.
+#   slots 39-40 — the two NEW/CHANGED round-8 queries (driver-unchecked
+#                 by definition): bpe_train_batched (VERDICT #4:
+#                 batched merge learning, merges=64 in 8 rounds) and
+#                 corpus_clean_cc (VERDICT #6: transitive-clustering
+#                 near-dup removal).
+#   slots 41-50 — r6-green queries fewest-greens-first: the five with a
+#                 single green row (dedup_containment_zipf,
+#                 expr_functions, semantic_dedup,
+#                 streaming_dedup_watermark, streaming_late_data), then
+#                 the double-green set alphabetical (ann_knn_join,
+#                 asof_forward, bloom_semi_join, bm25_topk,
+#                 chunk_windows). VERDICT #1 asked for 12 r6 slots; two
+#                 are given to the two new queries it also demanded
+#                 gates for (#4/#6) — the displaced pair
+#                 (cms_heavy_hitters, dag_chain) leads the r9 r6-block
+#                 with the rest of the double-green set.
 # Everything not in _WINDOW keeps its registration but lands in the tail
-# (latest evidence r5/r6 — ≤2 rounds old at round 7); they rotate back in
+# (latest evidence r6/r7 — ≤2 rounds old at round 8); they rotate back in
 # next round. tests/test_suite_registration.py enforces this layout.
 _WINDOW = (
-    # r4-stale (newest green three rounds old by round 7's gate)
-    "streaming_dedup",  # provider-invariance proof: RocksDB adopted post-green
-    "anti_join",
-    "asof_join",
-    "cube_orders",
-    "distinct_agg",
-    "median_price",
-    "pivot_priority",
-    "revenue_by_nation",
-    "rollup_orders",
-    "semi_join",
-    "set_ops",
-    "source_orc",
-    "source_partitioned",
-    "streaming_sliding",
-    "streaming_stateful_totals",
-    "streaming_stream_join",
-    "streaming_tumbling",
-    "table_profile",
-    "tpch_q1_like",
-    "unigram_logprob",
-    "winsorize_prices",
-    # new round-7 queries (driver-unchecked by definition)
-    "streaming_outer_join",  # new r7: watermark-driven null emission
-    "wav_frame_features",  # new r7: windowed audio features over real WAV
-    "triangle_count",  # new r7: degree-oriented exact triangle counting
-    "char_entropy",  # new r7: per-doc Shannon entropy quality signal
-    "bpe_train",  # new r7: distributed BPE merge learning
-    "streaming_timeout_sessions",  # new r7: event-time-timer custom operator
-    "join_transform",  # new r7: incrementally maintained inner equi-join
-    "phrase_search",  # new r7: positional-index exact phrase query
-    "ngram_novelty",  # new r7: per-doc first-seen 8-gram fraction
-    "regression_by_group",  # new r7: exact-sum OLS as one aggregation
-    "stream_static_enrich",  # new r7: stateless stream-static dim join
-    "topk_transform",  # new r7: incrementally maintained per-group top-k
-    "kmeans_iterate",  # new r7: grid-quantized Lloyd's, exact unrolled oracle
-    "ks_drift",  # new r7: exact two-sample KS over source pairs
-    "corr_matrix",  # new r7: one-pass exact-sum Pearson matrix
-    "bpe_encode",  # new r7: train-then-apply BPE tokenization
-    # single-green r5 set, alphabetical (all 15)
-    "bucketed_join",
-    "chunk_transform",
-    "dedup_containment",
-    "dedup_containment_exact",
-    "dedup_jaccard_guarded",
-    "full_outer_join",
-    "funnel_stages",
-    "multimodal_jpeg_decode",
-    "pq_rerank",
-    "source_schema_evolution",
-    "span_dedup_rewrite",
-    "store_time_travel",
-    "textstats_transform",
+    # the one query with zero driver evidence, ever
+    "join_transform_diamond",
+    # r5-stale (newest green three rounds old by round 8's gate)
+    "action_transform",
+    "aggregation_transform",
+    "ann_ivf_topk",
+    "array_filter_dsl",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "delete_cascade",
+    "events_hourly",
+    "expr_arithmetic",
+    "filter_transform",
+    "find_one",
+    "function_transform",
+    "get_all",
+    "graph_components_star",
+    "greater_than",
+    "less_than",
+    "multimodal_embed",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+    "pack_budget",
+    "pii_scrub",
+    "sample_hash",
+    "sample_stratified",
+    "sessionize",
+    "streaming_aggregate",
+    "streaming_sessionize",
+    "struct_map_project",
+    "text_repetition",
+    "tfidf_top_terms",
+    "token_bpe",
+    "top_bigrams",
+    "union_transform",
+    "zorder_scan",
+    "zscore_outliers",
+    # new round-8 queries (driver-unchecked by definition)
+    "bpe_train_batched",  # new r8: 64 merges in 8 dominance-filtered rounds
+    "corpus_clean_cc",  # new r8: transitive-clustering near-dup removal
+    # r6 single-green
+    "dedup_containment_zipf",
+    "expr_functions",
+    "semantic_dedup",
+    "streaming_dedup_watermark",
+    "streaming_late_data",
+    # r6 double-green, alphabetical head
+    "ann_knn_join",
+    "asof_forward",
+    "bloom_semi_join",
+    "bm25_topk",
+    "chunk_windows",
 )
 assert len(_WINDOW) == 50
 

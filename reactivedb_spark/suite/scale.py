@@ -2123,6 +2123,61 @@ WHERE doc_id NOT IN (SELECT doc_b FROM losers)
 )
 
 
+def q_corpus_clean_cc(spark: SparkSession, sf: str) -> DataFrame:
+    """corpus_clean with TRANSITIVE near-dup clustering (VERDICT r7 #6):
+    the keep-first rule under-merges chains a~b~c when a~c is below
+    threshold; cluster=True runs connected components over the verified
+    pair graph and keeps exactly the min-id doc per component. Oracle:
+    the same composed pipeline with a recursive reachability CTE in
+    place of the keep-first losers."""
+    from reactivedb_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(dedup.widen(load(spark, sf, "documents")), cluster=True)
+
+
+SQL_CORPUS_CLEAN_CC = (
+    "WITH RECURSIVE scored AS (SELECT doc_id, text, "
+    + _QUALITY_SQL
+    + " AS quality, "
+    + ", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in LANG_ORDER)
+    + " FROM documents), "
+    + "langed AS (SELECT doc_id, text, quality, "
+    + _lang_case_sql()
+    + " AS pred_lang FROM scored), "
+    + "gated AS (SELECT * FROM langed WHERE quality >= 0.5 AND pred_lang IN ('en')), "
+    + "reps AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(lower(trim(text)))), "
+    + "exact AS (SELECT g.* FROM gated g JOIN reps r ON r.doc_id = g.doc_id), "
+    + _tok_cte("exact")
+    + ", " + _SIG_CTE + ", " + _BANDED_CTE + ", " + _PAIRS_CTE + """,
+sets AS (
+  SELECT doc_id, list(DISTINCT token) AS toks,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+         sa.n_tok AS n_a, sb.n_tok AS n_b
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b),
+cedges AS (
+  SELECT doc_a, doc_b FROM jac
+  WHERE n_inter > 0
+    AND CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM cedges
+        UNION SELECT doc_b, doc_a FROM cedges),
+reach AS (
+  SELECT s AS doc, s AS r FROM sym
+  UNION
+  SELECT y.d AS doc, re.r FROM reach re JOIN sym y ON y.s = re.doc),
+losers AS (
+  SELECT doc AS doc_id FROM reach GROUP BY doc HAVING min(r) < doc)
+SELECT doc_id, text, quality, pred_lang FROM exact
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+)
+
+
 
 
 def q_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
@@ -2447,6 +2502,7 @@ QUERIES = {
     "streaming_outer_join": q_streaming_outer_join,
     "streaming_timeout_sessions": q_streaming_timeout_sessions,
     "corpus_clean": q_corpus_clean,
+    "corpus_clean_cc": q_corpus_clean_cc,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
@@ -2508,6 +2564,7 @@ ORACLES = {
     "streaming_timeout_sessions": SQL_STREAMING_TIMEOUT_SESSIONS,
     "streaming_dedup_watermark": SQL_STREAMING_DEDUP_WATERMARK,
     "corpus_clean": SQL_CORPUS_CLEAN,
+    "corpus_clean_cc": SQL_CORPUS_CLEAN_CC,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,

@@ -1,68 +1,74 @@
 """Registration-order contract: the driver's correctness gate checks the
-FIRST 50 registered queries. Round-7 rotation (VERDICT r6 #1): the 21
-queries whose newest green row is r4 occupy slots 1-21 with
-``streaming_dedup`` first (it switched to the RocksDB state-store
-provider after its last green row, so its rotation green is also the
-provider-invariance proof); the sixteen NEW round-7 queries
-(streaming_outer_join, wav_frame_features, triangle_count,
-char_entropy, bpe_train, streaming_timeout_sessions, join_transform,
-phrase_search, ngram_novelty, regression_by_group,
-stream_static_enrich, topk_transform, kmeans_iterate, ks_drift,
-corr_matrix, bpe_encode — driver-unchecked by definition) take slots
-22-37; 13 of the 15 single-green-r5 queries fill slots 38-50
-(zorder_scan and zscore_outliers, alphabetically last, join the
-displaced tail — their newest green stays r5 like the displaced
-double-green set).
-Everything else — latest evidence r5/r6, i.e. <=2 rounds old — fills
+FIRST 50 registered queries. Round-8 rotation (VERDICT r7 #1):
+``join_transform_diamond`` — the only registered query with zero driver
+evidence — takes slot 1; the 37 queries whose newest green row is r5
+fill slots 2-38 alphabetically; the two NEW/CHANGED round-8 queries
+(bpe_train_batched, corpus_clean_cc — driver-unchecked by definition)
+take slots 39-40; slots 41-50 hold r6-green queries fewest-greens-first
+(the five single-green, then the double-green set alphabetically —
+cms_heavy_hitters and dag_chain are displaced by the two new queries
+and lead the r9 r6-block).
+Everything else — latest evidence r6/r7, i.e. <=2 rounds old — fills
 the tail and rotates back next round."""
 
 from reactivedb_spark import suite
 
-R4_STALE = [
-    "streaming_dedup",  # leads: RocksDB provider adopted after last green
-    "anti_join",
-    "asof_join",
-    "cube_orders",
-    "distinct_agg",
-    "median_price",
-    "pivot_priority",
-    "revenue_by_nation",
-    "rollup_orders",
-    "semi_join",
-    "set_ops",
-    "source_orc",
-    "source_partitioned",
-    "streaming_sliding",
-    "streaming_stateful_totals",
-    "streaming_stream_join",
-    "streaming_tumbling",
-    "table_profile",
-    "tpch_q1_like",
-    "unigram_logprob",
-    "winsorize_prices",
+R5_STALE = [
+    "action_transform",
+    "aggregation_transform",
+    "ann_ivf_topk",
+    "array_filter_dsl",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "delete_cascade",
+    "events_hourly",
+    "expr_arithmetic",
+    "filter_transform",
+    "find_one",
+    "function_transform",
+    "get_all",
+    "graph_components_star",
+    "greater_than",
+    "less_than",
+    "multimodal_embed",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+    "pack_budget",
+    "pii_scrub",
+    "sample_hash",
+    "sample_stratified",
+    "sessionize",
+    "streaming_aggregate",
+    "streaming_sessionize",
+    "struct_map_project",
+    "text_repetition",
+    "tfidf_top_terms",
+    "token_bpe",
+    "top_bigrams",
+    "union_transform",
+    "zorder_scan",
+    "zscore_outliers",
 ]
 
-NEW_R7 = ["streaming_outer_join", "wav_frame_features", "triangle_count",
-          "char_entropy", "bpe_train", "streaming_timeout_sessions",
-          "join_transform", "phrase_search", "ngram_novelty",
-          "regression_by_group", "stream_static_enrich",
-          "topk_transform", "kmeans_iterate", "ks_drift", "corr_matrix",
-          "bpe_encode"]
+NEW_R8 = ["bpe_train_batched", "corpus_clean_cc"]
 
-SINGLE_GREEN_R5 = [
-    "bucketed_join",
-    "chunk_transform",
-    "dedup_containment",
-    "dedup_containment_exact",
-    "dedup_jaccard_guarded",
-    "full_outer_join",
-    "funnel_stages",
-    "multimodal_jpeg_decode",
-    "pq_rerank",
-    "source_schema_evolution",
-    "span_dedup_rewrite",
-    "store_time_travel",
-    "textstats_transform",
+R6_SINGLE_GREEN = [
+    "dedup_containment_zipf",
+    "expr_functions",
+    "semantic_dedup",
+    "streaming_dedup_watermark",
+    "streaming_late_data",
+]
+
+R6_DOUBLE_GREEN_HEAD = [
+    "ann_knn_join",
+    "asof_forward",
+    "bloom_semi_join",
+    "bm25_topk",
+    "chunk_windows",
 ]
 
 
@@ -70,16 +76,20 @@ def test_window_layout():
     q = list(suite.all_queries())
     assert len(q) == len(set(q)), "duplicate query names"
     assert list(q[:50]) == list(suite._WINDOW)
-    # the r4-stale set leads the window (streaming_dedup first), the
-    # never-checked round-7 queries follow, then the single-green-r5 set
-    assert q[: len(R4_STALE)] == R4_STALE
-    n = len(R4_STALE)
-    assert q[n: n + len(NEW_R7)] == NEW_R7
-    n += len(NEW_R7)
-    assert q[n: n + len(SINGLE_GREEN_R5)] == SINGLE_GREEN_R5
-    # slots 44-50 are alphabetical
-    tail = q[n + len(SINGLE_GREEN_R5): 50]
-    assert tail == sorted(tail)
+    # slot 1: the only never-driver-gated query
+    assert q[0] == "join_transform_diamond"
+    # slots 2-38: the r5-stale set, alphabetical
+    assert q[1: 1 + len(R5_STALE)] == R5_STALE
+    assert R5_STALE == sorted(R5_STALE)
+    n = 1 + len(R5_STALE)
+    # slots 39-40: the new round-8 queries
+    assert q[n: n + len(NEW_R8)] == NEW_R8
+    n += len(NEW_R8)
+    # slots 41-45: r6 single-green; 46-50: r6 double-green alphabetical
+    assert q[n: n + len(R6_SINGLE_GREEN)] == R6_SINGLE_GREEN
+    n += len(R6_SINGLE_GREEN)
+    assert q[n: 50] == R6_DOUBLE_GREEN_HEAD
+    assert R6_DOUBLE_GREEN_HEAD == sorted(R6_DOUBLE_GREEN_HEAD)
 
 
 def test_window_names_exist_in_pool():
