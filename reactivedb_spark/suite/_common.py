@@ -15,6 +15,47 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return read_fixture(spark, sf_dir, table)
 
 
+def spread(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Round-robin the rows across ``factor × defaultParallelism``
+    partitions ahead of a Python-codec ``mapInPandas`` stage.
+
+    Load-robustness, not throughput (VERDICT r7 #2): the single-file
+    fixtures read as a handful of partitions, so the codec stage runs
+    as ~#cores tasks — under host load ONE straggling Python worker
+    gates the whole stage (multimodal_jpeg_decode hit 12.6× its median
+    at load1 9.1; wav_decode 7.2×). With ~4× tasks per core the
+    scheduler work-steals around a slow core and a straggler delays one
+    small slice instead of the stage. Calm-run cost is a tiny
+    round-robin shuffle of id+text rows plus ~100 extra task launches
+    (~ms each). At 100 TB the input already arrives in thousands of
+    partitions and a caller would skip this; it's fixture plumbing."""
+    spark = df.sparkSession
+    return df.repartition(factor * spark.sparkContext.defaultParallelism)
+
+
+def dump_stream_progress(q, name: str) -> None:
+    """Evidence channel for streaming load adjudication (VERDICT r7 #3,
+    the RDB_MM_PROF convention): when ``$RDB_STREAM_PROF`` names a file,
+    append one JSON line per micro-batch of the finished query —
+    trigger/addBatch/getBatch/walCommit/stateOperator durations straight
+    from Spark's StreamingQueryProgress — so a slow suite row can be
+    decomposed into WHICH batch and WHICH phase stalled instead of
+    argued about."""
+    import json
+    import os as _os
+
+    path = _os.environ.get("RDB_STREAM_PROF")
+    if not path:
+        return
+    try:
+        with open(path, "a") as f:
+            for p in q.recentProgress:
+                rec = p if isinstance(p, dict) else json.loads(p.json)
+                f.write(json.dumps({"query": name, "progress": rec}) + "\n")
+    except Exception:
+        pass  # evidence channel must never fail the query
+
+
 @contextlib.contextmanager
 def streaming_shuffle(spark: SparkSession, n: int = 8):
     """Pin a small shuffle-partition count around a streaming replay.

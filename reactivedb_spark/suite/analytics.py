@@ -19,7 +19,8 @@ from reactivedb_spark import cache, stats
 from reactivedb_spark.engine import Engine
 from reactivedb_spark.operators import rangejoin, sketch
 from reactivedb_spark.sources.readers import read_table
-from reactivedb_spark.suite._common import load, rocksdb_state, streaming_shuffle
+from reactivedb_spark.suite._common import (
+    dump_stream_progress, load, rocksdb_state, spread, streaming_shuffle)
 
 NS_PER_WEEK = 7 * 24 * 3600 * 1_000_000_000
 NS_PER_DAY = 24 * 3600 * 1_000_000_000
@@ -798,7 +799,7 @@ def q_multimodal_pixel_features(spark: SparkSession, sf: str) -> DataFrame:
     decoder bug (filter, inflate, geometry) shifts the means and breaks
     the match. Output exploded long-form (doc_id, j, feat): scalar
     columns hash-compare robustly across engines."""
-    d = load(spark, sf, "documents")
+    d = spread(load(spark, sf, "documents"))  # straggler smoothing
     from reactivedb_spark.functions import multimodal
 
     pay = multimodal.encode_png(d, "doc_id", "text", width=16)
@@ -844,7 +845,7 @@ def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     match."""
     from reactivedb_spark.functions import multimodal
 
-    d = load(spark, sf, "documents")
+    d = spread(load(spark, sf, "documents"))  # straggler smoothing
     pay = multimodal.encode_png(d, "doc_id", "text", width=16)
     rez = multimodal.resize(pay, "doc_id", target=8)
     return multimodal.decode_png(rez, "doc_id")
@@ -1036,6 +1037,7 @@ def q_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
         try:
             q.awaitTermination()
         finally:
+            dump_stream_progress(q, "streaming_tumbling")
             q.stop()
     return spark.table(name).select(
         F.unix_micros(F.col("window.start")).alias("hour_start_us"), "n", "uid_sum"

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from reactivedb_spark.operators import dedup, numeric, retrieval, timeseries
 from reactivedb_spark.operators.similarity import pq_topk
-from reactivedb_spark.suite._common import load, streaming_shuffle
+from reactivedb_spark.suite._common import (
+    dump_stream_progress, load, streaming_shuffle)
 
 NS_PER_HOUR = 3600 * 1_000_000_000
 RESAMPLE_NS = 6 * NS_PER_HOUR
@@ -244,6 +245,7 @@ def q_streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
         try:
             q.awaitTermination()
         finally:
+            dump_stream_progress(q, "streaming_sliding")
             q.stop()
     return spark.table(name).select(
         (F.unix_timestamp("window.start") * F.lit(1_000_000)).cast("long")

@@ -16,7 +16,7 @@ from reactivedb_spark.functions import multimodal, text as textfns
 from reactivedb_spark.functions.text import LANG_MARKERS, LANG_ORDER
 from reactivedb_spark.operators import dedup, similarity
 from reactivedb_spark.suite._common import (
-    load, replay_batches, rocksdb_state, streaming_shuffle)
+    load, replay_batches, rocksdb_state, spread, streaming_shuffle)
 
 EMB_DIM = 64
 HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
@@ -477,7 +477,7 @@ def q_multimodal_embed(spark: SparkSession, sf: str) -> DataFrame:
     real model behind the same signature."""
     from reactivedb_spark.functions import multimodal
 
-    d = multimodal.with_payload(load(spark, sf, "documents"), "text")
+    d = multimodal.with_payload(spread(load(spark, sf, "documents")), "text")
     # persist: the cosine's query/corpus/norm branches would otherwise
     # re-run the Python feature extractor once each
     feats = cache.pin(multimodal.extract_features(d, "doc_id"))
@@ -1292,7 +1292,7 @@ SELECT o_orderkey AS node, mn AS cluster FROM sized WHERE n >= 2
 # ---------------------------------------------------------------------------
 
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
-    d = multimodal.with_payload(load(spark, sf, "documents"), "text")
+    d = multimodal.with_payload(spread(load(spark, sf, "documents")), "text")
     return multimodal.decode_metadata(d, "doc_id")
 
 
@@ -1304,7 +1304,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     ``pix_sum`` sums the decoded samples. The oracle recomputes the
     expected geometry and pixel sum from the same source text — any
     header mis-parse, inflate bug or filter error breaks the match."""
-    d = load(spark, sf, "documents")
+    d = spread(load(spark, sf, "documents"))  # straggler smoothing
     pay = multimodal.encode_png(d, "doc_id", "text", width=16)
     return multimodal.decode_png(pay, "doc_id")
 
@@ -1338,12 +1338,10 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     values — the oracle recomputes geometry and pixel sum from the same
     source text; any marker mis-parse, Huffman or IDCT bug breaks the
     match."""
-    # the single-file fixture reads as a couple of partitions; spread the
-    # Python codec work across the cores (at 100 TB the input arrives in
-    # thousands of partitions and this repartition is a no-op decision)
-    d = load(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # _common.spread: ~4 tasks per core so a host-load straggler delays
+    # one slice, not the stage (at 100 TB the input arrives in thousands
+    # of partitions and this repartition is a no-op decision)
+    d = spread(load(spark, sf, "documents"))
     pay = multimodal.encode_jpeg(d, "doc_id", "text", blocks_per_row=16)
     return multimodal.decode_jpeg(pay, "doc_id")
 
@@ -1371,7 +1369,7 @@ def q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     |sample| over the unpacked PCM data; the oracle recomputes the
     expected header fields and amplitude sum from the same source text —
     a chunk mis-parse or sample unpack bug breaks the match."""
-    d = load(spark, sf, "documents")
+    d = spread(load(spark, sf, "documents"))  # straggler smoothing
     pay = multimodal.encode_wav(d, "doc_id", "text", sample_rate=8000)
     return multimodal.decode_wav(pay, "doc_id")
 
@@ -1403,7 +1401,7 @@ def q_wav_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     (b−128)·256; crossings where consecutive in-frame bytes straddle
     byte 96). A RIFF mis-parse, off-by-one at a frame boundary, or a
     boundary-pair leak breaks the match."""
-    d = load(spark, sf, "documents")
+    d = spread(load(spark, sf, "documents"))  # straggler smoothing
     pay = multimodal.encode_wav(d, "doc_id", "text", sample_rate=8000)
     return multimodal.wav_frame_features(pay, "doc_id", frame=256)
 
@@ -1438,7 +1436,7 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     the payload is a fake 'frame'; emitted as (doc_id, frame_no,
     frame_len). The Arrow plumbing is real; the oracle recomputes the
     window arithmetic in SQL."""
-    d = multimodal.with_payload(load(spark, sf, "documents"), "text")
+    d = multimodal.with_payload(spread(load(spark, sf, "documents")), "text")
     frames = multimodal.sample_frames(d, "doc_id", every_n=100)
     return frames.select(
         "doc_id", "frame_no", F.octet_length("frame").cast("long").alias("frame_len")
