@@ -154,6 +154,17 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Streaming evidence channel (VERDICT r7 #3): every bench run captures
+    # per-micro-batch phase timings for the streaming replays into a dated
+    # sidecar, so a slow streaming row in a driver-visible run arrives
+    # WITH the trace that says which batch/phase stalled. Appended lazily —
+    # the file only exists if a streaming query ran.
+    here = os.path.dirname(os.path.abspath(__file__))
+    run_stamp = time.strftime("%Y%m%d-%H%M%S", time.gmtime())
+    os.environ.setdefault(
+        "RDB_STREAM_PROF",
+        os.path.join(here, f"BENCH_STREAMPROF_{run_stamp}.jsonl"))
+
     from reactivedb_spark.session import get_spark
 
     spark = get_spark("bench", cpus=cpus)
@@ -197,9 +208,7 @@ def main() -> None:
     # (protocol in BASELINE.md). Subset runs (--only) stay stdout-only.
     if only is None:
         try:
-            here = os.path.dirname(os.path.abspath(__file__))
-            stamp = time.strftime("%Y%m%d-%H%M%S", time.gmtime())
-            with open(os.path.join(here, f"BENCH_RAW_{stamp}.json"), "w") as f:
+            with open(os.path.join(here, f"BENCH_RAW_{run_stamp}.json"), "w") as f:
                 json.dump(payload, f, indent=1)
         except OSError:
             pass

@@ -50,8 +50,11 @@ def dump_stream_progress(q, name: str) -> None:
     try:
         with open(path, "a") as f:
             for p in q.recentProgress:
-                rec = p if isinstance(p, dict) else json.loads(p.json)
-                f.write(json.dumps({"query": name, "progress": rec}) + "\n")
+                # StreamingQueryProgress is dict-like but holds non-JSON
+                # types (UUIDs); its .json property is the clean form
+                rec = json.loads(p.json) if hasattr(p, "json") else p
+                f.write(json.dumps({"query": name, "progress": rec},
+                                   default=str) + "\n")
     except Exception:
         pass  # evidence channel must never fail the query
 
@@ -167,6 +170,7 @@ def replay_batches(spark: SparkSession, dfs: list, schema: str,
         try:
             q.awaitTermination()
         finally:
+            dump_stream_progress(q, name)
             q.stop()
     _REPLAY_LEFTOVERS.append((root, name))
     return spark.table(name)

@@ -433,6 +433,7 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
         try:
             q.awaitTermination()
         finally:
+            dump_stream_progress(q, "streaming_dedup")
             q.stop()
     return spark.table(name)
 
@@ -502,6 +503,7 @@ def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         try:
             q.awaitTermination()
         finally:
+            dump_stream_progress(q, "streaming_stream_join")
             q.stop()
     return spark.table(name)
 
@@ -562,6 +564,7 @@ def q_streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
         try:
             q.awaitTermination()
         finally:
+            dump_stream_progress(q, "streaming_stateful_totals")
             q.stop()
     return (
         spark.table(name)

@@ -16,7 +16,8 @@ from reactivedb_spark.functions import multimodal, text as textfns
 from reactivedb_spark.functions.text import LANG_MARKERS, LANG_ORDER
 from reactivedb_spark.operators import dedup, similarity
 from reactivedb_spark.suite._common import (
-    load, replay_batches, rocksdb_state, spread, streaming_shuffle)
+    dump_stream_progress, load, replay_batches, rocksdb_state, spread,
+    streaming_shuffle)
 
 EMB_DIM = 64
 HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
@@ -1679,6 +1680,7 @@ def q_streaming_aggregate(spark: SparkSession, sf: str) -> DataFrame:
     try:
         q.awaitTermination()
     finally:
+        dump_stream_progress(q, "streaming_aggregate")
         q.stop()
     return eng.table("per_user").select(
         F.col("aggregatedColumn").alias("user_id"), "n",
@@ -1750,6 +1752,7 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         try:
             q.awaitTermination()
         finally:
+            dump_stream_progress(q, "streaming_sessionize")
             q.stop()
     return spark.table(name).select(
         "user_id",
