@@ -164,6 +164,17 @@ def main() -> None:
     os.environ.setdefault(
         "RDB_STREAM_PROF",
         os.path.join(here, f"BENCH_STREAMPROF_{run_stamp}.jsonl"))
+    # Same for the multimodal worker profiler (VERDICT r7 #2): per-Arrow-
+    # batch worker pid/age/wall/wait lines land in a dated sidecar dir, so
+    # a >2x jpeg/wav row in a driver run carries the worker-side trace
+    # that says whether the time went to codec work, worker churn, or
+    # JVM-side feed stalls.
+    mm_dir = os.path.join(here, f"BENCH_MMPROF_{run_stamp}")
+    try:
+        os.makedirs(mm_dir, exist_ok=True)
+        os.environ.setdefault("RDB_MM_PROF", mm_dir)
+    except OSError:
+        pass
 
     from reactivedb_spark.session import get_spark
 

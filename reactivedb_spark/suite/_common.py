@@ -15,7 +15,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return read_fixture(spark, sf_dir, table)
 
 
-def spread(df: DataFrame, factor: int = 4) -> DataFrame:
+def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Round-robin the rows across ``factor × defaultParallelism``
     partitions ahead of a Python-codec ``mapInPandas`` stage.
 
@@ -25,10 +25,12 @@ def spread(df: DataFrame, factor: int = 4) -> DataFrame:
     gates the whole stage (multimodal_jpeg_decode hit 12.6× its median
     at load1 9.1; wav_decode 7.2×). With ~4× tasks per core the
     scheduler work-steals around a slow core and a straggler delays one
-    small slice instead of the stage. Calm-run cost is a tiny
-    round-robin shuffle of id+text rows plus ~100 extra task launches
-    (~ms each). At 100 TB the input already arrives in thousands of
-    partitions and a caller would skip this; it's fixture plumbing."""
+    small slice instead of the stage. Factor 2, measured (round-8 A/B on
+    the jpeg query): each extra task pays a by-value-closure unpickle,
+    so calm wall grows ~0.3 s at 2× but ~1.6 s at 4× — 2× buys the
+    granularity without regressing the calm median. At 100 TB the input
+    already arrives in thousands of partitions and a caller would skip
+    this; it's fixture plumbing."""
     spark = df.sparkSession
     return df.repartition(factor * spark.sparkContext.defaultParallelism)
 
