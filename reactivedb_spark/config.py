@@ -98,6 +98,20 @@ class DedupTransformConfig:
 
 
 @dataclass(frozen=True)
+class DistinctTransformConfig:
+    """Extension transform #6: reference-counted multi-column DISTINCT —
+    one derived row per distinct live tuple of the projected
+    ``columns``, maintained by the classic counted-projection of
+    incremental view maintenance. Both insert and delete application
+    are O(delta) keyed aggregations; the delete path never reads the
+    parent (the refcount is its own sufficient summary). Downstream
+    deltas fire only on 0↔1 refcount transitions."""
+
+    source_table: str
+    columns: tuple
+
+
+@dataclass(frozen=True)
 class TopKTransformConfig:
     """Extension transform #5: incrementally maintained per-group top-k —
     the derived table holds the ``k`` live parent rows ranking highest
@@ -215,6 +229,13 @@ def parse_transform(spec, name: str):
         return ActionTransformConfig(body["name"], body["source_table"])
     if kind == "DedupTransform":
         return DedupTransformConfig(body["source_table"], body["key"])
+    if kind == "DistinctTransform":
+        cols = tuple(body["columns"])
+        if not cols:
+            raise ConfigError(
+                f"table {name}: DistinctTransform needs >=1 column"
+            )
+        return DistinctTransformConfig(body["source_table"], cols)
     if kind == "JoinTransform":
         jt = JoinTransformConfig(
             body["left_table"], body["right_table"],

@@ -27,7 +27,14 @@ DEDUP_KEY = "dedupKey"
 # group column — same convention as DEDUP_KEY so keyed state buckets
 # identically across the keyed extension transforms.
 GROUP_KEY = "groupKey"
+# DistinctTransform tuple key (extension transform): md5 of the EXACT
+# (unnormalized) sentinel-joined string forms of the projected columns.
+DISTINCT_KEY = "distinctKey"
+# DistinctTransform per-tuple reference count — pure internal state
+# (hidden from table() reads and downstream transforms): refcount
+# changes that don't cross 0↔1 must not emit deltas.
+REF_COUNT = "_refCount"
 
 SYSTEM_COLUMNS = {ENTRY_ID, SOURCE_ENTRY_ID, SOURCE_ENTRY_ID2, MATCHING_KEY,
                   AGGREGATED_COLUMN, SEQ, PARTITION_BUCKET, DEDUP_KEY,
-                  GROUP_KEY}
+                  GROUP_KEY, DISTINCT_KEY, REF_COUNT}

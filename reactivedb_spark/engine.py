@@ -40,6 +40,7 @@ from reactivedb_spark.config import (
     ChunkTransformConfig,
     DbConfig,
     DedupTransformConfig,
+    DistinctTransformConfig,
     FilterTransformConfig,
     FunctionTransformConfig,
     JoinTransformConfig,
@@ -61,6 +62,7 @@ from reactivedb_spark.operators import aggregation as agg_op
 from reactivedb_spark.operators import chunk_transform as chunk_tr_op
 from reactivedb_spark.operators import textstats_transform as textstats_tr_op
 from reactivedb_spark.operators import dedup_transform as dedup_tr_op
+from reactivedb_spark.operators import distinct_transform as distinct_tr_op
 from reactivedb_spark.operators import sample_transform as sample_tr_op
 from reactivedb_spark.operators import filter as filter_op
 from reactivedb_spark.operators import function as function_op
@@ -291,6 +293,9 @@ class Engine:
             elif isinstance(tr, DedupTransformConfig):
                 schema = dedup_tr_op.output_schema(tr, pschemas[tr.source_table])
                 key_column = C.DEDUP_KEY
+            elif isinstance(tr, DistinctTransformConfig):
+                schema = distinct_tr_op.output_schema(tr, pschemas[tr.source_table])
+                key_column = C.DISTINCT_KEY
             elif isinstance(tr, JoinTransformConfig):
                 # shared ancestry (diamonds) is fine: _propagate is
                 # wave-aware for join children — both parents' deltas of
@@ -590,6 +595,8 @@ class Engine:
             return self._apply_aggregation(child, tr, parent, d)
         if isinstance(tr, DedupTransformConfig):
             return self._apply_dedup(child, tr, parent, d)
+        if isinstance(tr, DistinctTransformConfig):
+            return self._apply_distinct(child, tr, d)
         if isinstance(tr, TopKTransformConfig):
             return self._apply_topk(child, tr, parent, d)
         # JoinTransform never dispatches here — _propagate stashes its
@@ -877,6 +884,96 @@ class Engine:
                     )
         return out if (out.inserts is not None or out.deletes is not None) else None
 
+    def _apply_distinct(self, child: str, tr: DistinctTransformConfig,
+                        d: Delta) -> Optional[Delta]:
+        """Reference-counted DISTINCT (operators/distinct_transform.py
+        for the declared semantics) — the counted-projection of
+        incremental view maintenance.
+
+        Both directions are O(delta) and NEITHER reads the parent: one
+        keyed count over the delta nets inserts against deletes, the
+        affected state buckets supply the old counts, and only 0↔1
+        transitions emit child deltas (births/deaths); pure refcount
+        moves rewrite state rows in place and stay invisible
+        downstream."""
+        parts = []
+        if d.inserts is not None:
+            parts.append(distinct_tr_op.delta_counts(tr, d.inserts))
+        if d.deletes is not None:
+            parts.append(
+                distinct_tr_op.delta_counts(tr, d.deletes)
+                .select(C.DISTINCT_KEY, (-F.col("_n")).alias("_n"))
+            )
+        if not parts:
+            return None
+        both = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        net = both.groupBy(C.DISTINCT_KEY).agg(F.sum("_n").alias("_net"))
+        keys = net.select(C.DISTINCT_KEY)
+        buckets = self._affected_buckets(child, keys, C.DISTINCT_KEY)
+        state = self.store.read(child)
+        state_aff = state.filter(F.col(C.PARTITION_BUCKET).isin(buckets))
+        old = state_aff.join(_keyset(keys), C.DISTINCT_KEY, "left_semi")
+        # affected-key ledger: old count (if any) + this commit's net.
+        # localCheckpoint: four branches read it; the ledger is delta-sized.
+        j = net.join(
+            old.select(C.DISTINCT_KEY, F.col(C.REF_COUNT).alias("_old")),
+            C.DISTINCT_KEY, "left",
+        ).localCheckpoint()
+        out = Delta()
+        # births: tuple unseen before, net > 0 → first arrival represents
+        birth_keys = j.filter(F.col("_old").isNull() & (F.col("_net") > 0))
+        if d.inserts is not None:
+            births = (
+                distinct_tr_op.representatives(tr, d.inserts)
+                .join(_keyset(birth_keys.select(C.DISTINCT_KEY)),
+                      C.DISTINCT_KEY, "inner")
+                .join(F.broadcast(birth_keys.select(C.DISTINCT_KEY, "_net")),
+                      C.DISTINCT_KEY)
+                .withColumn(C.REF_COUNT, F.col("_net"))
+                .drop("_net")
+            )
+            staged_b = self._stage_nonempty(
+                child,
+                self._with_bucket(self._with_entry_id(births), C.DISTINCT_KEY),
+            )
+            if staged_b is not None:
+                out.inserts = staged_b
+        # deaths: count reaches zero → the visible row disappears
+        death_keys = j.filter(
+            F.col("_old").isNotNull()
+            & (F.col("_old") + F.col("_net") <= 0)
+        ).select(C.DISTINCT_KEY)
+        staged_d = self._stage_nonempty(
+            child, old.join(_keyset(death_keys), C.DISTINCT_KEY, "left_semi")
+        )
+        if staged_d is not None:
+            out.deletes = staged_d
+        # survivors with a changed count: rewrite in place, emit NOTHING
+        upd = j.filter(
+            F.col("_old").isNotNull()
+            & (F.col("_old") + F.col("_net") > 0)
+            & (F.col("_net") != 0)
+        ).select(C.DISTINCT_KEY, (F.col("_old") + F.col("_net")).alias("_new"))
+        updated = (
+            old.join(_keyset(upd), C.DISTINCT_KEY, "inner")
+            .withColumn(C.REF_COUNT, F.col("_new"))
+            .drop("_new")
+        )
+        same_keys = j.filter(
+            F.col("_old").isNotNull() & (F.col("_net") == 0)
+        ).select(C.DISTINCT_KEY)
+        kept = old.join(_keyset(same_keys), C.DISTINCT_KEY, "left_semi")
+        rest = state_aff.join(_keyset(keys), C.DISTINCT_KEY, "left_anti")
+        new_state = rest.unionByName(updated.select(*rest.columns)).unionByName(
+            kept.select(*rest.columns)
+        )
+        if out.inserts is not None:
+            new_state = new_state.unionByName(out.inserts.select(*rest.columns))
+        self._replace_keyed(
+            child, new_state.sortWithinPartitions(C.DISTINCT_KEY), buckets
+        )
+        return out if (out.inserts is not None or out.deletes is not None) else None
+
     def _apply_topk(self, child: str, tr: TopKTransformConfig, parent: str,
                     d: Delta) -> Optional[Delta]:
         """Per-group top-k as keyed reactive state
@@ -985,8 +1082,10 @@ class Engine:
 
     # -- read path (query verbs, SURVEY.md §2.2) ---------------------------
     def table(self, name: str) -> DataFrame:
-        """Current committed state (internal ``_seq``/``_kb`` hidden)."""
-        return self.store.read(self._state(name).name).drop(C.SEQ, C.PARTITION_BUCKET)
+        """Current committed state (internal ``_seq``/``_kb``/``_refCount``
+        hidden; ``drop`` is a no-op where a column is absent)."""
+        return self.store.read(self._state(name).name).drop(
+            C.SEQ, C.PARTITION_BUCKET, C.REF_COUNT)
 
     def _verb(self, table: str, column: str):
         st = self._state(table)

@@ -1342,7 +1342,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     # _common.spread: ~4 tasks per core so a host-load straggler delays
     # one slice, not the stage (at 100 TB the input arrives in thousands
     # of partitions and this repartition is a no-op decision)
-    d = spread(load(spark, sf, "documents"))
+    d = spread(load(spark, sf, "documents"), factor=2)
     pay = multimodal.encode_jpeg(d, "doc_id", "text", blocks_per_row=16)
     return multimodal.decode_jpeg(pay, "doc_id")
 
@@ -2346,6 +2346,49 @@ FROM documents GROUP BY 1
 """
 
 
+def q_distinct_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-level DistinctTransform end-to-end (extension transform
+    #6, operators/distinct_transform.py): the distinct live
+    (user_id, event_type) tuples of the events table, maintained
+    reactively across TWO bulk insert waves (even event_ids, then odd —
+    the second wave exercises refcount-silent re-arrivals and late
+    births) and ONE delete wave (every event of min(user_id): since the
+    tuple includes user_id, each of that user's tuples must die exactly
+    when its count drains to zero, touching nothing else and never
+    reading the parent). The oracle is plain DISTINCT over the
+    surviving rows."""
+    import tempfile as _tempfile
+
+    from reactivedb_spark.engine import Engine
+
+    cfg = {"tables": [
+        {"Source": {"name": "ev", "columns": {
+            "uid": "Integer", "etype": "Str", "eid": "Integer"}}},
+        {"Derived": {"name": "pairs",
+                     "transform_definition": {"DistinctTransform": {
+                         "source_table": "ev", "columns": ["uid", "etype"]}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=_tempfile.mkdtemp(prefix="rdb_dstq_"))
+    ev = load(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    for wave in (0, 1):
+        eng.insert_df("ev", ev.filter(F.col("eid") % 2 == wave),
+                      order_by=["eid"])
+    min_uid = ev.agg(F.min("uid")).first()[0]
+    eng.delete("ev", "uid", int(min_uid))
+    return eng.table("pairs").select("uid", "etype")
+
+
+SQL_DISTINCT_TRANSFORM = """
+SELECT DISTINCT CAST(user_id AS BIGINT) AS uid, event_type AS etype
+FROM events
+WHERE user_id <> (SELECT min(user_id) FROM events)
+"""
+
+
 
 
 def q_join_transform(spark: SparkSession, sf: str) -> DataFrame:
@@ -2552,6 +2595,7 @@ QUERIES = {
     "source_orc": q_source_orc,
     "embedding_clusters": q_embedding_clusters,
     "dedup_transform": q_dedup_transform,
+    "distinct_transform": q_distinct_transform,
     "join_transform": q_join_transform,
     "join_transform_diamond": q_join_transform_diamond,
     "sample_transform": q_sample_transform,
@@ -2614,6 +2658,7 @@ ORACLES = {
     "source_orc": SQL_SOURCE_ORC,
     "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
     "dedup_transform": SQL_DEDUP_TRANSFORM,
+    "distinct_transform": SQL_DISTINCT_TRANSFORM,
     "join_transform": SQL_JOIN_TRANSFORM,
     "join_transform_diamond": SQL_JOIN_TRANSFORM_DIAMOND,
     "sample_transform": SQL_SAMPLE_TRANSFORM,

@@ -129,3 +129,29 @@ def test_yaml_topk_transform(spark, tmp_path):
     (t,) = [d for d in cfg.derived if d.name == "leaders"]
     assert isinstance(t.transform, TopKTransformConfig)
     assert t.transform.k == 3 and t.transform.descending is True
+
+
+def test_yaml_distinct_transform(spark, tmp_path):
+    """DistinctTransform parses from the YAML surface; columns keep
+    declaration order (tuple identity is order-sensitive)."""
+    import textwrap
+
+    from reactivedb_spark.config import DistinctTransformConfig, load_config
+
+    y = tmp_path / "distinct.yaml"
+    y.write_text(textwrap.dedent("""\
+        tables:
+          - Source:
+              name: ev
+              columns: {uid: Integer, etype: Str}
+          - Derived:
+              name: pairs
+              transform_definition:
+                DistinctTransform:
+                  source_table: ev
+                  columns: [uid, etype]
+    """))
+    cfg = load_config(str(y))
+    (t,) = [d for d in cfg.derived if d.name == "pairs"]
+    assert isinstance(t.transform, DistinctTransformConfig)
+    assert t.transform.columns == ("uid", "etype")
