@@ -288,3 +288,57 @@ def triangle_count(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+def k_core(edges: DataFrame, k: int, a: str = "u", b: str = "v",
+           rounds: int = 16) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node keeps
+    degree ≥ k — by iterative degree peeling (Matula & Beck 1983), with
+    each node's degree WITHIN the core.
+
+    Determinism/oracle contract: the peel runs a FIXED budget of
+    ``rounds`` iterations; peeling is idempotent past its fixpoint, so
+    an engine may stop early once a round removes nothing and still
+    equal the full unrolled budget — which is exactly how the SQL
+    oracle replays it (``rounds`` chained degree→filter→semi-join CTEs).
+    If the fixpoint needs more than ``rounds`` peels BOTH engines stop
+    at the same partial peel, so results stay hash-identical either way
+    (declared; raise ``rounds`` for deep onion graphs).
+
+    Plan shape (100 TB): per round ONE keyed degree aggregation and two
+    semi-joins on node id — all hash-partitioned on the node, no
+    broadcast of anything node-sized; ``localCheckpoint`` truncates the
+    per-round lineage and `_iteration_shuffle` pins the round shuffles
+    to core count. Early-stop probe is a parquet-free count on the
+    checkpointed edge relation."""
+    e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
+    with _iteration_shuffle(e0):
+        spark = e0.sparkSession
+        # the caller's edge derivation may arrive in hundreds of tiny
+        # partitions (session default shuffle width); every peel round
+        # re-scans the live relation, so shrink it to core count ONCE
+        live = (
+            e0.unionByName(
+                e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            )
+            .repartition(spark.sparkContext.defaultParallelism, "s")
+            .localCheckpoint()
+        )
+        n_live = live.count()
+        for _ in range(int(rounds)):
+            deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("_deg"))
+            keep = deg.filter(F.col("_deg") >= int(k)).select("s")
+            pruned = (
+                live.join(keep, "s", "left_semi")
+                .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+                .localCheckpoint()
+            )
+            n_new = pruned.count()
+            live = pruned
+            if n_new == n_live:  # fixpoint: further rounds are no-ops
+                break
+            n_live = n_new
+    return (
+        live.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -19,22 +19,25 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 froze; builder-verified only until now).
 #   slots 2-38  — the 37 queries whose newest green row is r5 (the
 #                 stalest evidence in the pool), alphabetical.
-#   slots 39-40 — the two NEW/CHANGED round-8 queries (driver-unchecked
-#                 by definition): bpe_train_batched (VERDICT #4:
-#                 batched merge learning, merges=64 in 8 rounds) and
+#   slots 39-43 — the five NEW/CHANGED round-8 queries (driver-
+#                 unchecked by definition): bpe_train_batched (VERDICT
+#                 #4: batched merge learning, merges=64 in 8 rounds),
 #                 corpus_clean_cc (VERDICT #6: transitive-clustering
-#                 near-dup removal).
-#   slots 41-50 — r6-green queries fewest-greens-first: the five with a
+#                 near-dup removal), distinct_transform (extension
+#                 transform #6: refcounted multi-column DISTINCT),
+#                 kcore_parts (iterative-peel k-core decomposition),
+#                 scd2_users (type-2 SCD history build).
+#   slots 44-50 — r6-green queries fewest-greens-first: the five with a
 #                 single green row (dedup_containment_zipf,
 #                 expr_functions, semantic_dedup,
 #                 streaming_dedup_watermark, streaming_late_data), then
-#                 the double-green set alphabetical (ann_knn_join,
-#                 asof_forward, bloom_semi_join, bm25_topk,
-#                 chunk_windows). VERDICT #1 asked for 12 r6 slots; two
-#                 are given to the two new queries it also demanded
-#                 gates for (#4/#6) — the displaced pair
-#                 (cms_heavy_hitters, dag_chain) leads the r9 r6-block
-#                 with the rest of the double-green set.
+#                 the double-green head alphabetical (ann_knn_join,
+#                 asof_forward). VERDICT #1 asked for 12 r6 slots; five
+#                 are given to new queries (it also demanded gates for
+#                 #4/#6, and new queries always green-gate on first
+#                 exposure) — the displaced five (bloom_semi_join,
+#                 bm25_topk, chunk_windows, cms_heavy_hitters,
+#                 dag_chain) lead the r9 r6-block.
 # Everything not in _WINDOW keeps its registration but lands in the tail
 # (latest evidence r6/r7 — ≤2 rounds old at round 8); they rotate back in
 # next round. tests/test_suite_registration.py enforces this layout.
@@ -82,6 +85,9 @@ _WINDOW = (
     # new round-8 queries (driver-unchecked by definition)
     "bpe_train_batched",  # new r8: 64 merges in 8 dominance-filtered rounds
     "corpus_clean_cc",  # new r8: transitive-clustering near-dup removal
+    "distinct_transform",  # new r8: refcounted multi-column DISTINCT
+    "kcore_parts",  # new r8: iterative-peel k-core decomposition
+    "scd2_users",  # new r8: type-2 SCD history build
     # r6 single-green
     "dedup_containment_zipf",
     "expr_functions",
@@ -91,9 +97,6 @@ _WINDOW = (
     # r6 double-green, alphabetical head
     "ann_knn_join",
     "asof_forward",
-    "bloom_semi_join",
-    "bm25_topk",
-    "chunk_windows",
 )
 assert len(_WINDOW) == 50
 

@@ -336,6 +336,87 @@ SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
        CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
 """
 
+def q_kcore_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py:k_core — iterative
+    degree peeling, Matula & Beck) of the part co-purchase graph: the
+    maximal subgraph where every part co-occurs with >= 80 other core
+    parts, plus each survivor's within-core degree. The oracle unrolls
+    the identical fixed peel budget as chained degree->filter->semi-join
+    CTEs; peeling is idempotent past fixpoint, so Spark's early stop and
+    the oracle's full unroll agree by construction — a wrong degree
+    count, a one-sided prune or a missed round breaks the hash."""
+    from reactivedb_spark.operators.graph import k_core
+
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    ka = li.select("okey", F.col("pkey").alias("u"))
+    kb = li.select("okey", F.col("pkey").alias("v"))
+    edges = (
+        ka.join(kb, "okey").filter(F.col("u") < F.col("v"))
+        .select("u", "v").distinct()  # simple graph: multi-order pairs = one edge
+    )
+    return k_core(edges, k=80).select(
+        F.col("node").cast("long").alias("node"), "core_degree"
+    )
+
+
+def _kcore_sql(k: int = 80, rounds: int = 16) -> str:
+    ctes = ["""li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+und AS (SELECT DISTINCT a.pkey AS x, b.pkey AS y
+        FROM li a JOIN li b ON a.okey = b.okey AND a.pkey < b.pkey),
+e0 AS MATERIALIZED (SELECT x AS s, y AS d FROM und UNION ALL SELECT y AS s, x AS d FROM und)"""]
+    for r in range(rounds):
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT s FROM (SELECT s, count(*) AS c "
+            f"FROM e{r} GROUP BY s) WHERE c >= {k})"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.s, e.d FROM e{r} e "
+            f"JOIN k{r} x ON e.s = x.s JOIN k{r} y ON e.d = y.s)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(s AS BIGINT) AS node, "
+          f"CAST(count(*) AS BIGINT) AS core_degree FROM e{rounds} GROUP BY s"
+    )
+
+
+SQL_KCORE_PARTS = _kcore_sql()
+
+
+def q_scd2_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build
+    (operators/scd.py): each user's event_type change log collapsed to
+    interval-versioned rows — consecutive-duplicate states merge, each
+    version carries [valid_from, valid_to) in epoch-ns plus an
+    is_current flag. Total order per user is (ts, event_id), so the
+    collapse is deterministic on both engines; the oracle replays the
+    identical lag-compare → filter → lead pipeline."""
+    from reactivedb_spark.operators.scd import scd2_history
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type",
+        F.col("ts").cast("long").alias("tns"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    return scd2_history(
+        ev, "user_id", ["event_type"], "tns", "eid"
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+from reactivedb_spark.operators.scd import scd2_oracle_sql as _scd2_sql
+
+SQL_SCD2_USERS = _scd2_sql(
+    "(SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id AS eid "
+    "FROM events)",
+    "user_id", ["event_type"], "tns", "eid",
+)
+
+
 
 # -- multi-hop DAG through the engine -----------------------------------------
 
@@ -1079,6 +1160,8 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "pagerank_orders": q_pagerank_orders,
     "triangle_count": q_triangle_count,
+    "kcore_parts": q_kcore_parts,
+    "scd2_users": q_scd2_users,
     "dag_chain": q_dag_chain,
 }
 
@@ -1106,6 +1189,8 @@ ORACLES = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "pagerank_orders": SQL_PAGERANK_ORDERS,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "kcore_parts": SQL_KCORE_PARTS,
+    "scd2_users": SQL_SCD2_USERS,
     "dag_chain": SQL_DAG_CHAIN,
 }
 

@@ -1,6 +1,7 @@
 """Connected components: known component structures, chains deeper than
 one propagation round, and determinism of labels."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from reactivedb_spark.operators.graph import connected_components
@@ -82,3 +83,40 @@ def test_pagerank_star_center_dominates(spark):
     assert abs(sum(pr.values()) - 1.0) < 1e-6        # mass conserved
     leaf_vals = {round(pr[i], 12) for i in range(1, 6)}
     assert len(leaf_vals) == 1                        # symmetric leaves tie
+
+
+@pytest.mark.parametrize("seed,k", [(41, 2), (42, 3), (43, 4)])
+def test_k_core_matches_bruteforce(spark, seed, k):
+    """k_core vs a pure-python peel on random graphs — membership AND
+    within-core degree."""
+    import random
+
+    from reactivedb_spark.operators.graph import k_core
+
+    rng = random.Random(seed)
+    n = 30
+    edges = set()
+    for _ in range(80):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    # reference peel
+    adj = {i: set() for i in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    while True:
+        drop = [x for x, s in adj.items() if len(s) < k]
+        if not drop:
+            break
+        for x in drop:
+            for m in adj[x]:
+                adj[m].discard(x)
+            del adj[x]
+    expected = sorted((x, len(s)) for x, s in adj.items() if s or x in adj)
+    expected = [(x, d) for x, d in expected if d > 0 or k == 0]
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = sorted(
+        (r["node"], r["core_degree"]) for r in k_core(df, k=k).collect()
+    )
+    assert got == expected

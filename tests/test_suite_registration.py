@@ -2,12 +2,13 @@
 FIRST 50 registered queries. Round-8 rotation (VERDICT r7 #1):
 ``join_transform_diamond`` — the only registered query with zero driver
 evidence — takes slot 1; the 37 queries whose newest green row is r5
-fill slots 2-38 alphabetically; the two NEW/CHANGED round-8 queries
-(bpe_train_batched, corpus_clean_cc — driver-unchecked by definition)
-take slots 39-40; slots 41-50 hold r6-green queries fewest-greens-first
-(the five single-green, then the double-green set alphabetically —
-cms_heavy_hitters and dag_chain are displaced by the two new queries
-and lead the r9 r6-block).
+fill slots 2-38 alphabetically; the five NEW/CHANGED round-8 queries
+(bpe_train_batched, corpus_clean_cc, distinct_transform, kcore_parts,
+scd2_users — driver-unchecked by definition) take slots 39-43; slots
+44-50 hold r6-green queries fewest-greens-first (the five single-green,
+then ann_knn_join and asof_forward — bloom_semi_join, bm25_topk,
+chunk_windows, cms_heavy_hitters and dag_chain are displaced by the
+new queries and lead the r9 r6-block).
 Everything else — latest evidence r6/r7, i.e. <=2 rounds old — fills
 the tail and rotates back next round."""
 
@@ -53,7 +54,8 @@ R5_STALE = [
     "zscore_outliers",
 ]
 
-NEW_R8 = ["bpe_train_batched", "corpus_clean_cc"]
+NEW_R8 = ["bpe_train_batched", "corpus_clean_cc", "distinct_transform",
+          "kcore_parts", "scd2_users"]
 
 R6_SINGLE_GREEN = [
     "dedup_containment_zipf",
@@ -66,9 +68,6 @@ R6_SINGLE_GREEN = [
 R6_DOUBLE_GREEN_HEAD = [
     "ann_knn_join",
     "asof_forward",
-    "bloom_semi_join",
-    "bm25_topk",
-    "chunk_windows",
 ]
 
 
