@@ -19,23 +19,24 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 froze; builder-verified only until now).
 #   slots 2-38  — the 37 queries whose newest green row is r5 (the
 #                 stalest evidence in the pool), alphabetical.
-#   slots 39-43 — the five NEW/CHANGED round-8 queries (driver-
+#   slots 39-45 — the seven NEW/CHANGED round-8 queries (driver-
 #                 unchecked by definition): bpe_train_batched (VERDICT
 #                 #4: batched merge learning, merges=64 in 8 rounds),
 #                 corpus_clean_cc (VERDICT #6: transitive-clustering
 #                 near-dup removal), distinct_transform (extension
 #                 transform #6: refcounted multi-column DISTINCT),
 #                 kcore_parts (iterative-peel k-core decomposition),
-#                 scd2_users (type-2 SCD history build).
-#   slots 44-50 — r6-green queries fewest-greens-first: the five with a
-#                 single green row (dedup_containment_zipf,
-#                 expr_functions, semantic_dedup,
-#                 streaming_dedup_watermark, streaming_late_data), then
-#                 the double-green head alphabetical (ann_knn_join,
-#                 asof_forward). VERDICT #1 asked for 12 r6 slots; five
-#                 are given to new queries (it also demanded gates for
-#                 #4/#6, and new queries always green-gate on first
-#                 exposure) — the displaced five (bloom_semi_join,
+#                 scd2_users (type-2 SCD history build), interval_join
+#                 (banded two-sided interval overlap join), impute_docs
+#                 (group-wise exact-mean/mode imputation).
+#   slots 46-50 — the five r6-green queries with a single green row
+#                 (dedup_containment_zipf, expr_functions,
+#                 semantic_dedup, streaming_dedup_watermark,
+#                 streaming_late_data). VERDICT #1 asked for 12 r6
+#                 slots; seven are given to new queries (it also
+#                 demanded gates for #4/#6, and new queries always
+#                 green-gate on first exposure) — the displaced seven
+#                 (ann_knn_join, asof_forward, bloom_semi_join,
 #                 bm25_topk, chunk_windows, cms_heavy_hitters,
 #                 dag_chain) lead the r9 r6-block.
 # Everything not in _WINDOW keeps its registration but lands in the tail
@@ -88,15 +89,14 @@ _WINDOW = (
     "distinct_transform",  # new r8: refcounted multi-column DISTINCT
     "kcore_parts",  # new r8: iterative-peel k-core decomposition
     "scd2_users",  # new r8: type-2 SCD history build
+    "interval_join",  # new r8: banded two-sided interval overlap join
+    "impute_docs",  # new r8: group-wise exact-mean/mode imputation
     # r6 single-green
     "dedup_containment_zipf",
     "expr_functions",
     "semantic_dedup",
     "streaming_dedup_watermark",
     "streaming_late_data",
-    # r6 double-green, alphabetical head
-    "ann_knn_join",
-    "asof_forward",
 )
 assert len(_WINDOW) == 50
 

@@ -85,6 +85,120 @@ GROUP BY p.purchase_id, p.user_id
 """
 
 
+# -- group-wise missing-value imputation -----------------------------------------
+
+def q_impute_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-wise missing-value imputation (operators/impute.py): a
+    deterministic nullification (n_chars dropped when doc_id % 7 == 0,
+    lang when doc_id % 11 == 0) repaired with the per-source exact-mean
+    (numeric) and deterministic mode (categorical). The oracle replays
+    the identical nullification, the same decimal-sum/single-division
+    mean and the same (count desc, value asc) mode tie-break — a float
+    mean accumulation or a nondeterministic mode pick breaks the
+    hash."""
+    from reactivedb_spark.operators.impute import impute
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("n_chars").cast("long")).alias("n_chars"),
+    )
+    out = impute(d, ["source"], numeric_cols=["n_chars"],
+                 categorical_cols=["lang"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "lang",
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+
+
+SQL_IMPUTE_DOCS = """
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents),
+m AS (SELECT source,
+             CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(count(n_chars) AS DOUBLE) AS mean_n
+      FROM base GROUP BY source),
+gm AS (SELECT CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+              / CAST(count(n_chars) AS DOUBLE) AS gmean_n FROM base),
+md AS (SELECT source, lang AS mode_lang FROM (
+         SELECT source, lang,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY count(*) DESC, lang) AS rn
+         FROM base WHERE lang IS NOT NULL GROUP BY source, lang)
+       WHERE rn = 1),
+gmd AS (SELECT lang AS gmode_lang FROM (
+          SELECT lang, row_number() OVER (ORDER BY count(*) DESC, lang) AS rn
+          FROM base WHERE lang IS NOT NULL GROUP BY lang) WHERE rn = 1)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.source,
+       coalesce(b.lang, md.mode_lang, gmd.gmode_lang) AS lang,
+       CAST(coalesce(CAST(b.n_chars AS DOUBLE), m.mean_n, gm.gmean_n)
+            AS DOUBLE) AS n_chars
+FROM base b
+LEFT JOIN m ON m.source = b.source
+LEFT JOIN md ON md.source = b.source
+CROSS JOIN gm CROSS JOIN gmd
+"""
+
+
+# -- interval overlap join ------------------------------------------------------
+
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided INTERVAL overlap join (operators/rangejoin.py:
+    interval_join — the banded exactly-once plan, canonical-band trick
+    instead of a dedup shuffle): each user's per-day view-activity span
+    joined to their purchase-activity spans wherever the two intervals
+    intersect. Band width = 1 hour. The oracle recomputes both span
+    relations and the closed-interval predicate directly — a missed
+    band, a double-counted pair or an off-by-one at an interval edge
+    breaks the row count and hash."""
+    from reactivedb_spark.operators.rangejoin import interval_join
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("tns")
+    )
+
+    def spans(et, pre):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy("user_id", F.expr(f"tns div {NS_PER_DAY}").alias(f"{pre}_day"))
+            .agg(F.min("tns").alias(f"{pre}_start"), F.max("tns").alias(f"{pre}_end"))
+            .drop(f"{pre}_day")
+        )
+
+    out = interval_join(
+        spans("view", "v"), spans("purchase", "p"), on=["user_id"],
+        left_start="v_start", left_end="v_end",
+        right_start="p_start", right_end="p_end",
+        bucket_width=3600 * 1_000_000_000,
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "v_start", "v_end", "p_start", "p_end",
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+v AS (SELECT user_id, min(tns) AS v_start, max(tns) AS v_end
+      FROM e WHERE event_type = 'view'
+      GROUP BY user_id, tns // {NS_PER_DAY}),
+p AS (SELECT user_id, min(tns) AS p_start, max(tns) AS p_end
+      FROM e WHERE event_type = 'purchase'
+      GROUP BY user_id, tns // {NS_PER_DAY})
+SELECT CAST(v.user_id AS BIGINT) AS user_id,
+       CAST(v_start AS BIGINT) AS v_start, CAST(v_end AS BIGINT) AS v_end,
+       CAST(p_start AS BIGINT) AS p_start, CAST(p_end AS BIGINT) AS p_end
+FROM v JOIN p ON v.user_id = p.user_id
+ AND v_start <= p_end AND p_start <= v_end
+"""
+
+
 # -- weekly cohort retention --------------------------------------------------
 
 def q_retention_weeks(spark: SparkSession, sf: str) -> DataFrame:
@@ -1154,6 +1268,8 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "grouping_sets": q_grouping_sets,
     "range_join_attrib": q_range_join_attrib,
+    "interval_join": q_interval_join,
+    "impute_docs": q_impute_docs,
     "retention_weeks": q_retention_weeks,
     "source_jsonl": q_source_jsonl,
     "source_csv": q_source_csv,
@@ -1183,6 +1299,8 @@ ORACLES = {
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "grouping_sets": SQL_GROUPING_SETS,
     "range_join_attrib": SQL_RANGE_JOIN_ATTRIB,
+    "interval_join": SQL_INTERVAL_JOIN,
+    "impute_docs": SQL_IMPUTE_DOCS,
     "retention_weeks": SQL_RETENTION_WEEKS,
     "source_jsonl": SQL_SOURCE_JSONL,
     "source_csv": SQL_SOURCE_CSV,

@@ -284,3 +284,64 @@ def test_new_ops_plan_shapes(spark):
     est_plan = sketch.cms_estimate(sk, vals.select("v").distinct(), "v") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in est_plan
+
+
+def test_interval_join_exactly_once_and_edges(spark):
+    """Pairs overlapping across MANY shared bands emit once (canonical
+    band, no distinct); closed-interval edge touching counts; disjoint
+    intervals don't."""
+    from reactivedb_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (1, 250, 260), (2, 0, 50)],
+        "k long, ls long, le long")
+    right = spark.createDataFrame(
+        [(1, 40, 160), (1, 100, 110), (1, 260, 300), (2, 51, 60)],
+        "k long, rs long, re long")
+    out = interval_join(left, right, ["k"], "ls", "le", "rs", "re",
+                        bucket_width=10)  # intervals span many bands
+    got = sorted((r["k"], r["ls"], r["rs"]) for r in out.collect())
+    # (1,[0,100])x(1,[40,160]): overlaps 7 shared bands -> ONE row
+    # (1,[0,100])x(1,[100,110]): touch at 100 (closed) -> one row
+    # (1,[250,260])x(1,[260,300]): touch at 260 -> one row
+    # (2,[0,50])x(2,[51,60]): disjoint -> nothing
+    assert got == [(1, 0, 40), (1, 0, 100), (1, 250, 260)]
+
+
+def test_interval_join_rejects_bad_config(spark):
+    from reactivedb_spark.operators.rangejoin import interval_join
+
+    df = spark.createDataFrame([(1, 0, 1)], "k long, s long, e long")
+    df2 = spark.createDataFrame([(1, 0, 1)], "k long, s long, e long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="share non-key columns"):
+        interval_join(df, df2, ["k"], "s", "e", "s", "e", bucket_width=10)
+    with _pytest.raises(ValueError, match="positive"):
+        interval_join(df, df2.withColumnRenamed("s", "s2")
+                      .withColumnRenamed("e", "e2"),
+                      ["k"], "s", "e", "s2", "e2", bucket_width=0)
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import random
+
+    from reactivedb_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(7)
+    L = [(rng.randrange(3), rng.randrange(1000)) for _ in range(40)]
+    L = [(k, s, s + rng.randrange(1, 200)) for k, s in L]
+    R = [(rng.randrange(3), rng.randrange(1000)) for _ in range(40)]
+    R = [(k, s, s + rng.randrange(1, 200)) for k, s in R]
+    expected = sorted(
+        (lk, ls, le, rs, re)
+        for lk, ls, le in L for rk, rs, re in R
+        if lk == rk and ls <= re and rs <= le
+    )
+    ldf = spark.createDataFrame(L, "k long, ls long, le long")
+    rdf = spark.createDataFrame(R, "k long, rs long, re long")
+    out = interval_join(ldf, rdf, ["k"], "ls", "le", "rs", "re",
+                        bucket_width=64)
+    got = sorted((r["k"], r["ls"], r["le"], r["rs"], r["re"])
+                 for r in out.collect())
+    assert got == expected

@@ -4,9 +4,9 @@ FIRST 50 registered queries. Round-8 rotation (VERDICT r7 #1):
 evidence — takes slot 1; the 37 queries whose newest green row is r5
 fill slots 2-38 alphabetically; the five NEW/CHANGED round-8 queries
 (bpe_train_batched, corpus_clean_cc, distinct_transform, kcore_parts,
-scd2_users — driver-unchecked by definition) take slots 39-43; slots
-44-50 hold r6-green queries fewest-greens-first (the five single-green,
-then ann_knn_join and asof_forward — bloom_semi_join, bm25_topk,
+scd2_users, interval_join, impute_docs — driver-unchecked by
+definition) take slots 39-45; slots 46-50 hold the five single-green
+r6 queries (ann_knn_join, asof_forward, bloom_semi_join, bm25_topk,
 chunk_windows, cms_heavy_hitters and dag_chain are displaced by the
 new queries and lead the r9 r6-block).
 Everything else — latest evidence r6/r7, i.e. <=2 rounds old — fills
@@ -55,7 +55,7 @@ R5_STALE = [
 ]
 
 NEW_R8 = ["bpe_train_batched", "corpus_clean_cc", "distinct_transform",
-          "kcore_parts", "scd2_users"]
+          "kcore_parts", "scd2_users", "interval_join", "impute_docs"]
 
 R6_SINGLE_GREEN = [
     "dedup_containment_zipf",
@@ -65,10 +65,7 @@ R6_SINGLE_GREEN = [
     "streaming_late_data",
 ]
 
-R6_DOUBLE_GREEN_HEAD = [
-    "ann_knn_join",
-    "asof_forward",
-]
+R6_DOUBLE_GREEN_HEAD = []
 
 
 def test_window_layout():
