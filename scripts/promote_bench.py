@@ -10,13 +10,18 @@ Usage::
     python scripts/promote_bench.py [--gate LOAD1] [RAW.json ...]
 
 With no files given, every ``BENCH_RAW_*.json`` in the repo root is
-considered. Per query: samples whose recorded ``load1`` is <= the gate
-(default 4.0 — comfortably idle on a 32-cpu host; rows without a load
-reading are treated as gated-out) are pooled across the raw files and
-the median is promoted. Queries with NO calm sample keep their current
-BENCH_FULL.json value (promotion never degrades the record to a known
-load artifact). The output carries provenance: which raw files fed it,
-the gate, and per-query sample counts.
+considered. Gating is RUN-level: the per-query ``load1`` column is
+recorded at query end, so it includes the bench's OWN 32-core work
+(even a run started on an idle host reads 5-10 mid-suite) — a per-query
+threshold would gate out everything. A run QUALIFIES when the minimum
+load1 across its rows (≈ the ambient level during the ramp-up queries)
+is <= the gate (default 5.0); runs started inside an ambient-load
+window carry a floor well above it. Per query, the median across
+qualifying runs is promoted; queries with NO qualifying sample keep
+their current BENCH_FULL.json value (promotion never degrades the
+record to a known load artifact). The output carries provenance: which
+raw files fed it (and which were gated out), the gate, and per-query
+sample counts.
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    gate = 4.0
+    gate = 5.0
     files: list[str] = []
     args = sys.argv[1:]
     i = 0
@@ -50,15 +55,20 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     sf = None
     micro = None
+    used, gated_out = [], []
     for path in files:
         with open(path) as f:
             rec = json.load(f)
+        loads = rec.get("load1", {})
+        floor = min(loads.values()) if loads else None
+        if floor is None or floor > gate:
+            gated_out.append(os.path.basename(path))
+            continue
+        used.append(os.path.basename(path))
         sf = rec.get("sf", sf)
         micro = rec.get("micro", micro)
-        loads = rec.get("load1", {})
         for name, sec in rec.get("queries", {}).items():
-            if loads.get(name) is not None and loads[name] <= gate:
-                samples.setdefault(name, []).append(sec)
+            samples.setdefault(name, []).append(sec)
 
     full_path = os.path.join(HERE, "BENCH_FULL.json")
     prior: dict = {}
@@ -86,8 +96,9 @@ def main() -> None:
         "queries": queries,
         "sf": sf if sf is not None else prior.get("sf"),
         "promotion": {
-            "gate_load1": gate,
-            "raw_files": [os.path.basename(p) for p in files],
+            "gate_ambient_load1": gate,
+            "raw_files_used": used,
+            "raw_files_gated_out": gated_out,
             "samples_per_query": counts,
             "kept_prior_no_calm_sample": kept_prior,
         },
@@ -99,7 +110,7 @@ def main() -> None:
     print(json.dumps({
         "promoted": len(counts), "kept_prior": len(kept_prior),
         "suite_wall": payload["value"], "gate": gate,
-        "raw_files": len(files),
+        "runs_used": len(used), "runs_gated_out": len(gated_out),
     }))
 
 
