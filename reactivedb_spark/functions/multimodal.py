@@ -29,23 +29,59 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 # module-level so worker-side closures reach jpeg through this module's
-# (by-value-pickled) globals — a runtime `from reactivedb_spark...`
-# import inside a UDF would fail on workers without the repo on sys.path
+# globals; workers resolve the module reference from the package zip
+# _ship_package() adds to every worker's sys.path
 from reactivedb_spark.functions import jpeg as _jpeg
 
-def _register_self_by_value() -> None:
-    """Worker processes may not have this package on sys.path (the driver
-    controls cwd/sys.path); registering this module for cloudpickle
-    by-value serialization makes the mapInPandas closures self-contained."""
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(df: DataFrame) -> None:
+    """Make this package importable on WORKERS so mapInPandas closures
+    pickle by REFERENCE (module name), not by value.
+
+    History: the original approach registered this module + the jpeg
+    codec for cloudpickle by-VALUE shipping (workers may not have the
+    repo on sys.path — the driver controls cwd). That makes every TASK
+    deserialize and re-exec both modules: measured ~0.3-0.5 s per task
+    wave (round-8 A/B), which dominated the codec stages and priced
+    task-granularity (straggler robustness) at ~0.3 s per extra wave of
+    tasks. Shipping ONE zip of the package via ``addPyFile`` instead
+    puts the package on every worker's sys.path: the closure pickle
+    shrinks to a module reference, the import runs once per WORKER
+    PROCESS (reused across tasks), and extra tasks cost scheduler
+    overhead only. Falls back to by-value registration if the zip
+    cannot be built (read-only source dir, etc.)."""
+    global _PKG_ZIP
     import sys
 
     try:
-        from pyspark import cloudpickle
+        sc = df.sparkSession.sparkContext
+        if getattr(sc, "_rdb_pkg_shipped", False):
+            return
+        if _PKG_ZIP is None:
+            import os as _os
+            import shutil as _shutil
+            import tempfile as _tempfile
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-        cloudpickle.register_pickle_by_value(_jpeg)
+            import reactivedb_spark as _pkg
+
+            pkg_parent = _os.path.dirname(_os.path.dirname(_pkg.__file__))
+            base = _tempfile.mkdtemp(prefix="rdb_pkgzip_")
+            _PKG_ZIP = _shutil.make_archive(
+                _os.path.join(base, "reactivedb_spark_pkg"), "zip",
+                root_dir=pkg_parent, base_dir="reactivedb_spark",
+            )
+        sc.addPyFile(_PKG_ZIP)
+        sc._rdb_pkg_shipped = True
     except Exception:
-        pass
+        try:
+            from pyspark import cloudpickle
+
+            cloudpickle.register_pickle_by_value(sys.modules[__name__])
+            cloudpickle.register_pickle_by_value(_jpeg)
+        except Exception:
+            pass
 
 
 def _proc_age() -> float:
@@ -312,7 +348,7 @@ def encode_wav(df: DataFrame, id_col: str, text_col: str = "text",
             ]
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
@@ -346,7 +382,7 @@ def decode_wav(df: DataFrame, id_col: str, payload_col: str = "payload") -> Data
                 columns=[id_col, "n_channels", "sample_rate", "n_samples", "amp_sum"],
             )
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
@@ -433,7 +469,7 @@ def wav_frame_features(df: DataFrame, id_col: str,
                  "amp_sum": amps, "crossings": crs}
             )
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
@@ -484,7 +520,7 @@ def encode_png(df: DataFrame, id_col: str, text_col: str = "text",
             ]
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
@@ -520,7 +556,7 @@ def decode_png(df: DataFrame, id_col: str, payload_col: str = "payload") -> Data
                 columns=[id_col, "width", "height", "bit_depth", "color_type", "pix_sum"],
             )
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
@@ -550,7 +586,7 @@ def encode_jpeg(df: DataFrame, id_col: str, text_col: str = "text",
             prev_end = _time.perf_counter()
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
@@ -591,7 +627,7 @@ def decode_jpeg(df: DataFrame, id_col: str, payload_col: str = "payload") -> Dat
                 columns=[id_col, "width", "height", "n_components", "pix_sum"],
             )
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
@@ -617,7 +653,7 @@ def decode_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
@@ -691,7 +727,7 @@ def resize(df: DataFrame, id_col: str, payload_col: str = "payload",
                     outs.append(bytes(b[::step]))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": outs})
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
@@ -727,7 +763,7 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str = "payload",
                 )
             yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
@@ -754,5 +790,5 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str = "payload",
             if rows:
                 yield pd.DataFrame(rows, columns=[id_col, "frame_no", "frame"])
 
-    _register_self_by_value()
+    _ship_package(df)
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -15,7 +15,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return read_fixture(spark, sf_dir, table)
 
 
-def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Round-robin the rows across ``factor × defaultParallelism``
     partitions ahead of a Python-codec ``mapInPandas`` stage.
 
@@ -25,15 +25,14 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     the whole stage (multimodal_jpeg_decode hit 12.6× its median at
     load1 9.1; wav_decode 7.2×). With ≥1 task per core the scheduler
     work-steals around a slow core and a straggler delays one small
-    slice instead of the stage. Factor calibration (round-8 A/B +
-    full-run comparison): every extra WAVE of tasks pays a parallel
-    by-value-closure unpickle per worker (~0.3 s/wave on the jpeg
-    codec, more for multi-stage pipelines like resize), so the default
-    is factor 1 — one task per core, which already replaces the 2-4
-    fixture-read tasks that made wav_decode 7.2× under load — and only
-    the thrice-flagged jpeg query pays for a second wave (factor 2).
-    At 100 TB the input already arrives in thousands of partitions and
-    a caller would skip this; it's fixture plumbing."""
+    slice instead of the stage. Factor calibration (round-8): with the
+    by-value closure shipping replaced by the package-zip addPyFile
+    (functions/multimodal._ship_package — the per-task module unpickle
+    that priced each extra task wave at ~0.3-0.5 s is gone; workers
+    import once per process), extra waves cost scheduler overhead only,
+    so the default is factor 2 — two work-stealing waves per core. At
+    100 TB the input already arrives in thousands of partitions and a
+    caller would skip this; it's fixture plumbing."""
     spark = df.sparkSession
     return df.repartition(factor * spark.sparkContext.defaultParallelism)
 
