@@ -23,7 +23,17 @@ On a real cluster the same config applies per executor; the imports are
 per-executor-daemon, not per-task.
 """
 
-for _mod in ("numpy", "pandas", "pyarrow", "pyarrow.parquet"):
+for _mod in (
+    "numpy", "pandas", "pyarrow", "pyarrow.parquet",
+    # round-8: the codec modules themselves — mapInPandas closures now
+    # pickle BY REFERENCE (functions/multimodal._ship_package), so every
+    # fresh worker imports them; preimporting here makes that a
+    # copy-on-write inherit instead of a per-worker import. The package
+    # __init__ is lazy (PEP 562), so this pulls only the codec graph,
+    # not the engine. Guarded: sessions without the package on the
+    # daemon's sys.path just lose the warm-up.
+    "reactivedb_spark.functions.multimodal",
+):
     try:
         __import__(_mod)
     except Exception:  # noqa: BLE001 — a missing lib just loses the warm-up

@@ -19,7 +19,26 @@ the optimization. No code is copied from the reference — citations in
 docstrings point at reference behavior being matched, not code reused.
 """
 
-from reactivedb_spark.session import get_spark  # noqa: F401
-from reactivedb_spark.engine import Engine  # noqa: F401
+# Lazy top-level attributes (PEP 562): importing ANY submodule executes
+# this __init__, and Python WORKERS import the codec submodules
+# (functions/multimodal, functions/jpeg) when unpickling mapInPandas
+# closures — an eager `from .engine import Engine` here would drag the
+# whole engine/networking import graph into every fresh worker process
+# (~1-2 s each, round-8 measurement). Driver-side `from reactivedb_spark
+# import Engine` still works, resolved on first access.
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "get_spark": ("reactivedb_spark.session", "get_spark"),
+    "Engine": ("reactivedb_spark.engine", "Engine"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'reactivedb_spark' has no attribute {name!r}")

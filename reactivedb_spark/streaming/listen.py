@@ -244,3 +244,77 @@ def stateful_timeout_sessions(stream_df: DataFrame, key_col: str,
         update, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def tws_running_totals(stream_df: DataFrame, key_col: str, value_col: str):
+    """Per-key running (count, sum) on Spark 4's ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` used by
+    :func:`stateful_running_totals` (same declared semantics, so the two
+    operators are mutually differential): typed per-key ValueState
+    owned by a ``StatefulProcessor``, Arrow-batched rows, RocksDB-backed
+    state (the API REQUIRES the RocksDB provider — run it under
+    ``rocksdb_state``).
+
+    ENVIRONMENT-GATED: transformWithState's state-server protocol needs
+    the ``protobuf`` package on the Python side; this container doesn't
+    ship it (and installs are out of scope), so the operator raises a
+    clear error here and its test skips — the code path is exercised
+    wherever protobuf exists. The applyInPandasWithState twin is the
+    gated, oracle-checked operator in this environment
+    (``streaming_stateful_totals``).
+
+    Emits one row per key per batch: (key, n, total) after that batch's
+    rows — identical to the applyInPandasWithState twin, so the same
+    max/max_by fold and the same batch GROUP BY oracle apply. Integer
+    value columns accumulate exactly (batch composition invisible)."""
+    try:
+        import google.protobuf  # noqa: F401 — the state-server protocol dep
+    except ImportError as e:
+        raise ImportError(
+            "transformWithState requires the 'protobuf' package on the "
+            "Python side (pyspark's state-server protocol); install it or "
+            "use stateful_running_totals (applyInPandasWithState)"
+        ) from e
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    vtype = stream_df.schema[value_col].dataType
+    is_int = isinstance(vtype, (T.LongType, T.IntegerType))
+    total_t = T.LongType() if is_int else T.DoubleType()
+    out_schema = T.StructType([
+        stream_df.schema[key_col],
+        T.StructField("n", T.LongType()),
+        T.StructField("total", total_t),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()), T.StructField("total", total_t),
+    ])
+    kcol, vcol = key_col, value_col
+    zero = 0 if is_int else 0.0
+    conv = int if is_int else float
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            prior = self._state.get() if self._state.exists() else None
+            n, total = (prior[0], prior[1]) if prior is not None else (0, zero)
+            for pdf in rows:
+                n += len(pdf)
+                total += conv(pdf[vcol].sum())
+            self._state.update((n, total))
+            yield _pd.DataFrame({kcol: [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -172,3 +172,68 @@ class TestReplayIdempotence:
         # the fresh incarnation re-reads the source from scratch: its
         # batches MUST commit (30 new rows), not be dropped by the ledger
         assert eng.table("events").count() == 60
+
+
+def test_tws_running_totals_matches_apply_in_pandas_twin(spark, tmp_path):
+    """transformWithState twin of stateful_running_totals — SKIPS where
+    protobuf (the state-server protocol dep) is absent; asserts the two
+    stateful APIs agree where it runs."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from reactivedb_spark.sources.readers import stream_parquet_dir
+    from reactivedb_spark.streaming.listen import (
+        stateful_running_totals, tws_running_totals)
+    from reactivedb_spark.suite._common import rocksdb_state, streaming_shuffle
+
+    src = str(tmp_path / "in")
+    spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    ).repartition(2).write.mode("append").parquet(src)
+    outs = {}
+    for label, fn in (("apply", stateful_running_totals),
+                      ("tws", tws_running_totals)):
+        name = f"tws_twin_{label}"
+        df = fn(stream_parquet_dir(
+            spark, src, "k bigint, v bigint"), "k", "v")
+        with streaming_shuffle(spark), rocksdb_state(spark):
+            q = (df.writeStream.format("memory").queryName(name)
+                 .outputMode("update")
+                 .option("checkpointLocation", str(tmp_path / f"ck_{label}"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            q.stop()
+        outs[label] = {
+            r["k"]: (r["n"], r["total"]) for r in
+            spark.table(name).groupBy("k").agg(
+                F.max("n").alias("n"), F.max_by("total", "n").alias("total")
+            ).collect()}
+    assert outs["apply"] == outs["tws"]
+
+
+def test_tws_running_totals_raises_clearly_without_protobuf(spark, tmp_path):
+    try:
+        import google.protobuf  # noqa: F401
+        import pytest as _pytest
+
+        _pytest.skip("protobuf present: the gate is exercised by the twin test")
+    except ImportError:
+        pass
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from reactivedb_spark.sources.readers import stream_parquet_dir
+    from reactivedb_spark.streaming.listen import tws_running_totals
+
+    src = str(tmp_path / "in")
+    spark.range(10).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+    ).write.mode("append").parquet(src)
+    with _pytest.raises(ImportError, match="protobuf"):
+        tws_running_totals(
+            stream_parquet_dir(spark, src, "k bigint, v bigint"), "k", "v")
