@@ -442,11 +442,15 @@ def wav_frame_features(df: DataFrame, id_col: str,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         import numpy as np
 
+        prev_end = _time.perf_counter()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            t0 = _time.perf_counter()
             ids, fidx, ns, amps, crs = [], [], [], [], []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 s = np.asarray(wav_frame_samples(bytes(payload)), dtype=np.int64)
@@ -464,6 +468,9 @@ def wav_frame_features(df: DataFrame, id_col: str,
                     amps.append(int(absolute[lo:hi].sum()))
                     # in-window pairs only: indices lo..hi-2 of `cross`
                     crs.append(int(cross[lo:hi - 1].sum()) if hi - lo > 1 else 0)
+            _prof_write("wav_frames", _time.perf_counter() - t0, len(pdf),
+                        t0 - prev_end)
+            prev_end = _time.perf_counter()
             yield pd.DataFrame(
                 {id_col: ids, "frame_idx": fidx, "n_samples": ns,
                  "amp_sum": amps, "crossings": crs}
