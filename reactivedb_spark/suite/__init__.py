@@ -19,7 +19,7 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 froze; builder-verified only until now).
 #   slots 2-38  — the 37 queries whose newest green row is r5 (the
 #                 stalest evidence in the pool), alphabetical.
-#   slots 39-45 — the seven NEW/CHANGED round-8 queries (driver-
+#   slots 39-46 — the eight NEW/CHANGED round-8 queries (driver-
 #                 unchecked by definition): bpe_train_batched (VERDICT
 #                 #4: batched merge learning, merges=64 in 8 rounds),
 #                 corpus_clean_cc (VERDICT #6: transitive-clustering
@@ -28,17 +28,19 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 kcore_parts (iterative-peel k-core decomposition),
 #                 scd2_users (type-2 SCD history build), interval_join
 #                 (banded two-sided interval overlap join), impute_docs
-#                 (group-wise exact-mean/mode imputation).
-#   slots 46-50 — the five r6-green queries with a single green row
+#                 (group-wise exact-mean/mode imputation),
+#                 bigram_logprob (interpolated bigram LM scoring).
+#   slots 47-50 — four of the five single-green-r6 queries
 #                 (dedup_containment_zipf, expr_functions,
-#                 semantic_dedup, streaming_dedup_watermark,
-#                 streaming_late_data). VERDICT #1 asked for 12 r6
-#                 slots; seven are given to new queries (it also
-#                 demanded gates for #4/#6, and new queries always
-#                 green-gate on first exposure) — the displaced seven
-#                 (ann_knn_join, asof_forward, bloom_semi_join,
+#                 semantic_dedup, streaming_dedup_watermark). VERDICT
+#                 #1 asked for 12 r6 slots; eight are given to new
+#                 queries (it also demanded gates for #4/#6, and new
+#                 queries always green-gate on first exposure) — the
+#                 displaced eight (streaming_late_data [single-green],
+#                 ann_knn_join, asof_forward, bloom_semi_join,
 #                 bm25_topk, chunk_windows, cms_heavy_hitters,
-#                 dag_chain) lead the r9 r6-block.
+#                 dag_chain) lead the r9 r6-block,
+#                 streaming_late_data first.
 # Everything not in _WINDOW keeps its registration but lands in the tail
 # (latest evidence r6/r7 — ≤2 rounds old at round 8); they rotate back in
 # next round. tests/test_suite_registration.py enforces this layout.
@@ -91,12 +93,12 @@ _WINDOW = (
     "scd2_users",  # new r8: type-2 SCD history build
     "interval_join",  # new r8: banded two-sided interval overlap join
     "impute_docs",  # new r8: group-wise exact-mean/mode imputation
-    # r6 single-green
+    "bigram_logprob",  # new r8: interpolated bigram LM scoring
+    # r6 single-green (streaming_late_data displaced to the r9 head)
     "dedup_containment_zipf",
     "expr_functions",
     "semantic_dedup",
     "streaming_dedup_watermark",
-    "streaming_late_data",
 )
 assert len(_WINDOW) == 50
 

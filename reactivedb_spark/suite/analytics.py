@@ -356,6 +356,26 @@ GROUP BY t.doc_id
 """
 
 
+# -- interpolated bigram LM scoring --------------------------------------------
+
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring (operators/lm.py):
+    each document scored under a corpus-trained
+    λ·p(w|ctx) + (1−λ)·p(w) model — the next rung above
+    ``unigram_logprob`` on the LM-quality ladder. Same determinism
+    recipe: IEEE-identical probability op order, DECIMAL(28,14)-pinned
+    ln terms, exact decimal sum, round(6)."""
+    from reactivedb_spark.operators.lm import bigram_logprob
+
+    return bigram_logprob(load(spark, sf, "documents"), "doc_id", "text")
+
+
+from reactivedb_spark.operators.lm import (
+    bigram_logprob_oracle_sql as _bigram_sql)
+
+SQL_BIGRAM_LOGPROB = _bigram_sql("documents", "doc_id", "text")
+
+
 # -- PageRank (fixed-iteration, iterative-algorithm flagship) -----------------
 
 def q_pagerank_orders(spark: SparkSession, sf: str) -> DataFrame:
@@ -1274,6 +1294,7 @@ QUERIES = {
     "source_jsonl": q_source_jsonl,
     "source_csv": q_source_csv,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "pagerank_orders": q_pagerank_orders,
     "triangle_count": q_triangle_count,
     "kcore_parts": q_kcore_parts,
@@ -1305,6 +1326,7 @@ ORACLES = {
     "source_jsonl": SQL_SOURCE_JSONL,
     "source_csv": SQL_SOURCE_CSV,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "pagerank_orders": SQL_PAGERANK_ORDERS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "kcore_parts": SQL_KCORE_PARTS,

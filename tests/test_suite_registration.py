@@ -4,11 +4,12 @@ FIRST 50 registered queries. Round-8 rotation (VERDICT r7 #1):
 evidence — takes slot 1; the 37 queries whose newest green row is r5
 fill slots 2-38 alphabetically; the five NEW/CHANGED round-8 queries
 (bpe_train_batched, corpus_clean_cc, distinct_transform, kcore_parts,
-scd2_users, interval_join, impute_docs — driver-unchecked by
-definition) take slots 39-45; slots 46-50 hold the five single-green
-r6 queries (ann_knn_join, asof_forward, bloom_semi_join, bm25_topk,
-chunk_windows, cms_heavy_hitters and dag_chain are displaced by the
-new queries and lead the r9 r6-block).
+scd2_users, interval_join, impute_docs, bigram_logprob —
+driver-unchecked by definition) take slots 39-46; slots 47-50 hold four
+single-green r6 queries (streaming_late_data, ann_knn_join,
+asof_forward, bloom_semi_join, bm25_topk, chunk_windows,
+cms_heavy_hitters and dag_chain are displaced by the new queries and
+lead the r9 r6-block, streaming_late_data first).
 Everything else — latest evidence r6/r7, i.e. <=2 rounds old — fills
 the tail and rotates back next round."""
 
@@ -55,14 +56,14 @@ R5_STALE = [
 ]
 
 NEW_R8 = ["bpe_train_batched", "corpus_clean_cc", "distinct_transform",
-          "kcore_parts", "scd2_users", "interval_join", "impute_docs"]
+          "kcore_parts", "scd2_users", "interval_join", "impute_docs",
+          "bigram_logprob"]
 
 R6_SINGLE_GREEN = [
     "dedup_containment_zipf",
     "expr_functions",
     "semantic_dedup",
     "streaming_dedup_watermark",
-    "streaming_late_data",
 ]
 
 R6_DOUBLE_GREEN_HEAD = []
