@@ -927,7 +927,7 @@ class Engine:
                 distinct_tr_op.representatives(tr, d.inserts)
                 .join(_keyset(birth_keys.select(C.DISTINCT_KEY)),
                       C.DISTINCT_KEY, "inner")
-                .join(F.broadcast(birth_keys.select(C.DISTINCT_KEY, "_net")),
+                .join(_keyset(birth_keys.select(C.DISTINCT_KEY, "_net")),
                       C.DISTINCT_KEY)
                 .withColumn(C.REF_COUNT, F.col("_net"))
                 .drop("_net")
