@@ -748,3 +748,64 @@ def kmeans_assignments(df: DataFrame, id_col: str, vec_col: str,
             .select("cluster", "j", F.coalesce("ncl", "cl").alias("cl"))
         )
     return assign(cent)
+
+
+def sq8_codes(df: DataFrame, id_col: str, vec_col: str):
+    """SQ8 scalar quantization: each vector element compressed to ONE
+    byte against per-dimension [min, max] trained on the corpus — the
+    4-8× memory lever under every large ANN deployment (FAISS
+    ScalarQuantizer). All integer fixed-point, so codes and
+    reconstructions are bit-identical in any engine:
+
+    - train: per-dimension min/max over the element relation (one
+      map-side-combinable aggregation; the params relation is dim-sized);
+    - encode: c = ((xl − mn)·255) div (mx − mn), clamped degenerate
+      dims (mx == mn) to 0 — integer division, no float rounding;
+    - reconstruct: r = mn + (c·(mx − mn)) div 255 (the decoder any
+      reader applies; |xl − r| ≤ (mx−mn)/255 + 1 micro-units).
+
+    Returns (codes, params): codes = (id, j, code, rl) with the
+    reconstruction alongside; params = (j, mn, mx). Plan shape: one
+    aggregation + one broadcast join of the dim-sized params."""
+    elem = exploded(df, id_col, vec_col)
+    params = elem.groupBy("j").agg(
+        F.min("xl").alias("mn"), F.max("xl").alias("mx")
+    )
+    joined = elem.join(F.broadcast(params), "j")
+    code = F.when(
+        F.col("mx") == F.col("mn"), F.lit(0)
+    ).otherwise(
+        F.expr("((xl - mn) * 255) div (mx - mn)")
+    ).cast("int")
+    codes = joined.select(
+        id_col, "j", code.alias("code"), "mn", "mx",
+    ).select(
+        id_col, "j", "code",
+        (F.col("mn") + F.expr("(code * (mx - mn)) div 255"))
+        .cast("long").alias("rl"),
+    )
+    return codes, params
+
+
+def sq8_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
+             k: int = 10) -> DataFrame:
+    """ANN top-k by SQ8 asymmetric distance (ADC): the EXACT query
+    vector scored against every corpus vector's one-byte-per-dim
+    reconstruction — Σ (q − r)² in int64 (unit-norm headroom:
+    diff ≤ 2·10⁸, squared ≤ 4·10¹⁶, ×64 dims < 2⁶³). Ties break by id;
+    output (vec_id, adc_d2) ascending. One aggregation + one broadcast
+    of the dim-sized query relation — vectors never leave their
+    partitions, codes are what a production index would hold in RAM."""
+    codes, _ = sq8_codes(df, id_col, vec_col)
+    q = (
+        exploded(df.filter(F.col(id_col) == F.lit(query_id)), id_col, vec_col)
+        .select("j", F.col("xl").alias("ql"))
+    )
+    d2 = (
+        codes.filter(F.col(id_col) != F.lit(query_id))
+        .join(F.broadcast(q), "j")
+        .groupBy(id_col)
+        .agg(F.sum((F.col("ql") - F.col("rl")) * (F.col("ql") - F.col("rl")))
+             .alias("adc_d2"))
+    )
+    return d2.orderBy("adc_d2", id_col).limit(k)

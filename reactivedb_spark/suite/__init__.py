@@ -19,7 +19,7 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 froze; builder-verified only until now).
 #   slots 2-38  — the 37 queries whose newest green row is r5 (the
 #                 stalest evidence in the pool), alphabetical.
-#   slots 39-46 — the eight NEW/CHANGED round-8 queries (driver-
+#   slots 39-47 — the nine NEW/CHANGED round-8 queries (driver-
 #                 unchecked by definition): bpe_train_batched (VERDICT
 #                 #4: batched merge learning, merges=64 in 8 rounds),
 #                 corpus_clean_cc (VERDICT #6: transitive-clustering
@@ -29,18 +29,19 @@ from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
 #                 scd2_users (type-2 SCD history build), interval_join
 #                 (banded two-sided interval overlap join), impute_docs
 #                 (group-wise exact-mean/mode imputation),
-#                 bigram_logprob (interpolated bigram LM scoring).
-#   slots 47-50 — four of the five single-green-r6 queries
+#                 bigram_logprob (interpolated bigram LM scoring),
+#                 ann_sq8_topk (SQ8 scalar-quantized ADC top-k).
+#   slots 48-50 — three of the five single-green-r6 queries
 #                 (dedup_containment_zipf, expr_functions,
-#                 semantic_dedup, streaming_dedup_watermark). VERDICT
-#                 #1 asked for 12 r6 slots; eight are given to new
-#                 queries (it also demanded gates for #4/#6, and new
-#                 queries always green-gate on first exposure) — the
-#                 displaced eight (streaming_late_data [single-green],
+#                 semantic_dedup). VERDICT #1 asked for 12 r6 slots;
+#                 nine are given to new queries (it also demanded gates
+#                 for #4/#6, and new queries always green-gate on first
+#                 exposure) — the displaced nine (streaming_late_data,
+#                 streaming_dedup_watermark [single-green],
 #                 ann_knn_join, asof_forward, bloom_semi_join,
 #                 bm25_topk, chunk_windows, cms_heavy_hitters,
-#                 dag_chain) lead the r9 r6-block,
-#                 streaming_late_data first.
+#                 dag_chain) lead the r9 r6-block, the two
+#                 single-greens first.
 # Everything not in _WINDOW keeps its registration but lands in the tail
 # (latest evidence r6/r7 — ≤2 rounds old at round 8); they rotate back in
 # next round. tests/test_suite_registration.py enforces this layout.
@@ -94,11 +95,12 @@ _WINDOW = (
     "interval_join",  # new r8: banded two-sided interval overlap join
     "impute_docs",  # new r8: group-wise exact-mean/mode imputation
     "bigram_logprob",  # new r8: interpolated bigram LM scoring
-    # r6 single-green (streaming_late_data displaced to the r9 head)
+    "ann_sq8_topk",  # new r8: SQ8 scalar-quantized ADC top-k
+    # r6 single-green (streaming_late_data / streaming_dedup_watermark
+    # displaced to the r9 head)
     "dedup_containment_zipf",
     "expr_functions",
     "semantic_dedup",
-    "streaming_dedup_watermark",
 )
 assert len(_WINDOW) == 50
 

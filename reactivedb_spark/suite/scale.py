@@ -552,6 +552,40 @@ SQL_ANN_BUCKETS = (
 )
 
 
+def q_ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN top-10 (operators/similarity.py:
+    sq8_topk): per-dimension [min,max] trained on the corpus, one byte
+    per element, the EXACT query scored against every vector's
+    reconstruction (asymmetric distance) — the memory-compression rung
+    of the ANN ladder (FAISS ScalarQuantizer). Codes, reconstructions
+    and distances are all integer fixed-point, so the oracle replays
+    them bit-for-bit; a clamp, rounding or reconstruction drift breaks
+    the hash."""
+    return similarity.sq8_topk(
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding", 0,
+        k=10,
+    )
+
+
+SQL_ANN_SQ8_TOPK = (
+    "WITH " + _ELEM_CTE + """,
+params AS (SELECT j, min(xl) AS mn, max(xl) AS mx FROM elem GROUP BY j),
+rec AS (
+  SELECT vec_id, e.j,
+         mn + ((CASE WHEN mx = mn THEN 0
+                     ELSE ((xl - mn) * 255) // (mx - mn) END)
+               * (mx - mn)) // 255 AS rl
+  FROM elem e JOIN params USING (j)),
+q AS (SELECT j, xl AS ql FROM elem WHERE vec_id = 0),
+d AS (
+  SELECT r.vec_id, SUM((ql - rl) * (ql - rl)) AS adc_d2
+  FROM rec r JOIN q USING (j) WHERE r.vec_id <> 0 GROUP BY r.vec_id)
+SELECT vec_id, CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM d ORDER BY adc_d2, vec_id LIMIT 10
+"""
+)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-probed ANN top-10 against seed centroids — assignment and probe
     use exact int64 fixed-point L2, so the whole pipeline (cluster →
@@ -2561,6 +2595,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ann_buckets": q_ann_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_sq8_topk": q_ann_sq8_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "semantic_dedup": q_semantic_dedup,
     "lang_id": q_lang_id,
@@ -2624,6 +2659,7 @@ ORACLES = {
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_sq8_topk": SQL_ANN_SQ8_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "lang_id": SQL_LANG_ID,

@@ -82,3 +82,38 @@ class TestSemanticDedup:
         out = similarity.semantic_dedup(emb, "vec_id", "embedding",
                                         n_clusters=4, threshold=0.999)
         assert out.count() == 50
+
+
+def test_sq8_codes_bounds_and_reconstruction_error(spark):
+    from reactivedb_spark.operators.similarity import sq8_codes
+
+    import random
+    rng = random.Random(5)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    codes, params = sq8_codes(df, "vec_id", "embedding")
+    rows = codes.collect()
+    assert all(0 <= r["code"] <= 255 for r in rows)
+    # reconstruction error bounded by one quantization step per element
+    p = {r["j"]: (r["mn"], r["mx"]) for r in params.collect()}
+    from reactivedb_spark.operators.similarity import exploded
+    xl = {(r["vec_id"], r["j"]): r["xl"]
+          for r in exploded(df, "vec_id", "embedding").collect()}
+    for r in rows:
+        mn, mx = p[r["j"]]
+        step = (mx - mn) // 255 + 1
+        assert abs(xl[(r["vec_id"], r["j"])] - r["rl"]) <= step
+
+
+def test_sq8_topk_finds_exact_duplicate_first(spark):
+    from reactivedb_spark.operators.similarity import sq8_topk
+
+    import random
+    rng = random.Random(9)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = [(0, base), (1, list(base))]  # 1 duplicates the query
+    rows += [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(2, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sq8_topk(df, "vec_id", "embedding", 0, k=3).collect()
+    assert got[0]["vec_id"] == 1  # the duplicate reconstructs nearest

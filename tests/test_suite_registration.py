@@ -4,12 +4,13 @@ FIRST 50 registered queries. Round-8 rotation (VERDICT r7 #1):
 evidence — takes slot 1; the 37 queries whose newest green row is r5
 fill slots 2-38 alphabetically; the five NEW/CHANGED round-8 queries
 (bpe_train_batched, corpus_clean_cc, distinct_transform, kcore_parts,
-scd2_users, interval_join, impute_docs, bigram_logprob —
-driver-unchecked by definition) take slots 39-46; slots 47-50 hold four
-single-green r6 queries (streaming_late_data, ann_knn_join,
-asof_forward, bloom_semi_join, bm25_topk, chunk_windows,
-cms_heavy_hitters and dag_chain are displaced by the new queries and
-lead the r9 r6-block, streaming_late_data first).
+scd2_users, interval_join, impute_docs, bigram_logprob, ann_sq8_topk —
+driver-unchecked by definition) take slots 39-47; slots 48-50 hold
+three single-green r6 queries (streaming_late_data,
+streaming_dedup_watermark, ann_knn_join, asof_forward, bloom_semi_join,
+bm25_topk, chunk_windows, cms_heavy_hitters and dag_chain are displaced
+by the new queries and lead the r9 r6-block, the two single-greens
+first).
 Everything else — latest evidence r6/r7, i.e. <=2 rounds old — fills
 the tail and rotates back next round."""
 
@@ -57,13 +58,12 @@ R5_STALE = [
 
 NEW_R8 = ["bpe_train_batched", "corpus_clean_cc", "distinct_transform",
           "kcore_parts", "scd2_users", "interval_join", "impute_docs",
-          "bigram_logprob"]
+          "bigram_logprob", "ann_sq8_topk"]
 
 R6_SINGLE_GREEN = [
     "dedup_containment_zipf",
     "expr_functions",
     "semantic_dedup",
-    "streaming_dedup_watermark",
 ]
 
 R6_DOUBLE_GREEN_HEAD = []
