@@ -342,3 +342,57 @@ def k_core(edges: DataFrame, k: int, a: str = "u", b: str = "v",
         live.groupBy(F.col("s").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+def label_propagation(edges: DataFrame, a: str = "u", b: str = "v",
+                      rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, made
+    deterministic): ``rounds`` fixed sweeps where every node adopts the
+    most frequent label among its neighbours, ties broken by the SMALLER
+    label, isolated updates applied simultaneously. Unlike the min-label
+    rule (which converges to connected components), the frequency rule
+    finds denser-than-surroundings communities; the fixed round budget
+    plus the (count desc, label asc) tie-break make the result exactly
+    reproducible, so the oracle can unroll the identical rounds as
+    chained CTEs.
+
+    Spark-first shape per round: one equi-join (labels x symmetrized
+    edges), one (node, label) count aggregation, one window row_number
+    to pick the argmax — all keyed shuffles on the node id, lineage cut
+    per round with localCheckpoint. At 100 TB: 3 shuffles per round on
+    the edge relation, nothing driver-side.
+
+    Returns (node, label) — initial label = own node id.
+    """
+    from pyspark.sql import Window
+
+    e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
+    with _iteration_shuffle(e0):
+        sym = (
+            e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .distinct()
+            .localCheckpoint()
+        )
+        labels = (
+            sym.select(F.col("s").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        pick = Window.partitionBy("node").orderBy(
+            F.col("n").desc(), F.col("label").asc())
+        for _ in range(rounds):
+            votes = (
+                labels.join(sym, labels["node"] == sym["s"])
+                .groupBy(F.col("d").alias("node"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            labels = (
+                votes.withColumn("_rk", F.row_number().over(pick))
+                .filter(F.col("_rk") == 1)
+                .select("node", "label")
+                .localCheckpoint()
+            )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )

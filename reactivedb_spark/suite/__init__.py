@@ -9,7 +9,7 @@ nondeterminism (FP summation order, uuids, timestamps below µs) is
 designed out — see the determinism notes in each module.
 """
 
-from reactivedb_spark.suite import analytics, core, olap, pipeline, scale
+from reactivedb_spark.suite import advanced, analytics, core, olap, pipeline, scale
 
 # Registration order is part of the external contract: the driver's
 # correctness gate checks the FIRST 50 registered queries. _WINDOW is the
@@ -120,6 +120,8 @@ def _pool():
     o.update(analytics.ORACLES)
     o.update(olap.ORACLES)
     o.update(scale.ORACLES)
+    q.update(advanced.QUERIES)
+    o.update(advanced.ORACLES)
     return q, o
 
 

@@ -1,0 +1,144 @@
+"""Unit tests for the round-8 tail operators: fuzzy edit-distance join
+(lossless-filter property vs a brute-force DP), 2-D skyline (dominance
+brute force, tie semantics), label propagation (hand-checked communities),
+and CDC changelog application (update/delete/insert/no-op paths)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_pairs(rows, d):
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        if abs(len(ta) - len(tb)) <= d and _lev(ta, tb) <= d:
+            out.add((min(ia, ib), max(ia, ib), _lev(ta, tb)))
+    return out
+
+
+def test_edit_distance_join_matches_bruteforce(spark):
+    from reactivedb_spark.operators.fuzzyjoin import edit_distance_join
+
+    rows = [
+        (1, "ab"),          # short pool (len <= 3 at q=2, d=1)
+        (2, "abc"),         # short pool
+        (3, "abcd"),        # long side, ed 1 from "abc" (cross-boundary)
+        (4, "abce"),        # ed 1 from "abcd"
+        (5, "abcd"),        # exact duplicate of 3 (ed 0)
+        (6, "xbcd"),        # ed 1 from "abcd"
+        (7, "zzzzzz"),      # isolated
+        (8, "a"),           # shortest possible
+        (9, "b"),           # ed 1 from "a"
+        (10, "banana"),     # repeated grams exercise the occ index
+        (11, "banena"),     # ed 1 from banana
+        (12, "bananas"),    # ed 1 from banana
+    ]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "txt", max_dist=1).collect()
+    }
+    assert got == _brute_pairs(rows, 1)
+
+
+def test_edit_distance_join_d2(spark):
+    from reactivedb_spark.operators.fuzzyjoin import edit_distance_join
+
+    rows = [(i, t) for i, t in enumerate(
+        ["kitten", "sitten", "sittin", "sitting", "mitten", "kittens",
+         "smitten", "bitten", "flitting", "kit", "kat", "knitting"])]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "txt", max_dist=2).collect()
+    }
+    assert got == _brute_pairs(rows, 2)
+
+
+def test_pareto_front_tie_semantics(spark):
+    from reactivedb_spark.operators.skyline import pareto_front
+
+    rows = [
+        # (grp, id, price, size)
+        ("a", 1, 10.0, 5),   # frontier
+        ("a", 2, 10.0, 5),   # duplicate of 1 — both survive
+        ("a", 3, 10.0, 4),   # dominated by 1 (tied price, smaller size)
+        ("a", 4, 9.5, 3),    # frontier (cheaper)
+        ("a", 5, 11.0, 5),   # dominated by 1 (pricier, same size)
+        ("a", 6, 12.0, 9),   # frontier (bigger than everything)
+        ("b", 7, 100.0, 1),  # alone in group — frontier
+    ]
+    df = spark.createDataFrame(rows, ["grp", "id", "price", "size"])
+    got = {r.id for r in
+           pareto_front(df, ["grp"], "price", "size").collect()}
+    assert got == {1, 2, 4, 6, 7}
+
+
+def test_pareto_front_matches_bruteforce(spark):
+    from reactivedb_spark.operators.skyline import pareto_front
+
+    import random
+    rnd = random.Random(8)
+    rows = [("g%d" % (i % 3), i, float(rnd.randint(0, 9)), rnd.randint(0, 9))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["grp", "id", "price", "size"])
+    got = {r.id for r in pareto_front(df, ["grp"], "price", "size").collect()}
+    want = set()
+    for g, i, p, s in rows:
+        dominated = any(
+            g2 == g and p2 <= p and s2 >= s and (p2 < p or s2 > s)
+            for g2, _, p2, s2 in rows)
+        if not dominated:
+            want.add(i)
+    assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    from reactivedb_spark.operators.graph import label_propagation
+
+    # two 4-cliques {1..4} {11..14} joined by one bridge 4-11: the
+    # frequency rule keeps each clique on its own min label.
+    def clique(ns):
+        return [(a, b) for a, b in itertools.combinations(ns, 2)]
+
+    edges = clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (12, 13, 14)} == {11}
+
+
+def test_apply_changelog_paths(spark):
+    from reactivedb_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "bal"])
+    ch = spark.createDataFrame(
+        [
+            (1, "upsert", 11.0, 1),   # overwritten by seq 2
+            (1, "upsert", 12.0, 2),   # final: update
+            (2, "delete", None, 1),   # final: delete
+            (4, "upsert", 40.0, 1),   # final: insert (new key)
+            (5, "delete", None, 1),   # delete of absent key: no-op
+            (6, "upsert", 60.0, 1),   # overwritten by delete
+            (6, "delete", None, 2),   # final: net no-op insert+delete
+        ],
+        ["k", "op", "bal", "seq"],
+    )
+    out = apply_changelog(snap, ch, key="k", payload_cols=["bal"],
+                          seq_cols=["seq"])
+    got = {r.k: r.bal for r in out.collect()}
+    assert got == {1: 12.0, 3: 30.0, 4: 40.0}
