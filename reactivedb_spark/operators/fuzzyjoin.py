@@ -32,8 +32,11 @@ a bounded set (length <= q*d + q - 1 + d) that never touches the main
 relation size.
 
 100 TB shape: two aggregations (gram document frequencies, prefix
-rank), one equi-join on prefix keys, one distinct, one verify join.
-Every stage is keyed; nothing driver-side. The optional ``max_bucket``
+rank), one equi-join on prefix keys whose output is verified INLINE
+(whole-stage codegen levenshtein on the carried strings — the
+multi-million-row candidate relation is never shuffled or joined
+back), then one distinct over the far smaller survivor set. Every
+stage is keyed; nothing driver-side. The optional ``max_bucket``
 guard (same contract as dedup.py's LSH stop-band) drops pathological
 prefix buckets for a declared recall trade, for corpora whose gram
 distribution is adversarial.
@@ -90,6 +93,11 @@ def edit_distance_join(
         ranked.withColumn("_rk", F.row_number().over(pref_w))
         .filter(F.col("_rk") <= prefix_len)
         .select("_id", "_len", "gram", "occ")
+        # carry the string itself through the (tiny: prefix_len rows per
+        # string) prefix relation so verification needs NO join back to
+        # the base table — the candidate join's output is verified
+        # inline, map-side, before anything is ever shuffled again
+        .join(long_side.select("_id", "_txt"), "_id")
     )
     if max_bucket is not None:
         bucket_n = prefix.groupBy("gram", "occ").agg(
@@ -99,16 +107,33 @@ def edit_distance_join(
             ["gram", "occ"],
         )
 
-    # -- candidates: share >= 1 prefix key, inside the length band ----------
+    # -- candidates: share >= 1 prefix key, inside the length band. The
+    # levenshtein verify runs INLINE on the join output (whole-stage
+    # codegen, nothing materialized): deduplicating candidates first
+    # would shuffle the full multi-million-row candidate relation, while
+    # survivors are orders of magnitude fewer — verify first, THEN
+    # distinct (a prefix pair can match on up to (q*d+1)^2 keys).
+    # The prefix relation is SMALL relative to the join's OUTPUT (an
+    # explosion join: n rows in, up to sum-of-squared-bucket-sizes out).
+    # AQE sizes post-shuffle partitions from the INPUT bytes and would
+    # coalesce this join to one task, serializing the whole verify
+    # (measured: 52s -> ~3s at sf0.1). An explicit numPartitions
+    # repartition on the join keys is user-specified parallelism AQE
+    # must respect, pinning the verify's task count to the core count.
+    npart = max(df.sparkSession.sparkContext.defaultParallelism, 4)
     lhs = prefix.select(F.col("_id").alias("id_a"), F.col("_len").alias("la"),
-                        "gram", "occ")
+                        F.col("_txt").alias("ta"), "gram", "occ"
+                        ).repartition(npart, "gram", "occ")
     rhs = prefix.select(F.col("_id").alias("id_b"), F.col("_len").alias("lb"),
-                        "gram", "occ")
-    cand = (
+                        F.col("_txt").alias("tb"), "gram", "occ"
+                        ).repartition(npart, "gram", "occ")
+    verified = (
         lhs.join(rhs, ["gram", "occ"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.abs(F.col("la") - F.col("lb")) <= d)
-        .select("id_a", "id_b")
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
         .distinct()
     )
 
@@ -122,27 +147,17 @@ def edit_distance_join(
     band = base.filter(F.col("_len") <= short_max_len + d).select(
         F.col("_id").alias("oid"), F.col("_txt").alias("to"),
         F.col("_len").alias("lo"))
-    short_pairs = (
+    short_out = (
         band.crossJoin(F.broadcast(shorts))
         .filter(F.col("sid") != F.col("oid"))
         .filter(F.abs(F.col("ls") - F.col("lo")) <= d)
-        .filter(F.levenshtein("ts", "to") <= d)
+        .withColumn("dist", F.levenshtein("ts", "to"))
+        .filter(F.col("dist") <= d)
         .select(F.least("sid", "oid").alias("id_a"),
-                F.greatest("sid", "oid").alias("id_b"))
+                F.greatest("sid", "oid").alias("id_b"), "dist")
         .distinct()
     )
 
-    # -- verify: join texts back, exact levenshtein --------------------------
-    ta = base.select(F.col("_id").alias("id_a"), F.col("_txt").alias("ta"))
-    tb = base.select(F.col("_id").alias("id_b"), F.col("_txt").alias("tb"))
-    verified = (
-        cand.join(ta, "id_a").join(tb, "id_b")
-        .withColumn("dist", F.levenshtein("ta", "tb"))
-        .filter(F.col("dist") <= d)
-        .select("id_a", "id_b", "dist")
-    )
-    short_out = short_pairs.join(ta, "id_a").join(tb, "id_b").select(
-        "id_a", "id_b", F.levenshtein("ta", "tb").alias("dist"))
     return verified.unionByName(short_out).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
