@@ -216,10 +216,16 @@ def main() -> None:
     # driver run under a load window can no longer overwrite the
     # committed calm record in place. Load-gated medians are promoted
     # into BENCH_FULL.json explicitly via scripts/promote_bench.py
-    # (protocol in BASELINE.md). Subset runs (--only) stay stdout-only.
-    if only is None:
+    # (protocol in BASELINE.md). Subset runs (--only) stay stdout-only
+    # unless --raw is given: then they land as a '-subset' dated raw
+    # file promote_bench.py can merge per-query (new queries get bench
+    # rows without paying a full-suite run; absent queries keep their
+    # committed medians).
+    if only is None or "--raw" in sys.argv:
+        suffix = "" if only is None else "-subset"
         try:
-            with open(os.path.join(here, f"BENCH_RAW_{run_stamp}.json"), "w") as f:
+            with open(os.path.join(
+                    here, f"BENCH_RAW_{run_stamp}{suffix}.json"), "w") as f:
                 json.dump(payload, f, indent=1)
         except OSError:
             pass
