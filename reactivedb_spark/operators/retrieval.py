@@ -192,3 +192,75 @@ def phrase_match(
     return starts.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_matches")
     )
+
+
+def trigram_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[str],
+) -> DataFrame:
+    """Indexed multi-pattern substring search — the pg_trgm design: a
+    positional-free trigram inverted index probed conjunctively, then an
+    exact ``contains`` verify on the survivors only.
+
+    Every literal pattern of length >= 3 contributes its distinct
+    character trigrams; a document is a candidate for pattern p iff it
+    contains ALL of p's trigrams (count == n_tri(p) after a distinct
+    semi-join). Candidates are then verified with the built-in JVM
+    ``contains`` — false positives (trigrams present but not contiguous)
+    drop out; false negatives are impossible (every substring occurrence
+    contains every trigram of the pattern).
+
+    Plan shape (100 TB): the corpus trigram explode is filtered by an
+    isin() against the UNION of pattern trigrams (a compile-time literal
+    set — evaluated inside the explode's stage, so the posting relation
+    is |docs x pattern-trigram hits|, never |docs x all trigrams|); one
+    distinct, one broadcast join against the tiny pattern-trigram
+    relation, one count, and a contains() verify on candidates. The full
+    text is scanned exactly once (the explode) regardless of pattern
+    count — amortizing the scan across patterns is the point of the
+    index. Patterns shorter than 3 chars are rejected (no trigram
+    signal; a LIKE scan is the right tool there).
+
+    Emits (pattern, id) for every (pattern, document) match.
+    """
+    if not patterns:
+        raise ValueError("trigram_search: patterns must be non-empty")
+    if any(len(p) < 3 for p in patterns):
+        raise ValueError("trigram_search: every pattern needs length >= 3")
+
+    def tris(s: str) -> list[str]:
+        return sorted({s[i:i + 3] for i in range(len(s) - 2)})
+
+    pat_rows = [(p, t) for p in patterns for t in tris(p)]
+    all_tris = sorted({t for _, t in pat_rows})
+    spark = df.sparkSession
+    pat_df = spark.createDataFrame(pat_rows, ["pattern", "tri"])
+    n_tri = {p: len(tris(p)) for p in patterns}
+    need = spark.createDataFrame(list(n_tri.items()), ["pattern", "n_need"])
+
+    postings = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+                f" i -> substring({text_col}, i, 3))")).alias("tri"),
+        )
+        .filter(F.col("tri").isin(all_tris))
+        .distinct()
+    )
+    cand = (
+        postings.join(F.broadcast(pat_df), "tri")
+        .groupBy(id_col, "pattern")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(need), "pattern")
+        .filter(F.col("n_hit") == F.col("n_need"))
+        .select(id_col, "pattern")
+    )
+    verified = (
+        cand.join(df.select(id_col, text_col), id_col)
+        .filter(F.expr(f"contains({text_col}, pattern)"))
+        .select("pattern", F.col(id_col).cast("long").alias(id_col))
+    )
+    return verified

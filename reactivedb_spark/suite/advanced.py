@@ -240,3 +240,185 @@ ORACLES = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "merge_upsert": SQL_MERGE_UPSERT,
 }
+
+
+# -- association rules (market basket) -------------------------------------------
+
+def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair association rules (operators/assoc.py) over order baskets:
+    support/confidence/lift for part pairs co-purchased in >= 3 orders,
+    both directions, all ratios integer ppm (bit-portable). One
+    basket-keyed self-join + keyed counts — never an item-item
+    product."""
+    from reactivedb_spark.operators.assoc import association_rules
+
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+    return association_rules(li, "okey", "pkey", min_count=3)
+
+
+SQL_ASSOC_RULES = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+item_n AS (SELECT i, count(*) AS n_item FROM bi GROUP BY i),
+pair_n AS (
+  SELECT a.i AS x, b.i AS y, count(*) AS n_pair
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY a.i, b.i HAVING count(*) >= 3),
+directed AS (
+  SELECT x AS antecedent, y AS consequent, n_pair FROM pair_n
+  UNION ALL
+  SELECT y AS antecedent, x AS consequent, n_pair FROM pair_n)
+SELECT CAST(d.antecedent AS BIGINT) AS antecedent,
+       CAST(d.consequent AS BIGINT) AS consequent,
+       CAST(d.n_pair AS BIGINT) AS n_pair,
+       CAST((d.n_pair * 1000000) // nb.n AS BIGINT) AS support_ppm,
+       CAST((d.n_pair * 1000000) // nx.n_item AS BIGINT) AS confidence_ppm,
+       CAST((d.n_pair * nb.n * 1000000) // (nx.n_item * ny.n_item)
+            AS BIGINT) AS lift_ppm
+FROM directed d
+JOIN item_n nx ON nx.i = d.antecedent
+JOIN item_n ny ON ny.i = d.consequent
+CROSS JOIN nb
+"""
+
+
+# -- trigram-indexed substring search ---------------------------------------------
+
+TRIGRAM_PATTERNS = [
+    "fast merge batch", "table window", "slow fast table", "hash value part",
+]
+
+
+def q_trigram_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-pattern substring search via a trigram inverted index
+    (operators/retrieval.py:trigram_search — the pg_trgm design):
+    conjunctive trigram probe, contains() verify on survivors only. The
+    oracle is the naive per-pattern full scan the index must reproduce
+    exactly (trigram candidacy is complete: every occurrence contains
+    every pattern trigram)."""
+    from reactivedb_spark.operators.retrieval import trigram_search
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return trigram_search(d, "doc_id", "text", TRIGRAM_PATTERNS)
+
+
+SQL_TRIGRAM_SEARCH = """
+WITH pats(pattern) AS (VALUES
+  ('fast merge batch'), ('table window'), ('slow fast table'),
+  ('hash value part'))
+SELECT p.pattern, CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d JOIN pats p ON contains(d.text, p.pattern)
+"""
+
+
+# -- cumulative distinct users (first-seen running count) --------------------------
+
+def q_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Running distinct-user count per hour — the "cumulative uniques"
+    dashboard query, computed the scalable way: distinct is reduced to
+    each user's FIRST hour (one keyed min), then a per-hour count and a
+    running sum over the (small, post-aggregation) hour relation —
+    never a per-bucket distinct rescan. Hours are integer epoch-hour
+    indexes (ts is integer ns; no timezone dependence)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 3600000000000").alias("hour_idx"))
+    first_hour = ev.groupBy("user_id").agg(F.min("hour_idx").alias("hour_idx"))
+    per_hour = first_hour.groupBy("hour_idx").agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("hour_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return per_hour.select(
+        F.col("hour_idx").cast("long").alias("hour_idx"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+SQL_CUMULATIVE_DISTINCT = """
+WITH fd AS (
+  SELECT user_id, min(epoch_ns(ts) // 3600000000000) AS hour_idx
+  FROM events GROUP BY user_id),
+pd AS (SELECT hour_idx, count(*) AS new_users FROM fd GROUP BY hour_idx)
+SELECT CAST(hour_idx AS BIGINT) AS hour_idx,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY hour_idx
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM pd
+"""
+
+
+# -- streaming windowed distinct count ---------------------------------------------
+
+def q_streaming_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct users per hour as a STREAM: watermarked
+    dropDuplicates on (user_id, hour) composed with a windowed count —
+    the streaming-state pattern (dedup state feeding an aggregation)
+    none of the other streaming queries exercise. COUNT(DISTINCT) is
+    not incrementally computable as a plain fold; the dedup-then-count
+    composition is the standard scalable rewrite, with per-key dedup
+    state bounded by the watermark horizon. The oracle is the batch
+    count(distinct) per hour — micro-batch slicing must be invisible."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid
+
+    from reactivedb_spark.sources import stream_parquet_dir
+    from reactivedb_spark.suite._common import (
+        dump_stream_progress, streaming_shuffle)
+
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tstamp"),
+    )
+    root = _tempfile.mkdtemp(prefix="rdb_wdist_")
+    src = _os.path.join(root, "in")
+    ev.repartition(3).write.mode("append").parquet(src)
+    name = "wdist_" + uuid.uuid4().hex[:8]
+    agg = (
+        stream_parquet_dir(spark, src, ev.schema)
+        .withWatermark("tstamp", "3650 days")
+        .withColumn("hour_start", F.date_trunc("hour", F.col("tstamp")))
+        .dropDuplicates(["user_id", "hour_start"])
+        .groupBy("hour_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("distinct_users"))
+    )
+    with streaming_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", _os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            dump_stream_progress(q, "streaming_windowed_distinct")
+            q.stop()
+    return spark.table(name).select(
+        F.unix_micros(F.col("hour_start")).alias("hour_start_us"),
+        "distinct_users",
+    )
+
+
+SQL_STREAMING_WINDOWED_DISTINCT = """
+SELECT (epoch_ns(ts) // 1000) // 3600000000 * 3600000000 AS hour_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY 1
+"""
+
+QUERIES.update({
+    "assoc_rules": q_assoc_rules,
+    "trigram_search": q_trigram_search,
+    "cumulative_distinct": q_cumulative_distinct,
+    "streaming_windowed_distinct": q_streaming_windowed_distinct,
+})
+
+ORACLES.update({
+    "assoc_rules": SQL_ASSOC_RULES,
+    "trigram_search": SQL_TRIGRAM_SEARCH,
+    "cumulative_distinct": SQL_CUMULATIVE_DISTINCT,
+    "streaming_windowed_distinct": SQL_STREAMING_WINDOWED_DISTINCT,
+})

@@ -163,6 +163,20 @@ def scale_table(src: str, dst: str, table: str, factor: int,
             idx = c.schema.get_field_index("embedding")
             c = c.set_column(idx, c.schema.field("embedding"),
                              _rotate_lists(c.column("embedding"), i))
+        if table == "customer" and i > 0:
+            # c_name is derived from c_custkey in the base fixtures
+            # ('Customer#%09d'); leaving it unshifted makes every copy a
+            # byte-identical name set — 10 exact duplicates per name —
+            # which re-creates the quadratic cross-copy blowup for any
+            # string-similarity operator (fuzzy join candidates ×K²,
+            # ed-0 pairs ×C(K,2)). Regenerate the name from the SHIFTED
+            # key so the derivation invariant survives scaling.
+            idx = c.schema.get_field_index("c_name")
+            names = pa.array(
+                ["Customer#%09d" % k for k in c.column("c_custkey").to_pylist()],
+                type=c.schema.field("c_name").type,
+            )
+            c = c.set_column(idx, c.schema.field("c_name"), names)
         copies.append(c)
     out = pa.concat_tables(copies)
     pq.write_table(out, os.path.join(dst, f"{table}.parquet"))

@@ -142,3 +142,50 @@ def test_apply_changelog_paths(spark):
                           seq_cols=["seq"])
     got = {r.k: r.bal for r in out.collect()}
     assert got == {1: 12.0, 3: 30.0, 4: 40.0}
+
+
+def test_association_rules_small(spark):
+    from reactivedb_spark.operators.assoc import association_rules
+
+    # 4 baskets: {1,2,3} {1,2} {1,2} {3}
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2),
+            (12, 1), (12, 2), (13, 3)]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = {(r.antecedent, r.consequent): r
+           for r in association_rules(df, "b", "i", min_count=2).collect()}
+    assert set(out) == {(1, 2), (2, 1)}
+    r = out[(1, 2)]
+    # n_pair=3, N=4, n1=3, n2=3
+    assert r.n_pair == 3
+    assert r.support_ppm == 750000
+    assert r.confidence_ppm == 1000000
+    assert r.lift_ppm == (3 * 4 * 1000000) // 9
+
+
+def test_trigram_search_exactness(spark):
+    from reactivedb_spark.operators.retrieval import trigram_search
+
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "quick brownies for the win"),  # substring hit: 'quick brown'ies
+        (3, "brow nquick"),            # trigram soup, no contiguous match
+        (4, "xxx quick brown xxx"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r.pattern, r.doc_id)
+           for r in trigram_search(df, "doc_id", "text",
+                                   ["quick brown", "the "]).collect()}
+    want = {("quick brown", 1), ("quick brown", 2), ("quick brown", 4),
+            ("the ", 1), ("the ", 2)}
+    assert got == want
+
+
+def test_trigram_search_rejects_short_patterns(spark):
+    import pytest as _pytest
+
+    from reactivedb_spark.operators.retrieval import trigram_search
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        trigram_search(df, "doc_id", "text", ["ab"])
