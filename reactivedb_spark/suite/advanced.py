@@ -422,3 +422,55 @@ ORACLES.update({
     "cumulative_distinct": SQL_CUMULATIVE_DISTINCT,
     "streaming_windowed_distinct": SQL_STREAMING_WINDOWED_DISTINCT,
 })
+
+
+# -- guarded fuzzy join (production scale config) -----------------------------------
+
+def q_fuzzy_join_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """The production-scale configuration of the edit-distance join:
+    ``max_bucket=100`` drops prefix-key buckets holding >100 strings
+    BEFORE pair generation (the stop-band pattern of
+    dedup_jaccard_guarded) — on gram-pathological corpora (tiny
+    alphabet, fixed format: exactly this fixture) oversized buckets
+    carry quadratic candidate cost and near-zero signal. The oracle
+    replays the ENTIRE filter pipeline in SQL — positional bigrams with
+    occurrence index, global (df, gram, occ) rarity order, q·d+1
+    prefix, the bucket-count guard, length band, levenshtein verify —
+    so the guard's exact drop semantics are driver-verified, not just
+    its speed. (All fixture names are length 18, so the short-string
+    pool is empty and the oracle covers the prefix path exactly.)"""
+    from reactivedb_spark.operators.fuzzyjoin import edit_distance_join
+
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    return edit_distance_join(c, "c_custkey", "c_name", max_dist=1, q=2,
+                              max_bucket=100)
+
+
+SQL_FUZZY_JOIN_GUARDED = """
+WITH c AS (SELECT c_custkey AS id, c_name AS txt, length(c_name) AS len
+           FROM customer WHERE c_name IS NOT NULL AND length(c_name) > 3),
+g AS (SELECT id, len, gram,
+             row_number() OVER (PARTITION BY id, gram ORDER BY pos) AS occ
+      FROM (SELECT id, len, substring(txt, CAST(i AS INT), 2) AS gram, i AS pos
+            FROM c, LATERAL unnest(generate_series(1, len - 1)) AS t(i))),
+dfq AS (SELECT gram, occ, count(*) AS dfn FROM g GROUP BY gram, occ),
+rk AS (SELECT g.id, g.len, g.gram, g.occ,
+              row_number() OVER (PARTITION BY g.id
+                                 ORDER BY dfq.dfn, g.gram, g.occ) AS r
+       FROM g JOIN dfq USING (gram, occ)),
+pref AS (SELECT id, len, gram, occ FROM rk WHERE r <= 3),
+kept AS (SELECT gram, occ FROM pref GROUP BY gram, occ
+         HAVING count(*) <= 100),
+pg AS (SELECT pref.id, pref.len, pref.gram, pref.occ
+       FROM pref JOIN kept USING (gram, occ)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM pg a JOIN pg b ON a.gram = b.gram AND a.occ = b.occ
+          AND a.id < b.id AND abs(a.len - b.len) <= 1)
+SELECT CAST(cand.id_a AS BIGINT) AS id_a, CAST(cand.id_b AS BIGINT) AS id_b,
+       CAST(levenshtein(ca.txt, cb.txt) AS BIGINT) AS dist
+FROM cand JOIN c ca ON ca.id = cand.id_a JOIN c cb ON cb.id = cand.id_b
+WHERE levenshtein(ca.txt, cb.txt) <= 1
+"""
+
+QUERIES["fuzzy_join_guarded"] = q_fuzzy_join_guarded
+ORACLES["fuzzy_join_guarded"] = SQL_FUZZY_JOIN_GUARDED
