@@ -59,3 +59,44 @@ def apply_changelog(
         ],
     )
     return out
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Keyed table diff — the warehouse regression-test primitive:
+    classify every key as added / removed / changed between two
+    snapshots, with the names of the differing payload columns
+    (comma-joined in column order; NULL-safe comparison, so NULL->value
+    and value->NULL both count as changes). Unchanged keys are omitted.
+
+    One full outer join on the key; the per-column compare is a codegen
+    CASE chain — no row explosion, no driver state."""
+    b = before.select(
+        F.col(key).alias("_bk"),
+        *[F.col(c).alias(f"_b_{c}") for c in payload_cols])
+    a = after.select(
+        F.col(key).alias("_ak"),
+        *[F.col(c).alias(f"_a_{c}") for c in payload_cols])
+    j = b.join(a, b["_bk"] == a["_ak"], "full_outer")
+    changed_cols = F.concat_ws(",", *[
+        F.when(~F.col(f"_b_{c}").eqNullSafe(F.col(f"_a_{c}")), F.lit(c))
+        for c in payload_cols
+    ])
+    change = (
+        F.when(F.col("_bk").isNull(), F.lit("added"))
+        .when(F.col("_ak").isNull(), F.lit("removed"))
+        .when(changed_cols != F.lit(""), F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("_bk"), F.col("_ak")).alias(key),
+            change.alias("change"),
+            F.when(change == "changed", changed_cols)
+            .otherwise(F.lit("")).alias("changed_cols"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

@@ -385,3 +385,32 @@ SELECT s1, s2, na, nb,
        CAST(max(gap) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
 FROM c GROUP BY s1, s2, na, nb
 """
+
+
+def weighted_median(df, group_cols: list[str], value_col: str,
+                    weight_col: str):
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total (lower weighted median —
+    2·cum >= total in integers, so no halving ever rounds). Weights
+    must be integral (cast to long); values are only COMPARED, never
+    operated on, so doubles pass through bit-exact.
+
+    100 TB shape: one (group, value) aggregation collapses ties, one
+    in-group window cumsum, one total join, one filter + min — all
+    keyed on the group; no global sort, no per-group collect."""
+    from pyspark.sql import Window
+
+    g = [F.col(c) for c in group_cols]
+    per_value = df.groupBy(*g, F.col(value_col).alias("_v")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_w"))
+    w = (Window.partitionBy(*group_cols).orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy(*group_cols)
+    return (
+        per_value
+        .withColumn("_cum", F.sum("_w").over(w))
+        .withColumn("_tot", F.sum("_w").over(tot))
+        .filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(*g)
+        .agg(F.min("_v").alias("wmedian"))
+    )

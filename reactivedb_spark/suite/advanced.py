@@ -474,3 +474,206 @@ WHERE levenshtein(ca.txt, cb.txt) <= 1
 
 QUERIES["fuzzy_join_guarded"] = q_fuzzy_join_guarded
 ORACLES["fuzzy_join_guarded"] = SQL_FUZZY_JOIN_GUARDED
+
+
+# -- data-quality audit (constraint suite) -------------------------------------------
+
+def q_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality audit (operators/quality.py) over
+    lineitem: four named predicates folded into ONE conditional
+    aggregation pass, a pk-uniqueness count on (orderkey, linenumber),
+    and an fk-orphan anti-join against orders — the Deequ-style
+    constraint suite as a long-format metrics relation. The fixture is
+    clean, so the VALUE of the audit row (zero) is itself part of the
+    verified contract."""
+    from reactivedb_spark.operators.quality import audit
+
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    return audit(
+        li,
+        checks={
+            "quantity_positive": F.col("l_quantity") > 0,
+            "price_nonneg": F.col("l_extendedprice") >= 0,
+            "discount_range": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 1),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+        pk=["l_orderkey", "l_linenumber"],
+        fk=(o, ["l_orderkey"], ["o_orderkey"]),
+    )
+
+
+SQL_DQ_AUDIT = """
+SELECT 'rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM lineitem
+UNION ALL
+SELECT 'violations:discount_range',
+       CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 1
+                THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'violations:price_nonneg',
+       CAST(sum(CASE WHEN l_extendedprice >= 0 THEN 0 ELSE 1 END)
+            AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'violations:quantity_positive',
+       CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'violations:returnflag_domain',
+       CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+            AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'pk_duplicate_rows',
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'fk_orphan_rows',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
+# -- weighted median -----------------------------------------------------------------
+
+def q_weighted_median_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand quantity-weighted median line price
+    (operators/numeric.py:weighted_median): lower weighted median via
+    integer cumulative weights (2*cum >= total — no halving, no
+    interpolation), values only compared so doubles pass through
+    bit-exact. The oracle replays the identical tie-collapse + cumsum
+    + threshold pick."""
+    from reactivedb_spark.operators.numeric import weighted_median
+
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity")
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return weighted_median(
+        j, ["p_brand"], "l_extendedprice", "l_quantity"
+    ).select("p_brand", F.col("wmedian").cast("double").alias("wmedian"))
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH j AS (
+  SELECT p.p_brand, l.l_extendedprice AS v,
+         CAST(l.l_quantity AS BIGINT) AS w
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+pv AS (SELECT p_brand, v, sum(w) AS w FROM j GROUP BY p_brand, v),
+c AS (SELECT p_brand, v, w,
+             sum(w) OVER (PARTITION BY p_brand ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY p_brand) AS tot
+      FROM pv)
+SELECT p_brand, CAST(min(v) AS DOUBLE) AS wmedian
+FROM c WHERE cum * 2 >= tot GROUP BY p_brand
+"""
+
+
+# -- time-weighted average -----------------------------------------------------------
+
+def q_time_weighted_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user time-weighted average event value
+    (operators/temporal.py): step-function intervals closed by lead()
+    in (ts, event_id) order, values snapped to the centi grid with an
+    identical-IEEE floor, every product/sum exact in DECIMAL(38,0) /
+    longs, ONE double division at the end. A sampling-frequency-biased
+    plain mean — or a float accumulation — breaks the hash."""
+    from reactivedb_spark.operators.temporal import time_weighted_avg
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    out = time_weighted_avg(ev, ["user_id"], "ts", "value", scale=2,
+                            tiebreak_cols=["event_id"])
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"), "held_ns", "twa")
+
+
+SQL_TIME_WEIGHTED_BALANCE = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT) AS vgrid,
+         epoch_ns(ts) AS tns,
+         lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events),
+agg AS (
+  SELECT user_id,
+         sum(CAST(vgrid AS DECIMAL(19,0)) * CAST(nxt - tns AS DECIMAL(19,0)))
+           AS vd,
+         CAST(sum(nxt - tns) AS BIGINT) AS held_ns
+  FROM iv WHERE nxt IS NOT NULL GROUP BY user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id, held_ns,
+       CAST(vd AS DOUBLE) / (CAST(held_ns AS DOUBLE) * 100.0) AS twa
+FROM agg
+"""
+
+
+# -- snapshot diff (table regression testing) ------------------------------------------
+
+def q_snapshot_diff_accounts(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed table diff (operators/cdc.py:snapshot_diff) between the
+    customer snapshot and the post-CDC state of q_merge_upsert:
+    added / removed / changed per account with the changed-column list
+    — the warehouse regression-test primitive, one full outer join.
+    The oracle recomputes the merge AND the diff."""
+    from reactivedb_spark.operators.cdc import snapshot_diff
+
+    before = load(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("acct"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    after = q_merge_upsert(spark, sf)
+    out = snapshot_diff(before, after, key="acct", payload_cols=["balance"])
+    return out.select(F.col("acct").cast("long").alias("acct"),
+                      "change", "changed_cols")
+
+
+SQL_SNAPSHOT_DIFF_ACCOUNTS = """
+WITH ch AS (
+  SELECT acct, op, balance FROM (
+    SELECT user_id + 1400 AS acct,
+           CASE WHEN event_type = 'purchase' THEN 'upsert'
+                ELSE 'delete' END AS op,
+           value AS balance,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events WHERE event_type IN ('purchase', 'error'))
+  WHERE rk = 1),
+after_t AS (
+  SELECT CAST(COALESCE(ch.acct, c.c_custkey) AS BIGINT) AS acct,
+         CAST(CASE WHEN ch.op = 'upsert' THEN ch.balance
+                   ELSE c.c_acctbal END AS DOUBLE) AS balance
+  FROM ch FULL OUTER JOIN customer c ON ch.acct = c.c_custkey
+  WHERE ch.op IS NULL OR ch.op = 'upsert'),
+before_t AS (
+  SELECT CAST(c_custkey AS BIGINT) AS acct,
+         CAST(c_acctbal AS DOUBLE) AS balance FROM customer)
+SELECT CAST(COALESCE(b.acct, a.acct) AS BIGINT) AS acct,
+       CASE WHEN b.acct IS NULL THEN 'added'
+            WHEN a.acct IS NULL THEN 'removed'
+            WHEN b.balance IS DISTINCT FROM a.balance THEN 'changed'
+       END AS change,
+       CASE WHEN b.acct IS NOT NULL AND a.acct IS NOT NULL
+                 AND b.balance IS DISTINCT FROM a.balance
+            THEN 'balance' ELSE '' END AS changed_cols
+FROM before_t b FULL OUTER JOIN after_t a ON b.acct = a.acct
+WHERE (CASE WHEN b.acct IS NULL THEN 'added'
+            WHEN a.acct IS NULL THEN 'removed'
+            WHEN b.balance IS DISTINCT FROM a.balance THEN 'changed'
+       END) IS NOT NULL
+"""
+
+QUERIES.update({
+    "dq_audit": q_dq_audit,
+    "weighted_median_price": q_weighted_median_price,
+    "time_weighted_balance": q_time_weighted_balance,
+    "snapshot_diff_accounts": q_snapshot_diff_accounts,
+})
+
+ORACLES.update({
+    "dq_audit": SQL_DQ_AUDIT,
+    "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
+    "time_weighted_balance": SQL_TIME_WEIGHTED_BALANCE,
+    "snapshot_diff_accounts": SQL_SNAPSHOT_DIFF_ACCOUNTS,
+})

@@ -189,3 +189,75 @@ def test_trigram_search_rejects_short_patterns(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         trigram_search(df, "doc_id", "text", ["ab"])
+
+
+def test_audit_detects_violations(spark):
+    from reactivedb_spark.operators.quality import audit
+
+    child = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 1, -2.0), (2, 1, None), (3, 9, 1.0)],
+        ["ok", "ln", "amt"])
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    got = {r.metric: r.value for r in audit(
+        child,
+        checks={"amt_pos": F.col("amt") > 0},
+        pk=["ok", "ln"],
+        fk=(parent, ["ok"], ["pk"]),
+    ).collect()}
+    assert got == {
+        "rows": 4,
+        "violations:amt_pos": 2,  # -2.0 and NULL both violate
+        "pk_duplicate_rows": 1,   # (1,1) twice
+        "fk_orphan_rows": 1,      # ok=3 has no parent
+    }
+
+
+def test_weighted_median_ties_and_threshold(spark):
+    from reactivedb_spark.operators.numeric import weighted_median
+
+    rows = [
+        ("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 2),  # tot=4, cum@2=2 -> 2.0
+        ("b", 5.0, 3), ("b", 7.0, 1),                 # tot=4, cum@5=3 -> 5.0
+        ("c", 9.0, 1),                                # singleton
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {r.g: r.wmedian
+           for r in weighted_median(df, ["g"], "v", "w").collect()}
+    assert got == {"a": 2.0, "b": 5.0, "c": 9.0}
+
+
+def test_time_weighted_avg_steps(spark):
+    from reactivedb_spark.operators.temporal import time_weighted_avg
+
+    # value 10.0 held 3ns, then 20.0 held 1ns -> twa = 12.5
+    rows = [(1, 0, 0, 10.0), (1, 3, 1, 20.0), (1, 4, 2, 30.0),
+            (2, 5, 3, 1.0)]  # single closing obs -> user 2 drops
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+    out = {r.k: (r.held_ns, r.twa) for r in time_weighted_avg(
+        df, ["k"], "ts", "v", scale=2, tiebreak_cols=["eid"]).collect()}
+    assert set(out) == {1}
+    held, twa = out[1]
+    assert held == 4
+    assert twa == (1000 * 3 + 2000 * 1) / (4 * 100.0)
+
+
+def test_snapshot_diff_classes(spark):
+    from reactivedb_spark.operators.cdc import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, None, "z"), (4, 40.0, "w")],
+        ["k", "bal", "tag"])
+    after = spark.createDataFrame(
+        [(1, 10.0, "x"),          # unchanged -> omitted
+         (2, 21.0, "y"),          # changed: bal
+         (3, 30.0, "q"),          # changed: bal (NULL->value) + tag
+         (5, 50.0, "n")],         # added
+        ["k", "bal", "tag"])
+    got = {r.k: (r.change, r.changed_cols) for r in snapshot_diff(
+        before, after, "k", ["bal", "tag"]).collect()}
+    assert got == {
+        2: ("changed", "bal"),
+        3: ("changed", "bal,tag"),
+        4: ("removed", ""),
+        5: ("added", ""),
+    }
