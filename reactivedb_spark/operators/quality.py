@@ -38,10 +38,13 @@ def audit(
             F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1)))
             .cast("long").alias(f"violations:{name}"))
     wide = df.agg(*aggs)
-    out = None
+    # melt the one wide row via a map explode — a UNION of per-metric
+    # selects would re-execute the aggregation (and rescan the table)
+    # once per metric
+    kv = []
     for c in wide.columns:
-        row = wide.select(F.lit(c).alias("metric"), F.col(c).alias("value"))
-        out = row if out is None else out.unionByName(row)
+        kv += [F.lit(c), F.col(c)]
+    out = wide.select(F.explode(F.create_map(*kv)).alias("metric", "value"))
 
     if pk:
         dups = (
