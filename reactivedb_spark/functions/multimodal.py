@@ -799,3 +799,56 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str = "payload",
 
     _ship_package(df)
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def dhash(df: DataFrame, id_col: str, payload_col: str = "payload",
+          grid: int = 8) -> DataFrame:
+    """Perceptual difference hash (dHash) over the REAL decoded gray
+    plane: the pixel matrix reduces to a ``grid``×``grid`` cell lattice
+    (cell of pixel (r, c) is (r·grid // h, c·grid // w) — pure integer
+    geometry), and bit ``gr·(grid-1) + gc`` is set iff cell (gr, gc)'s
+    mean exceeds its right neighbour's. Means are never divided:
+    the comparison is the integer cross-multiplication
+    ``sum₁·cnt₂ > sum₂·cnt₁`` (empty cells — possible when h < grid —
+    compare as false), so the hash is bit-exact reproducible and an
+    oracle can replay it in integer SQL. grid=8 → 56-bit signature:
+    equal hashes ⇒ structurally near-identical images, the standard
+    cheap pre-filter before pixel-level verification. Non-decodable
+    payloads hash to NULL (codec honesty, not a silent byte fallback).
+    """
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("dhash", T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                plane = _gray_plane(bytes(payload or b""))
+                if plane is None:
+                    out.append((rid, None))
+                    continue
+                px, w, h = plane
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                a = a.reshape(h, w)
+                gr = (np.arange(h, dtype=np.int64) * grid) // h
+                gc = (np.arange(w, dtype=np.int64) * grid) // w
+                sums = np.zeros((grid, grid), dtype=np.int64)
+                cnts = np.zeros((grid, grid), dtype=np.int64)
+                np.add.at(sums, (gr[:, None], gc[None, :]), a)
+                np.add.at(cnts, (gr[:, None], gc[None, :]), 1)
+                hv = 0
+                for r in range(grid):
+                    for c in range(grid - 1):
+                        if (sums[r, c] * cnts[r, c + 1]
+                                > sums[r, c + 1] * cnts[r, c]):
+                            hv |= 1 << (r * (grid - 1) + c)
+                out.append((rid, hv))
+            yield pd.DataFrame(out, columns=[id_col, "dhash"])
+
+    _ship_package(df)
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

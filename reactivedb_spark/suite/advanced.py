@@ -677,3 +677,63 @@ ORACLES.update({
     "time_weighted_balance": SQL_TIME_WEIGHTED_BALANCE,
     "snapshot_diff_accounts": SQL_SNAPSHOT_DIFF_ACCOUNTS,
 })
+
+
+# -- perceptual image hash (dHash) over real decoded pixels --------------------------
+
+def q_multimodal_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual difference hash end-to-end: text bytes → REAL gray
+    PNG (stdlib encoder) → REAL decode → 8×8 integer cell lattice →
+    56-bit neighbour-comparison signature
+    (functions/multimodal.py:dhash) — the multimodal arm of the dedup
+    family (equal dHash ⇒ structurally near-identical images; the
+    cheap pre-filter before pixel verification). Every comparison is an
+    integer cross-multiplication (no division, no floats), so the
+    oracle replays the identical lattice and bit algebra in SQL from
+    the source text + the encoder's zero padding; a decoder bug or a
+    geometry drift flips bits and breaks the hash."""
+    from reactivedb_spark.functions import multimodal
+    from reactivedb_spark.suite._common import spread
+
+    d = spread(load(spark, sf, "documents"))
+    pay = multimodal.encode_png(d, "doc_id", "text", width=16)
+    out = multimodal.dhash(pay, "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dhash").cast("long").alias("dhash"),
+    )
+
+
+SQL_MULTIMODAL_DHASH = """
+WITH dims AS (
+  SELECT doc_id, length(text) AS len,
+         16 * greatest((length(text) + 15) // 16, 1) AS n_pix
+  FROM documents),
+series AS (SELECT g.pos FROM generate_series(0, 4095) g(pos)),
+pix AS (
+  -- fixture text is pure ASCII: char codes == UTF-8 payload bytes;
+  -- positions beyond len are the encoder's zero row-padding
+  SELECT d.doc_id, s.pos // 16 AS r, s.pos % 16 AS c,
+         d.n_pix // 16 AS h,
+         CASE WHEN s.pos < d.len
+              THEN ascii(substr(doc.text, CAST(s.pos + 1 AS INT), 1))
+              ELSE 0 END AS code
+  FROM dims d JOIN documents doc USING (doc_id)
+  CROSS JOIN series s WHERE s.pos < d.n_pix),
+cells AS (
+  SELECT doc_id, (r * 8) // h AS gr, c // 2 AS gc,
+         sum(code) AS s, count(*) AS n
+  FROM pix GROUP BY doc_id, (r * 8) // h, c // 2),
+bits AS (
+  SELECT a.doc_id, (a.gr * 7 + a.gc) AS b
+  FROM cells a JOIN cells nb
+    ON nb.doc_id = a.doc_id AND nb.gr = a.gr AND nb.gc = a.gc + 1
+  WHERE a.gc < 7 AND a.s * nb.n > nb.s * a.n)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(sum(1::BIGINT << b.b), 0) AS BIGINT) AS dhash
+FROM dims d LEFT JOIN bits b USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+QUERIES["multimodal_dhash"] = q_multimodal_dhash
+ORACLES["multimodal_dhash"] = SQL_MULTIMODAL_DHASH

@@ -261,3 +261,34 @@ def test_snapshot_diff_classes(spark):
         4: ("removed", ""),
         5: ("added", ""),
     }
+
+
+def test_dhash_properties(spark):
+    from reactivedb_spark.functions import multimodal
+
+    docs = [
+        (1, "gradient " * 40),          # structured text
+        (2, "gradient " * 40),          # exact duplicate -> equal hash
+        (3, "zzzz" * 90),               # different structure
+        (4, "a"),                       # 1-row image (h < grid)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pay = multimodal.encode_png(df, "doc_id", "text", width=16)
+    got = {r.doc_id: r.dhash
+           for r in multimodal.dhash(pay, "doc_id").collect()}
+    assert got[1] == got[2]            # identical pixels, identical hash
+    assert got[1] != got[3]            # different content separates
+    assert got[4] is not None          # short image still hashes
+    assert all(0 <= v < (1 << 56) for v in got.values())
+
+
+def test_dhash_known_bits(spark):
+    from reactivedb_spark.functions import multimodal
+
+    # one 16-byte row: left half high ('~' = 126), right half low (' ').
+    # grid rows all map to gr=0; cells 0..3 mean 126, cells 4..7 mean 32
+    # -> only the boundary comparison (cell 3 > cell 4) sets a bit: b=3.
+    df = spark.createDataFrame([(1, "~~~~~~~~        ")], ["doc_id", "text"])
+    pay = multimodal.encode_png(df, "doc_id", "text", width=16)
+    [row] = multimodal.dhash(pay, "doc_id").collect()
+    assert row.dhash == 1 << 3
