@@ -396,3 +396,48 @@ def label_propagation(edges: DataFrame, a: str = "u", b: str = "v",
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("label"),
     )
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame, a: str = "u", b: str = "v",
+             source_col: str = "node", max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS hop distance over the undirected edge list:
+    (node, hops) for every node within ``max_hops`` of ANY source, hops
+    = length of the shortest path (sources themselves at 0). Fixed
+    round budget; expansion is idempotent past the fixpoint, so an
+    oracle unrolling the same rounds is exact whether or not the
+    frontier drains early (same contract as k_core).
+
+    Spark-first shape per round: frontier ⋈ edges (one keyed shuffle),
+    anti-join against the visited set, union — the frontier SHRINKS as
+    the graph saturates, so per-round work tracks the expansion, not
+    O(V+E). Lineage cut per round with localCheckpoint.
+    """
+    e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
+    with _iteration_shuffle(e0):
+        sym = (
+            e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .distinct()
+            .localCheckpoint()
+        )
+        visited = sources.select(
+            F.col(source_col).alias("node"), F.lit(0).alias("hops")
+        ).distinct().localCheckpoint()
+        frontier = visited
+        for r in range(1, max_hops + 1):
+            if frontier.isEmpty():
+                break
+            reached = (
+                frontier.join(sym, frontier["node"] == sym["s"])
+                .select(F.col("d").alias("node"))
+                .distinct()
+            )
+            frontier = (
+                reached.join(visited, "node", "left_anti")
+                .select("node", F.lit(r).alias("hops"))
+                .localCheckpoint()
+            )
+            visited = visited.unionByName(frontier).localCheckpoint()
+    return visited.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hops").cast("long").alias("hops"),
+    )

@@ -737,3 +737,125 @@ GROUP BY d.doc_id
 
 QUERIES["multimodal_dhash"] = q_multimodal_dhash
 ORACLES["multimodal_dhash"] = SQL_MULTIMODAL_DHASH
+
+
+# -- multi-source BFS hop distance ----------------------------------------------------
+
+BFS_HOPS = 3
+
+
+def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.py:bfs_hops) over the part
+    co-purchase graph from the ten smallest part keys: shortest hop
+    count within 3 rounds. Frontier-based — per-round work tracks the
+    expansion, not O(V+E); the oracle unrolls the identical rounds as
+    chained reachability CTEs (idempotent past fixpoint, so early
+    frontier drain cannot diverge)."""
+    from reactivedb_spark.operators.graph import bfs_hops
+
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    ka = li.select("okey", F.col("pkey").alias("u"))
+    kb = li.select("okey", F.col("pkey").alias("v"))
+    edges = (
+        ka.join(kb, "okey").filter(F.col("u") < F.col("v"))
+        .select("u", "v").distinct()
+    )
+    sources = load(spark, sf, "part").select(
+        F.col("p_partkey").alias("node")).filter(F.col("node") < 10)
+    return bfs_hops(edges, sources, max_hops=BFS_HOPS)
+
+
+def _bfs_sql(rounds: int = BFS_HOPS) -> str:
+    ctes = ["""li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+und AS (SELECT DISTINCT a.pkey AS x, b.pkey AS y
+        FROM li a JOIN li b ON a.okey = b.okey AND a.pkey < b.pkey),
+e0 AS MATERIALIZED (SELECT x AS s, y AS d FROM und UNION ALL SELECT y AS s, x AS d FROM und),
+v0 AS (SELECT p_partkey AS node, 0 AS hops FROM part WHERE p_partkey < 10)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT node, hops FROM v{r - 1} "
+            f"UNION ALL "
+            f"SELECT n.node, {r} AS hops FROM ("
+            f"SELECT DISTINCT e.d AS node FROM v{r - 1} f JOIN e0 e "
+            f"ON f.node = e.s AND f.hops = {r - 1}) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{r - 1} v WHERE v.node = n.node))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, "
+          f"CAST(hops AS BIGINT) AS hops FROM v{rounds}"
+    )
+
+
+SQL_BFS_HOPS = _bfs_sql()
+
+QUERIES["bfs_hops"] = q_bfs_hops
+ORACLES["bfs_hops"] = SQL_BFS_HOPS
+
+
+# -- record linkage (blocked fuzzy match + attribute scoring) --------------------------
+
+def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution as a composition: the ED-Join prefix filter
+    generates name-similarity candidates (operators/fuzzyjoin.py), then
+    a Fellegi–Sunter-style integer rule score — name agreement
+    (60 − 10·dist), same nation (+30), account balance within 100
+    (+20) — keeps pairs scoring ≥ 80. All comparisons integer or
+    IEEE-identical; the oracle recomputes candidates brute-force AND
+    the same scoring, so the composition (not just the parts) is
+    verified."""
+    from reactivedb_spark.operators.fuzzyjoin import edit_distance_join
+
+    c = load(spark, sf, "customer")
+    pairs = edit_distance_join(
+        c.select("c_custkey", "c_name"), "c_custkey", "c_name", max_dist=1)
+    attrs = c.select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").alias("bal"))
+    la = attrs.select(F.col("k").alias("id_a"), F.col("nat").alias("nat_a"),
+                      F.col("bal").alias("bal_a"))
+    rb = attrs.select(F.col("k").alias("id_b"), F.col("nat").alias("nat_b"),
+                      F.col("bal").alias("bal_b"))
+    scored = (
+        pairs.join(la, "id_a").join(rb, "id_b")
+        .withColumn(
+            "score",
+            (F.lit(60) - F.lit(10) * F.col("dist")
+             + F.when(F.col("nat_a") == F.col("nat_b"), F.lit(30))
+             .otherwise(F.lit(0))
+             + F.when(F.abs(F.col("bal_a") - F.col("bal_b")) < 100,
+                      F.lit(20)).otherwise(F.lit(0))).cast("long"),
+        )
+        .filter(F.col("score") >= 80)
+    )
+    return scored.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "score",
+    )
+
+
+SQL_RECORD_LINKAGE = """
+WITH c AS (SELECT c_custkey AS k, c_name AS n, c_nationkey AS nat,
+                  c_acctbal AS bal FROM customer),
+cand AS (
+  SELECT a.k AS id_a, b.k AS id_b, levenshtein(a.n, b.n) AS dist,
+         a.nat AS nat_a, b.nat AS nat_b, a.bal AS bal_a, b.bal AS bal_b
+  FROM c a JOIN c b
+    ON a.k < b.k AND abs(length(a.n) - length(b.n)) <= 1
+  WHERE levenshtein(a.n, b.n) <= 1)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(60 - 10 * dist
+            + CASE WHEN nat_a = nat_b THEN 30 ELSE 0 END
+            + CASE WHEN abs(bal_a - bal_b) < 100 THEN 20 ELSE 0 END
+            AS BIGINT) AS score
+FROM cand
+WHERE 60 - 10 * dist
+      + CASE WHEN nat_a = nat_b THEN 30 ELSE 0 END
+      + CASE WHEN abs(bal_a - bal_b) < 100 THEN 20 ELSE 0 END >= 80
+"""
+
+QUERIES["record_linkage"] = q_record_linkage
+ORACLES["record_linkage"] = SQL_RECORD_LINKAGE

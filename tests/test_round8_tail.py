@@ -292,3 +292,15 @@ def test_dhash_known_bits(spark):
     pay = multimodal.encode_png(df, "doc_id", "text", width=16)
     [row] = multimodal.dhash(pay, "doc_id").collect()
     assert row.dhash == 1 << 3
+
+
+def test_bfs_hops_path_graph(spark):
+    from reactivedb_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5-6 plus isolated 9; source {1}: hops capped at 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (8, 9)], ["u", "v"])
+    src = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hops
+           for r in bfs_hops(edges, src, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
