@@ -414,3 +414,30 @@ def weighted_median(df, group_cols: list[str], value_col: str,
         .groupBy(*g)
         .agg(F.min("_v").alias("wmedian"))
     )
+
+
+def percentile_rank(df, group_cols: list[str], value_col: str,
+                    out_col: str = "pr_ppm"):
+    """Per-group percentile rank as integer ppm: rows strictly smaller
+    over (n-1), min-rank convention for ties, 0 for singleton groups —
+    the rank-based feature normalization (quantile transform) that is
+    robust to outliers where min-max scaling is not. Pure integer math
+    (rank-1)*1e6 DIV (n-1): bit-portable, no division drift.
+
+    100 TB shape: one window rank + one count over the same group
+    partition — a single hash shuffle on the group key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    tot = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("_rk", F.rank().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(tot))
+        .withColumn(
+            out_col,
+            F.when(F.col("_n") > 1,
+                   F.expr("CAST(((_rk - 1) * 1000000) DIV (_n - 1) AS BIGINT)"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .drop("_rk", "_n")
+    )

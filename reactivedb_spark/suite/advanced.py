@@ -859,3 +859,36 @@ WHERE 60 - 10 * dist
 
 QUERIES["record_linkage"] = q_record_linkage
 ORACLES["record_linkage"] = SQL_RECORD_LINKAGE
+
+
+# -- percentile-rank normalization ----------------------------------------------------
+
+def q_percentile_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand percentile-rank normalization of part prices
+    (operators/numeric.py:percentile_rank): integer-ppm quantile
+    transform, min-rank ties, singleton groups at 0 — the outlier-robust
+    feature scaling. One window shuffle on the brand key."""
+    from reactivedb_spark.operators.numeric import percentile_rank
+
+    p = load(spark, sf, "part").select("p_partkey", "p_brand",
+                                       "p_retailprice")
+    out = percentile_rank(p, ["p_brand"], "p_retailprice")
+    return out.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"), "p_brand",
+        "pr_ppm")
+
+
+SQL_PERCENTILE_RANK = """
+WITH r AS (
+  SELECT p_partkey, p_brand,
+         rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS rk,
+         count(*) OVER (PARTITION BY p_brand) AS n
+  FROM part)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
+       CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pr_ppm
+FROM r
+"""
+
+QUERIES["percentile_rank"] = q_percentile_rank
+ORACLES["percentile_rank"] = SQL_PERCENTILE_RANK
