@@ -441,3 +441,35 @@ def percentile_rank(df, group_cols: list[str], value_col: str,
         )
         .drop("_rk", "_n")
     )
+
+
+def mad_outliers(df, group_cols: list[str], value_col: str, k: int = 3):
+    """Robust per-group outliers by median absolute deviation: flag
+    rows with |x − median| > k·MAD, both medians the exact LOWER
+    median (2·cum ≥ total — deterministic, no interpolation; DuckDB's
+    interpolating median() would drift, so oracles replay the same
+    window construction). Medians/MAD are exact VALUE PICKS (no
+    arithmetic); the deviation and threshold are two IEEE ops both
+    engines evaluate identically — bit-portable without decimals.
+
+    Complements the exact k-sigma outliers (sigma_outliers): MAD is
+    what you use when the tail itself corrupts the variance. Three
+    keyed shuffles (median, deviation median, flag join) — all on the
+    group key."""
+    from reactivedb_spark.operators.numeric import weighted_median
+
+    one = df.withColumn("_one", F.lit(1))
+    med = weighted_median(one, group_cols, value_col, "_one") \
+        .withColumnRenamed("wmedian", "_med")
+    dev = (
+        df.join(med, group_cols)
+        .withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
+    )
+    mad = weighted_median(dev.withColumn("_one", F.lit(1)),
+                          group_cols, "_dev", "_one") \
+        .withColumnRenamed("wmedian", "_mad")
+    return (
+        dev.join(mad, group_cols)
+        .filter(F.col("_dev") > F.lit(k) * F.col("_mad"))
+        .drop("_dev", "_med", "_mad", "_one")
+    )

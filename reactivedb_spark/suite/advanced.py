@@ -892,3 +892,56 @@ FROM r
 
 QUERIES["percentile_rank"] = q_percentile_rank
 ORACLES["percentile_rank"] = SQL_PERCENTILE_RANK
+
+
+# -- MAD robust outliers ---------------------------------------------------------------
+
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type
+    (operators/numeric.py:mad_outliers): |x − median| > 3·MAD with
+    exact lower medians — the robust complement to the exact k-sigma
+    pass (zscore_outliers); the exponential-tailed `value` column makes
+    MAD the honest choice (the tail inflates the variance the sigma
+    test uses). The oracle replays the identical lower-median windows —
+    DuckDB's interpolating median() would drift."""
+    from reactivedb_spark.operators.numeric import mad_outliers
+
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    out = mad_outliers(ev, ["event_type"], "value", k=3)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH pv AS (SELECT event_type, value AS v, count(*) AS w FROM events
+            GROUP BY event_type, value),
+c AS (SELECT event_type, v,
+             sum(w) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY event_type) AS tot
+      FROM pv),
+med AS (SELECT event_type, min(v) AS med FROM c
+        WHERE cum * 2 >= tot GROUP BY event_type),
+dev AS (SELECT e.event_id, e.event_type, e.value,
+               abs(e.value - m.med) AS dv
+        FROM events e JOIN med m USING (event_type)),
+dv_pv AS (SELECT event_type, dv, count(*) AS w FROM dev
+          GROUP BY event_type, dv),
+dc AS (SELECT event_type, dv,
+              sum(w) OVER (PARTITION BY event_type ORDER BY dv
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(w) OVER (PARTITION BY event_type) AS tot
+       FROM dv_pv),
+mad AS (SELECT event_type, min(dv) AS mad FROM dc
+        WHERE cum * 2 >= tot GROUP BY event_type)
+SELECT CAST(d.event_id AS BIGINT) AS event_id, d.event_type,
+       CAST(d.value AS DOUBLE) AS value
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.dv > 3 * m.mad
+"""
+
+QUERIES["mad_outliers"] = q_mad_outliers
+ORACLES["mad_outliers"] = SQL_MAD_OUTLIERS
