@@ -304,3 +304,26 @@ def test_bfs_hops_path_graph(spark):
     got = {r.node: r.hops
            for r in bfs_hops(edges, src, max_hops=3).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_percentile_rank_ties_and_singleton(spark):
+    from reactivedb_spark.operators.numeric import percentile_rank
+
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0), ("a", 4, 30.0),
+            ("b", 5, 99.0)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    got = {r.id: r.pr_ppm
+           for r in percentile_rank(df, ["g"], "v").collect()}
+    # n=4: ranks 1,2,2,4 -> (0, 1/3, 1/3, 1) in ppm (floor)
+    assert got == {1: 0, 2: 333333, 3: 333333, 4: 1000000, 5: 0}
+
+
+def test_mad_outliers_flags_only_tail(spark):
+    from reactivedb_spark.operators.numeric import mad_outliers
+
+    # group: median 10, deviations {0,1,1,2,90} -> MAD=1, k=3 -> only 100.0
+    rows = [("g", 1, 10.0), ("g", 2, 9.0), ("g", 3, 11.0), ("g", 4, 12.0),
+            ("g", 5, 100.0)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    got = {r.id for r in mad_outliers(df, ["g"], "v", k=3).collect()}
+    assert got == {5}
