@@ -945,3 +945,92 @@ WHERE d.dv > 3 * m.mad
 
 QUERIES["mad_outliers"] = q_mad_outliers
 ORACLES["mad_outliers"] = SQL_MAD_OUTLIERS
+
+
+# -- streaming CDC merge (batch-wise composition == global merge) -----------------------
+
+def q_streaming_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC apply as a STREAM: the changelog is sliced into three
+    time-ordered micro-batches (fixed integer-ns tertile boundaries,
+    mtime-ordered single-file triggers) and each batch MERGEs into a
+    versioned parquet state via foreachBatch + apply_changelog
+    (operators/cdc.py) — the Delta-style streaming upsert sink. The
+    oracle is q_merge_upsert's GLOBAL last-writer-wins SQL: batch-wise
+    merge composition must be exactly invisible (a delete that fails to
+    erase, an upsert applied out of slice order, or within-batch LWW
+    drift all break the hash)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from reactivedb_spark.operators.cdc import apply_changelog
+    from reactivedb_spark.sources import stream_parquet_dir
+    from reactivedb_spark.suite._common import (
+        dump_stream_progress, streaming_shuffle)
+
+    snap = load(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("acct"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    ch = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            (F.col("user_id") + F.lit(1400)).cast("long").alias("acct"),
+            F.when(F.col("event_type") == "purchase", F.lit("upsert"))
+            .otherwise(F.lit("delete")).alias("op"),
+            F.col("value").cast("double").alias("balance"),
+            "ts", "event_id",
+        )
+    )
+    lo, hi = ch.agg(F.min("ts"), F.max("ts")).first()
+    span = max(int(hi) - int(lo), 1)
+    root = _tempfile.mkdtemp(prefix="rdb_smerge_")
+    watch = _os.path.join(root, "in")
+    _os.makedirs(watch)
+    for i in range(3):
+        s = int(lo) + (span * i) // 3
+        e = int(lo) + (span * (i + 1)) // 3
+        cond = (F.col("ts") >= s) & (
+            (F.col("ts") < e) if i < 2 else (F.col("ts") <= int(hi)))
+        tmp = _os.path.join(root, f"tmp{i}")
+        ch.filter(cond).repartition(1).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+        [part] = _glob.glob(_os.path.join(tmp, "part-*.parquet"))
+        dst = _os.path.join(watch, f"b{i}.parquet")
+        _os.rename(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    state_dir = _os.path.join(root, "state")
+    snap.write.mode("overwrite").parquet(_os.path.join(state_dir, "v0"))
+    ptr = {"v": 0}
+
+    def merge_batch(batch_df, batch_id):
+        cur = spark.read.parquet(_os.path.join(state_dir, f"v{ptr['v']}"))
+        nxt = apply_changelog(cur, batch_df, key="acct",
+                              payload_cols=["balance"],
+                              seq_cols=["ts", "event_id"])
+        ptr["v"] += 1
+        nxt.write.mode("overwrite").parquet(
+            _os.path.join(state_dir, f"v{ptr['v']}"))
+
+    stream = stream_parquet_dir(spark, watch, ch.schema)
+    with streaming_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", _os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            dump_stream_progress(q, "streaming_merge_upsert")
+            q.stop()
+    return spark.read.parquet(
+        _os.path.join(state_dir, f"v{ptr['v']}")).select(
+        F.col("acct").cast("long").alias("acct"), "balance")
+
+
+QUERIES["streaming_merge_upsert"] = q_streaming_merge_upsert
+ORACLES["streaming_merge_upsert"] = SQL_MERGE_UPSERT
+
