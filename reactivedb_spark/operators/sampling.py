@@ -63,3 +63,24 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
     shuffle, repartition-proof."""
     u = _hash64(F.col(id_col)).cast("double") / F.lit(float(1 << 60))
     return df.filter(u < F.lit(rate) * F.col(weight_col).cast("double"))
+
+
+def kfold_split(df, stratum_cols: list[str], id_col: str, k: int = 5,
+                out_col: str = "fold"):
+    """Stratified k-fold assignment: within each stratum, rows are
+    ranked by the portable md5 draw (ties by id) and fold = rank mod k
+    — every stratum splits into folds whose sizes differ by at most
+    one (EXACT stratification, unlike hash-mod-k which only balances
+    in expectation), and the assignment is deterministic across
+    engines/retries so train/eval splits never drift between runs.
+
+    One window rank per stratum — a single hash shuffle on the stratum
+    key at any scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        _hash64(F.col(id_col)), F.col(id_col))
+    return df.withColumn(
+        out_col,
+        ((F.row_number().over(w) - 1) % k).cast("long"),
+    )

@@ -1034,3 +1034,147 @@ def q_streaming_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["streaming_merge_upsert"] = q_streaming_merge_upsert
 ORACLES["streaming_merge_upsert"] = SQL_MERGE_UPSERT
 
+
+
+# -- skip-gram pair extraction (embedding-training prep) -------------------------------
+
+def q_skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts with window ±2 — the
+    word2vec training-pair extraction. Spark-first shape: the posting
+    relation (doc, pos, token) joins itself via two SHIFTED copies
+    (pos+1, pos+2) — pure equi-joins on (doc, pos), never a positional
+    band filter — then both directions union before the count. One
+    explode, two narrow equi-joins, one aggregation."""
+    ev = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    post = ev.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token"))
+    shifted = None
+    for off in (1, 2):
+        s = post.select(
+            "doc_id", (F.col("pos") + off).alias("pos"),
+            F.col("token").alias("center"))
+        shifted = s if shifted is None else shifted.unionByName(s)
+    follow = shifted.join(
+        post.select("doc_id", "pos", F.col("token").alias("context")),
+        ["doc_id", "pos"],
+    ).select("center", "context")
+    both = follow.unionByName(
+        follow.select(F.col("context").alias("center"),
+                      F.col("center").alias("context")))
+    return both.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+
+
+SQL_SKIPGRAM_PAIRS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT doc_id, CAST(g.pos AS INT) AS pos, l[CAST(g.pos AS INT)] AS token
+  FROM t, generate_series(1, 4096) g(pos) WHERE g.pos <= len(l)),
+follow AS (
+  SELECT a.token AS center, b.token AS context
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)),
+bidir AS (
+  SELECT center, context FROM follow
+  UNION ALL
+  SELECT context AS center, center AS context FROM follow)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM bidir GROUP BY center, context
+"""
+
+
+# -- vocabulary coverage cutoff (tokenizer prep) ----------------------------------------
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency-ordered vocabulary with a 99% mass-coverage cutoff —
+    the tokenizer-prep census: tokens ranked by (count desc, token),
+    kept while the mass BEFORE the token is under 99% of the corpus
+    (integer cross-multiplication — no percentage division). One token
+    count + one window over the (vocabulary-sized) count relation."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    counts = (
+        ev.select(F.explode(toks).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    ranked = (
+        counts.withColumn("_cum", F.sum("n").over(w))
+        .withColumn("_tot", F.sum("n").over(tot))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), "token")))
+    )
+    return (
+        ranked.filter((F.col("_cum") - F.col("n")) * 100
+                      < F.col("_tot") * 99)
+        .select("token", F.col("n").cast("long").alias("n"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+tok AS (
+  SELECT l[CAST(g.pos AS INT)] AS token
+  FROM t, generate_series(1, 4096) g(pos) WHERE g.pos <= len(l)),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+r AS (SELECT token, n,
+             sum(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER () AS tot,
+             row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM c)
+SELECT token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE (cum - n) * 100 < tot * 99
+"""
+
+
+# -- stratified k-fold split --------------------------------------------------------------
+
+def q_kfold_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified 5-fold assignment (operators/sampling.py:kfold_split)
+    over documents by source: within each stratum rows rank by the
+    portable md5 draw and fold = rank mod k — fold sizes differ by at
+    most one per stratum (EXACT stratification; hash-mod-k only
+    balances in expectation) and the split is engine/retry-stable. The
+    oracle replays the identical draw, rank and modulus."""
+    from reactivedb_spark.operators.sampling import kfold_split
+
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    out = kfold_split(d, ["source"], "doc_id", k=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "fold")
+
+
+SQL_KFOLD_SPLIT = """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS draw
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST((row_number() OVER (PARTITION BY source
+                                ORDER BY draw, doc_id) - 1) % 5
+            AS BIGINT) AS fold
+FROM h
+"""
+
+QUERIES.update({
+    "skipgram_pairs": q_skipgram_pairs,
+    "vocab_coverage": q_vocab_coverage,
+    "kfold_split": q_kfold_split,
+})
+ORACLES.update({
+    "skipgram_pairs": SQL_SKIPGRAM_PAIRS,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "kfold_split": SQL_KFOLD_SPLIT,
+})
