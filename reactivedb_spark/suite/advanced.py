@@ -1178,3 +1178,46 @@ ORACLES.update({
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "kfold_split": SQL_KFOLD_SPLIT,
 })
+
+
+# -- rolling 7-day distinct users (WAU) --------------------------------------------------
+
+def q_rolling_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (the WAU dashboard):
+    rolling DISTINCT does not decompose as a window fold, so the
+    scalable rewrite is (user, day) dedup → explode each active day to
+    the ≤7 window-days it supports → dedup (user, window_day) → count.
+    Linear in activity × window, every stage keyed — never a per-day
+    rescan. Only days present in the data are reported (no zero-fill).
+    The oracle recomputes each day's window by a band join."""
+    ev = load(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 86400000000000").alias("day"))
+    active = ev.distinct()
+    days = active.select("day").distinct()
+    supported = (
+        active.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"),
+                                 F.col("day") + F.lit(6))).alias("wday"))
+        .distinct()
+        .join(days.select(F.col("day").alias("wday")), "wday")
+    )
+    return (
+        supported.groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+        .select(F.col("wday").cast("long").alias("day"), "wau")
+    )
+
+
+SQL_ROLLING_WAU = """
+WITH a AS (SELECT DISTINCT user_id,
+                  epoch_ns(ts) // 86400000000000 AS day FROM events),
+d AS (SELECT DISTINCT day FROM a)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+FROM d JOIN a ON a.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+QUERIES["rolling_wau"] = q_rolling_wau
+ORACLES["rolling_wau"] = SQL_ROLLING_WAU

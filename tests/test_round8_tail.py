@@ -327,3 +327,19 @@ def test_mad_outliers_flags_only_tail(spark):
     df = spark.createDataFrame(rows, ["g", "id", "v"])
     got = {r.id for r in mad_outliers(df, ["g"], "v", k=3).collect()}
     assert got == {5}
+
+
+def test_edit_distance_join_randomized(spark):
+    from reactivedb_spark.operators.fuzzyjoin import edit_distance_join
+
+    import random
+    rnd = random.Random(88)
+    rows = [(i, "".join(rnd.choice("abc")
+                        for _ in range(rnd.randint(1, 9))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "txt", max_dist=1).collect()
+    }
+    assert got == _brute_pairs(rows, 1)
