@@ -1221,3 +1221,111 @@ GROUP BY d.day
 
 QUERIES["rolling_wau"] = q_rolling_wau
 ORACLES["rolling_wau"] = SQL_ROLLING_WAU
+
+
+# -- order-independent table fingerprint (anti-entropy) ---------------------------------
+
+def q_table_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-bucket order-independent table fingerprint — the
+    anti-entropy / replication-verification primitive (Merkle-tree
+    leaf level): every row hashes to a portable 60-bit md5 integer
+    over a canonical `|`-joined projection (doubles go through
+    DECIMAL(18,2) first — raw double→string rendering is
+    engine-specific), rows land in 16 buckets by
+    hash, and each bucket's digest is the SUM of its row hashes
+    (commutative — partition order, shuffle order and file layout
+    cannot change it). Two replicas compare 16 rows instead of the
+    table; a single changed row flips exactly one bucket. One scan +
+    one 16-group aggregation."""
+    o = load(spark, sf, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        o.select(h.alias("_h"))
+        .groupBy((F.col("_h") % 16).alias("bucket"))
+        .agg(F.sum(F.col("_h").cast("decimal(38,0)"))
+             .cast("string").alias("digest"),
+             F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(F.col("bucket").cast("long").alias("bucket"), "digest",
+                "n_rows")
+    )
+
+
+SQL_TABLE_CHECKSUMS = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' ||
+           o_orderstatus || '|' ||
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+           o_orderpriority), 1, 15)) AS BIGINT) AS hv
+  FROM orders)
+SELECT CAST(hv % 16 AS BIGINT) AS bucket,
+       CAST(CAST(sum(hv) AS DECIMAL(38,0)) AS VARCHAR) AS digest,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM h GROUP BY hv % 16
+"""
+
+QUERIES["table_checksums"] = q_table_checksums
+ORACLES["table_checksums"] = SQL_TABLE_CHECKSUMS
+
+
+# -- funnel conversion latency -----------------------------------------------------------
+
+def q_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Median view→purchase conversion latency per market segment:
+    each user's FIRST view, the first purchase at-or-after it, exact
+    integer-ns latency, lower-median per segment via weighted_median
+    (weight 1 — same deterministic 2·cum ≥ total pick as everywhere).
+    Two keyed min-aggregations + one broadcast dim join + one median
+    window; users without both stages drop out."""
+    from reactivedb_spark.operators.numeric import weighted_median
+
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("vts"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vts"))
+        .groupBy("user_id", "vts").agg(F.min("ts").alias("pts"))
+    )
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    lat = p.join(F.broadcast(cust), "user_id").select(
+        "c_mktsegment", (F.col("pts") - F.col("vts")).alias("lat_ns"),
+        F.lit(1).alias("_one"))
+    out = weighted_median(lat, ["c_mktsegment"], "lat_ns", "_one")
+    return out.select(
+        "c_mktsegment", F.col("wmedian").cast("long").alias("median_lat_ns"))
+
+
+SQL_FUNNEL_LATENCY = """
+WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS vts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, v.vts, min(epoch_ns(e.ts)) AS pts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= v.vts
+      GROUP BY e.user_id, v.vts),
+lat AS (SELECT c.c_mktsegment, p.pts - p.vts AS lat_ns
+        FROM p JOIN customer c ON c.c_custkey = p.user_id),
+pv AS (SELECT c_mktsegment, lat_ns AS v, count(*) AS w FROM lat
+       GROUP BY c_mktsegment, lat_ns),
+c AS (SELECT c_mktsegment, v,
+             sum(w) OVER (PARTITION BY c_mktsegment ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY c_mktsegment) AS tot
+      FROM pv)
+SELECT c_mktsegment, CAST(min(v) AS BIGINT) AS median_lat_ns
+FROM c WHERE cum * 2 >= tot GROUP BY c_mktsegment
+"""
+
+QUERIES["funnel_latency"] = q_funnel_latency
+ORACLES["funnel_latency"] = SQL_FUNNEL_LATENCY
