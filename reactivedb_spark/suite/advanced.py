@@ -1329,3 +1329,161 @@ FROM c WHERE cum * 2 >= tot GROUP BY c_mktsegment
 
 QUERIES["funnel_latency"] = q_funnel_latency
 ORACLES["funnel_latency"] = SQL_FUNNEL_LATENCY
+
+
+# -- OHLC candle aggregation -------------------------------------------------------------
+
+def q_ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC candles per event type — the time-series bar
+    aggregation: open/close are the values at the window's first/last
+    row in the TOTAL (ts, event_id) order (row_number picks, not
+    first_value-with-implicit-frame, whose default frame is a classic
+    nondeterminism trap), high/low are plain max/min. Values pass
+    through untouched (bit-exact doubles); one window pass + one
+    aggregation, both keyed on (type, hour)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "event_type", "ts", "event_id", "value",
+        F.expr("ts DIV 3600000000000").alias("hour_idx"))
+    w = Window.partitionBy("event_type", "hour_idx").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour_idx").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    marked = (
+        ev.withColumn("_ra", F.row_number().over(w))
+        .withColumn("_rd", F.row_number().over(wd))
+    )
+    return (
+        marked.groupBy("event_type", "hour_idx")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("event_type", F.col("hour_idx").cast("long").alias("hour_idx"),
+                F.col("open").cast("double").alias("open"),
+                F.col("high").cast("double").alias("high"),
+                F.col("low").cast("double").alias("low"),
+                F.col("close").cast("double").alias("close"), "n")
+    )
+
+
+SQL_OHLC_HOURLY = """
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx, value,
+         row_number() OVER (PARTITION BY event_type,
+                            epoch_ns(ts) // 3600000000000
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type,
+                            epoch_ns(ts) // 3600000000000
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events)
+SELECT event_type, CAST(hour_idx AS BIGINT) AS hour_idx,
+       CAST(max(CASE WHEN ra = 1 THEN value END) AS DOUBLE) AS open,
+       CAST(max(value) AS DOUBLE) AS high,
+       CAST(min(value) AS DOUBLE) AS low,
+       CAST(max(CASE WHEN rd = 1 THEN value END) AS DOUBLE) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY event_type, hour_idx
+"""
+
+QUERIES["ohlc_hourly"] = q_ohlc_hourly
+ORACLES["ohlc_hourly"] = SQL_OHLC_HOURLY
+
+
+# -- linear-interpolation gap fill ---------------------------------------------------------
+
+def q_interpolate_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user hourly grid with LINEAR interpolation across gaps — the
+    numeric complement to resample_gapfill's LOCF: missing hours take
+    prev + (next − prev)·(h − h_prev) DIV (h_next − h_prev) on the
+    centi grid, ALL integer math (both engines' integer division
+    truncates identically, negative slopes included). Grid bounded per
+    user by its first/last observed hour, so the interpolation is
+    always two-sided. One keyed dedup, one grid explode, two
+    ignore-nulls window passes."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 3600000000000").alias("h"),
+        "ts", "event_id",
+        F.floor(F.col("value") * 100).alias("vc"))
+    pick = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    known = (
+        ev.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1).select("user_id", "h", "vc")
+    )
+    grid = (
+        known.groupBy("user_id")
+        .agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+        .select("user_id",
+                F.explode(F.sequence("_lo", "_hi")).alias("h"))
+    )
+    g = grid.join(known, ["user_id", "h"], "left")
+    back = Window.partitionBy("user_id").orderBy("h") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.partitionBy("user_id").orderBy("h") \
+        .rowsBetween(0, Window.unboundedFollowing)
+    kh = F.when(F.col("vc").isNotNull(), F.col("h"))
+    out = (
+        g.withColumn("_pc", F.last("vc", ignorenulls=True).over(back))
+        .withColumn("_ph", F.last(kh, ignorenulls=True).over(back))
+        .withColumn("_nc", F.first("vc", ignorenulls=True).over(fwd))
+        .withColumn("_nh", F.first(kh, ignorenulls=True).over(fwd))
+        .withColumn(
+            "v_centi",
+            F.when(F.col("vc").isNotNull(), F.col("vc")).otherwise(
+                F.expr("_pc + ((_nc - _pc) * (h - _ph)) DIV (_nh - _ph)")),
+        )
+        .withColumn("interpolated", F.col("vc").isNull())
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("h").cast("long").alias("hour_idx"),
+        F.col("v_centi").cast("long").alias("v_centi"),
+        "interpolated",
+    )
+
+
+SQL_INTERPOLATE_GAPFILL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 3600000000000 AS h,
+         CAST(floor(value * 100) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY user_id,
+                            epoch_ns(ts) // 3600000000000
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events),
+known AS (SELECT user_id, h, vc FROM e WHERE rk = 1),
+b AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM known
+      GROUP BY user_id),
+grid AS (SELECT b.user_id, CAST(g.h AS BIGINT) AS h
+         FROM b, LATERAL unnest(generate_series(b.lo, b.hi)) AS g(h)),
+j AS (SELECT grid.user_id, grid.h, known.vc
+      FROM grid LEFT JOIN known USING (user_id, h)),
+w AS (SELECT user_id, h, vc,
+             last_value(vc IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY h
+                ROWS UNBOUNDED PRECEDING) AS pc,
+             last_value(CASE WHEN vc IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+                     ROWS UNBOUNDED PRECEDING) AS ph,
+             first_value(vc IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+             first_value(CASE WHEN vc IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(h AS BIGINT) AS hour_idx,
+       CAST(CASE WHEN vc IS NOT NULL THEN vc
+                 ELSE pc + ((nc - pc) * (h - ph)) // (nh - ph)
+            END AS BIGINT) AS v_centi,
+       vc IS NULL AS interpolated
+FROM w
+"""
+
+QUERIES["interpolate_gapfill"] = q_interpolate_gapfill
+ORACLES["interpolate_gapfill"] = SQL_INTERPOLATE_GAPFILL
