@@ -1416,23 +1416,35 @@ def q_interpolate_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         ev.withColumn("_rk", F.row_number().over(pick))
         .filter(F.col("_rk") == 1).select("user_id", "h", "vc")
     )
+    # the bounds relation is tiny (one row per user) and the explode
+    # amplifies it ~700x — AQE coalesces the post-agg shuffle to one
+    # task and serializes the whole grid+window pipeline (measured
+    # 14.4s -> ~3s at sf0.1). Same explosion-join trap as the fuzzy
+    # join: pin parallelism with an explicit numPartitions repartition.
+    npart = max(spark.sparkContext.defaultParallelism, 4)
     grid = (
         known.groupBy("user_id")
         .agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+        .repartition(npart, "user_id")
         .select("user_id",
                 F.explode(F.sequence("_lo", "_hi")).alias("h"))
     )
     g = grid.join(known, ["user_id", "h"], "left")
+    # both look-directions as RUNNING aggregates: Spark evaluates a
+    # [current, unboundedFollowing) frame by rescanning to the
+    # partition end for EVERY row (quadratic per partition — measured
+    # 14.5s at sf0.1); last() over the REVERSED order with an
+    # unboundedPreceding frame is the same value in O(n).
     back = Window.partitionBy("user_id").orderBy("h") \
         .rowsBetween(Window.unboundedPreceding, 0)
-    fwd = Window.partitionBy("user_id").orderBy("h") \
-        .rowsBetween(0, Window.unboundedFollowing)
+    fwd = Window.partitionBy("user_id").orderBy(F.col("h").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
     kh = F.when(F.col("vc").isNotNull(), F.col("h"))
     out = (
         g.withColumn("_pc", F.last("vc", ignorenulls=True).over(back))
         .withColumn("_ph", F.last(kh, ignorenulls=True).over(back))
-        .withColumn("_nc", F.first("vc", ignorenulls=True).over(fwd))
-        .withColumn("_nh", F.first(kh, ignorenulls=True).over(fwd))
+        .withColumn("_nc", F.last("vc", ignorenulls=True).over(fwd))
+        .withColumn("_nh", F.last(kh, ignorenulls=True).over(fwd))
         .withColumn(
             "v_centi",
             F.when(F.col("vc").isNotNull(), F.col("vc")).otherwise(
