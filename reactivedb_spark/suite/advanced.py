@@ -1499,3 +1499,181 @@ FROM w
 
 QUERIES["interpolate_gapfill"] = q_interpolate_gapfill
 ORACLES["interpolate_gapfill"] = SQL_INTERPOLATE_GAPFILL
+
+
+# -- burst detection (ops monitoring) -----------------------------------------------------
+
+def q_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type bursty minutes: minute-bucket counts flagged when
+    count > mean + 3σ of that type's minute distribution, evaluated in
+    the EXACT cross-multiplied integer form of sigma_outliers
+    ((n·c − s)² > k²·(n·ssq − s²) — counts are already integers, so no
+    fixed-point scale is even needed). Two aggregations + one
+    broadcast moment probe; no sqrt, no FP accumulation."""
+    ev = load(spark, sf, "events").select(
+        "event_type", F.expr("ts DIV 60000000000").alias("minute"))
+    c = ev.groupBy("event_type", "minute").agg(
+        F.count(F.lit(1)).alias("c"))
+    mom = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    j = c.join(F.broadcast(mom), "event_type")
+    lhs = (F.col("n").cast("decimal(38,0)") * F.col("c")
+           - F.col("s").cast("decimal(38,0)"))
+    rhs = (F.col("n").cast("decimal(38,0)") * F.col("ssq")
+           - F.col("s").cast("decimal(38,0)") * F.col("s"))
+    return (
+        j.filter((F.col("n") * F.col("c") > F.col("s"))
+                 & (lhs * lhs > F.lit(9) * rhs))
+        .select("event_type", F.col("minute").cast("long").alias("minute"),
+                F.col("c").cast("long").alias("c"))
+    )
+
+
+SQL_BURST_DETECTION = """
+WITH c AS (
+  SELECT event_type, epoch_ns(ts) // 60000000000 AS minute,
+         count(*) AS c
+  FROM events GROUP BY event_type, epoch_ns(ts) // 60000000000),
+mom AS (SELECT event_type, count(*) AS n, sum(c) AS s,
+               sum(c * c) AS ssq
+        FROM c GROUP BY event_type)
+SELECT c.event_type, CAST(c.minute AS BIGINT) AS minute,
+       CAST(c.c AS BIGINT) AS c
+FROM c JOIN mom USING (event_type)
+WHERE mom.n * c.c > mom.s
+  AND (CAST(mom.n AS DECIMAL(38,0)) * c.c - CAST(mom.s AS DECIMAL(38,0)))
+      * (CAST(mom.n AS DECIMAL(38,0)) * c.c - CAST(mom.s AS DECIMAL(38,0)))
+      > 9 * (CAST(mom.n AS DECIMAL(38,0)) * mom.ssq
+             - CAST(mom.s AS DECIMAL(38,0)) * mom.s)
+"""
+
+
+# -- foreign-key discovery (containment profiling) ----------------------------------------
+
+def q_fk_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-discovery containment profiling: for each declared
+    candidate (child.col → parent.col) pair, the fraction of the
+    child's DISTINCT values present in the parent (integer ppm) plus
+    both distinct cardinalities — containment 1,000,000 means the pair
+    is a valid FK. Each pair costs two distinct aggregations and one
+    broadcast semi-join on already-distinct keys."""
+    pairs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for child_t, child_c, parent_t, parent_c in pairs:
+        ch = load(spark, sf, child_t).select(
+            F.col(child_c).alias("v")).distinct()
+        pa = load(spark, sf, parent_t).select(
+            F.col(parent_c).alias("v")).distinct()
+        row = (
+            ch.join(pa.hint("broadcast"), "v", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .crossJoin(ch.agg(F.count(F.lit(1)).alias("n_child")))
+            .crossJoin(pa.agg(F.count(F.lit(1)).alias("n_parent")))
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_parent").cast("long").alias("n_parent"),
+                F.expr("CAST((n_hit * 1000000) DIV n_child AS BIGINT)")
+                .alias("containment_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_FK_DISCOVERY = """
+WITH pairs(child, parent, n_child, n_parent, n_hit) AS (
+  SELECT 'lineitem.l_orderkey', 'orders.o_orderkey',
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+         (SELECT count(DISTINCT o_orderkey) FROM orders),
+         (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.l_partkey', 'part.p_partkey',
+         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+         (SELECT count(DISTINCT p_partkey) FROM part),
+         (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+          WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey))
+  UNION ALL
+  SELECT 'orders.o_custkey', 'customer.c_custkey',
+         (SELECT count(DISTINCT o_custkey) FROM orders),
+         (SELECT count(DISTINCT c_custkey) FROM customer),
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+          WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+  UNION ALL
+  SELECT 'events.user_id', 'customer.c_custkey',
+         (SELECT count(DISTINCT user_id) FROM events),
+         (SELECT count(DISTINCT c_custkey) FROM customer),
+         (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events) c
+          WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.user_id))
+  UNION ALL
+  SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+         (SELECT count(DISTINCT c_nationkey) FROM customer),
+         (SELECT count(DISTINCT n_nationkey) FROM nation),
+         (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer) c
+          WHERE EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey)))
+SELECT child, parent, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_parent AS BIGINT) AS n_parent,
+       CAST((n_hit * 1000000) // n_child AS BIGINT) AS containment_ppm
+FROM pairs
+"""
+
+
+# -- rollup cascade (mergeable re-aggregation) ---------------------------------------------
+
+def q_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily totals computed FROM hourly pre-aggregates — the
+    mergeable-aggregation contract a 100 TB rollup pipeline lives on
+    (minute→hour→day cascades re-aggregate partials instead of
+    rescanning raw): counts and decimal sums merge exactly; the oracle
+    computes the same dailies DIRECTLY from raw events, so any
+    non-mergeable step (an average of averages, a double sum) breaks
+    the hash."""
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.expr("ts DIV 3600000000000").alias("hour_idx"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    hourly = ev.groupBy("event_type", "hour_idx").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    daily = (
+        hourly.groupBy("event_type",
+                       F.expr("hour_idx DIV 24").alias("day_idx"))
+        .agg(F.sum("n").cast("long").alias("n"),
+             F.sum("sv").cast("decimal(38,2)").cast("double").alias("sum_value"))
+    )
+    return daily.select("event_type",
+                        F.col("day_idx").cast("long").alias("day_idx"),
+                        "n", "sum_value")
+
+
+SQL_ROLLUP_CASCADE = """
+SELECT event_type,
+       CAST((epoch_ns(ts) // 3600000000000) // 24 AS BIGINT) AS day_idx,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, (epoch_ns(ts) // 3600000000000) // 24
+"""
+
+QUERIES.update({
+    "burst_detection": q_burst_detection,
+    "fk_discovery": q_fk_discovery,
+    "rollup_cascade": q_rollup_cascade,
+})
+ORACLES.update({
+    "burst_detection": SQL_BURST_DETECTION,
+    "fk_discovery": SQL_FK_DISCOVERY,
+    "rollup_cascade": SQL_ROLLUP_CASCADE,
+})
