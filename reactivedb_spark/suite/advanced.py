@@ -1677,3 +1677,78 @@ ORACLES.update({
     "fk_discovery": SQL_FK_DISCOVERY,
     "rollup_cascade": SQL_ROLLUP_CASCADE,
 })
+
+
+# -- session path census -------------------------------------------------------------------
+
+def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Census of 3-step session-opening paths: sessions split on
+    30-minute inactivity (lag-gap + running count — the same
+    sessionization algebra as `sessionize`), each session's first
+    three event types joined 'a>b>c' via deterministic row_number
+    picks (collect_list would be partition-order-dependent), counted
+    across the corpus. Sessions shorter than 3 events drop out. Two
+    keyed window passes + one aggregation."""
+    from pyspark.sql import Window
+
+    GAP = 30 * 60 * 1_000_000_000
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id",
+                                          "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn("_new", (F.col("_prev").isNull()
+                             | ((F.col("ts") - F.col("_prev")) > GAP))
+                    .cast("long"))
+        .withColumn("_sid", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    sw = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    first3 = (
+        sess.withColumn("_rn", F.row_number().over(sw))
+        .filter(F.col("_rn") <= 3)
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("event_type"))).alias("e1"),
+            F.max(F.when(F.col("_rn") == 2, F.col("event_type"))).alias("e2"),
+            F.max(F.when(F.col("_rn") == 3, F.col("event_type"))).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+    )
+    return (
+        first3.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                      > 1800000000000
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sid AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+f3 AS (
+  SELECT user_id, sid,
+         max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+         max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+         max(CASE WHEN rn = 3 THEN event_type END) AS e3
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) AS rn
+        FROM sid)
+  WHERE rn <= 3 GROUP BY user_id, sid)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM f3 WHERE e3 IS NOT NULL GROUP BY e1 || '>' || e2 || '>' || e3
+"""
+
+QUERIES["session_paths"] = q_session_paths
+ORACLES["session_paths"] = SQL_SESSION_PATHS
