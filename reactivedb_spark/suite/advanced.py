@@ -1752,3 +1752,110 @@ FROM f3 WHERE e3 IS NOT NULL GROUP BY e1 || '>' || e2 || '>' || e3
 
 QUERIES["session_paths"] = q_session_paths
 ORACLES["session_paths"] = SQL_SESSION_PATHS
+
+
+# -- decile lift table ---------------------------------------------------------------------
+
+def q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-spend decile lift table — the campaign-analytics
+    staple: customers ntile(10)-ranked by total spend (cents — exact
+    longs; ntile over the (spend desc, custkey) TOTAL order so ties
+    are deterministic), per-decile customer count, spend total and
+    cumulative-share ppm by integer division. One aggregation + one
+    window over the aggregated relation."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).alias("cents"))
+    spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("spend"))
+    nt = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    per = (
+        spend.withColumn("decile", F.ntile(10).over(nt))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.sum("spend").alias("spend"))
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return (
+        per.withColumn("_cum", F.sum("spend").over(cum))
+        .withColumn("_tot", F.sum("spend").over(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_cust").cast("long").alias("n_cust"),
+            F.col("spend").cast("long").alias("spend_cents"),
+            F.expr("CAST((_cum * 1000000) DIV _tot AS BIGINT)")
+            .alias("cum_share_ppm"),
+        )
+    )
+
+
+SQL_DECILE_LIFT = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey),
+d AS (SELECT spend,
+             ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      FROM spend),
+per AS (SELECT decile, count(*) AS n_cust, sum(spend) AS spend
+        FROM d GROUP BY decile)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n_cust AS BIGINT) AS n_cust,
+       CAST(spend AS BIGINT) AS spend_cents,
+       CAST((sum(spend) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             * 1000000) // sum(spend) OVER () AS BIGINT) AS cum_share_ppm
+FROM per
+"""
+
+
+# -- Gini concentration index --------------------------------------------------------------
+
+def q_gini_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini concentration of customer spend, EXACT integer algebra:
+    with spend x_i (cents) ranked ascending in the (spend, custkey)
+    total order, G = (2·Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i), emitted as
+    ppm by one integer division — the numerator/denominator are exact
+    DECIMAL(38,0) products, and the tie order is pinned so both
+    engines sum identical i·x_i terms. One aggregation, one rank
+    window, one scalar fold. Gini inherently requires a global order
+    of the entity relation (one row per customer) — the raw event
+    table never globally sorts."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice") * 100).alias("cents"))
+    spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("x"))
+    rk = Window.orderBy(F.col("x").asc(), F.col("o_custkey"))
+    ranked = spend.withColumn("i", F.row_number().over(rk))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(19,0)")).alias("sx"),
+        F.sum(F.col("i").cast("decimal(19,0)")
+              * F.col("x").cast("decimal(19,0)")).alias("six"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(((2 * six - (n + 1) * sx) * 1000000)"
+               " DIV (CAST(n AS DECIMAL(19,0)) * sx) AS BIGINT)")
+        .alias("gini_ppm"),
+    )
+
+
+SQL_GINI_SPEND = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY o_custkey),
+r AS (SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey) AS i
+      FROM spend),
+agg AS (SELECT count(*) AS n,
+               sum(CAST(x AS DECIMAL(19,0))) AS sx,
+               sum(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS six
+        FROM r)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(((2 * six - (n + 1) * sx) * 1000000)
+            // (CAST(n AS DECIMAL(19,0)) * sx) AS BIGINT) AS gini_ppm
+FROM agg
+"""
+
+QUERIES.update({"decile_lift": q_decile_lift, "gini_spend": q_gini_spend})
+ORACLES.update({"decile_lift": SQL_DECILE_LIFT, "gini_spend": SQL_GINI_SPEND})
