@@ -1226,7 +1226,10 @@ class Engine:
             async_cbs = [cb for e, cb, a in subs if e == event and a]
             if not (sync_cbs or async_cbs):
                 continue
-            clean = df.drop(C.SEQ, C.PARTITION_BUCKET)
+            # _refCount is pure internal DistinctTransform state
+            # (constants.py) — hide it from subscribers like table()
+            # does; drop is a no-op where the column is absent
+            clean = df.drop(C.SEQ, C.PARTITION_BUCKET, C.REF_COUNT)
             if async_cbs:
                 # snapshot NOW: the delta DataFrame is backed by this
                 # version's parquet files, which a later version flip /

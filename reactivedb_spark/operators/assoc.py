@@ -65,8 +65,13 @@ def association_rules(
             .alias("support_ppm"),
             F.expr("CAST((n_pair * 1000000) DIV n_ante AS BIGINT)")
             .alias("confidence_ppm"),
-            F.expr(f"CAST((n_pair * {n_baskets} * 1000000) DIV "
-                   "(n_ante * n_cons) AS BIGINT)").alias("lift_ppm"),
+            # lift's triple product overflows int64 once n_baskets
+            # reaches ~1.5e7 with a hot pair (Spark non-ANSI wraps
+            # silently, DuckDB errors) — widen to DECIMAL(38,0) before
+            # the integral division, like burst_detection / gini_spend
+            F.expr(f"CAST((CAST(n_pair AS DECIMAL(38,0)) * {n_baskets}"
+                   " * 1000000) DIV (CAST(n_ante AS DECIMAL(38,0))"
+                   " * n_cons) AS BIGINT)").alias("lift_ppm"),
         )
     )
     return out

@@ -57,7 +57,10 @@ def audit(
 
     if fk is not None:
         parent, child_cols, parent_cols = fk
-        cond = [df[c].eqNullSafe(parent[p])
+        # plain equality, NOT eqNullSafe: a NULL child key must never
+        # match (even a NULL parent key) so it counts as an orphan —
+        # the module contract and the SQL oracle's `=` both say so
+        cond = [df[c] == parent[p]
                 for c, p in zip(child_cols, parent_cols)]
         orphans = (
             df.join(parent, cond, "left_anti")

@@ -274,7 +274,8 @@ SELECT CAST(d.antecedent AS BIGINT) AS antecedent,
        CAST(d.n_pair AS BIGINT) AS n_pair,
        CAST((d.n_pair * 1000000) // nb.n AS BIGINT) AS support_ppm,
        CAST((d.n_pair * 1000000) // nx.n_item AS BIGINT) AS confidence_ppm,
-       CAST((d.n_pair * nb.n * 1000000) // (nx.n_item * ny.n_item)
+       CAST((CAST(d.n_pair AS HUGEINT) * nb.n * 1000000)
+            // (CAST(nx.n_item AS HUGEINT) * ny.n_item)
             AS BIGINT) AS lift_ppm
 FROM directed d
 JOIN item_n nx ON nx.i = d.antecedent

@@ -48,7 +48,10 @@ def main() -> None:
             files.append(args[i])
             i += 1
     if not files:
-        files = sorted(glob.glob(os.path.join(HERE, "BENCH_RAW_*.json")))
+        files = sorted(
+            glob.glob(os.path.join(HERE, "BENCH_RAW_*.json"))
+            + glob.glob(os.path.join(HERE, ".bench_evidence",
+                                     "BENCH_RAW_*.json")))
     if not files:
         raise SystemExit("no BENCH_RAW_*.json records to promote")
 
