@@ -1,92 +1,81 @@
 """Registration-order contract: the driver's correctness gate checks the
-FIRST 50 registered queries. Round-8 rotation (VERDICT r7 #1):
-``join_transform_diamond`` — the only registered query with zero driver
-evidence — takes slot 1; the 37 queries whose newest green row is r5
-fill slots 2-38 alphabetically; the five NEW/CHANGED round-8 queries
-(bpe_train_batched, corpus_clean_cc, distinct_transform, kcore_parts,
-scd2_users, interval_join, impute_docs, bigram_logprob, ann_sq8_topk —
-driver-unchecked by definition) take slots 39-47; slots 48-50 hold
-three single-green r6 queries (streaming_late_data,
-streaming_dedup_watermark, ann_knn_join, asof_forward, bloom_semi_join,
-bm25_topk, chunk_windows, cms_heavy_hitters and dag_chain are displaced
-by the new queries and lead the r9 r6-block, the two single-greens
-first).
-Everything else — latest evidence r6/r7, i.e. <=2 rounds old — fills
-the tail and rotates back next round."""
+FIRST 50 registered queries. Round-9 rotation (VERDICT r8 #1, verbatim):
+slots 1-34 are the 34 round-8 tail queries that have NEVER been
+driver-gated (alphabetical); slots 35-50 are sixteen r6-stale queries,
+fewest-greens-first — the r8-displaced nine (the two single-greens
+first), then source_csv, source_jsonl, pagerank_orders,
+dedup_lsh_candidates, dedup_jaccard, corpus_clean, dedup_minhash.
+Everything else — newest evidence r6/r7/r8 — fills the tail and rotates
+per the ROUND-10 plan written in suite/__init__.py."""
 
 from reactivedb_spark import suite
 
-R5_STALE = [
-    "action_transform",
-    "aggregation_transform",
-    "ann_ivf_topk",
-    "array_filter_dsl",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "delete_cascade",
-    "events_hourly",
-    "expr_arithmetic",
-    "filter_transform",
-    "find_one",
-    "function_transform",
-    "get_all",
-    "graph_components_star",
-    "greater_than",
-    "less_than",
-    "multimodal_embed",
-    "multimodal_png_decode",
-    "multimodal_wav_decode",
-    "pack_budget",
-    "pii_scrub",
-    "sample_hash",
-    "sample_stratified",
-    "sessionize",
-    "streaming_aggregate",
-    "streaming_sessionize",
-    "struct_map_project",
-    "text_repetition",
-    "tfidf_top_terms",
-    "token_bpe",
-    "top_bigrams",
-    "union_transform",
-    "zorder_scan",
-    "zscore_outliers",
+NEVER_GATED_R8_TAIL = [
+    "assoc_rules",
+    "bfs_hops",
+    "burst_detection",
+    "cumulative_distinct",
+    "decile_lift",
+    "dq_audit",
+    "event_transitions",
+    "fk_discovery",
+    "funnel_latency",
+    "fuzzy_join_edit",
+    "fuzzy_join_guarded",
+    "gini_spend",
+    "interpolate_gapfill",
+    "kfold_split",
+    "label_prop_comms",
+    "mad_outliers",
+    "merge_upsert",
+    "multimodal_dhash",
+    "ohlc_hourly",
+    "pareto_front",
+    "percentile_rank",
+    "record_linkage",
+    "rolling_wau",
+    "rollup_cascade",
+    "session_paths",
+    "skipgram_pairs",
+    "snapshot_diff_accounts",
+    "streaming_merge_upsert",
+    "streaming_windowed_distinct",
+    "table_checksums",
+    "time_weighted_balance",
+    "trigram_search",
+    "vocab_coverage",
+    "weighted_median_price",
 ]
 
-NEW_R8 = ["bpe_train_batched", "corpus_clean_cc", "distinct_transform",
-          "kcore_parts", "scd2_users", "interval_join", "impute_docs",
-          "bigram_logprob", "ann_sq8_topk"]
-
-R6_SINGLE_GREEN = [
-    "dedup_containment_zipf",
-    "expr_functions",
-    "semantic_dedup",
+R6_STALE_SIXTEEN = [
+    "streaming_late_data",
+    "streaming_dedup_watermark",
+    "ann_knn_join",
+    "asof_forward",
+    "bloom_semi_join",
+    "bm25_topk",
+    "chunk_windows",
+    "cms_heavy_hitters",
+    "dag_chain",
+    "source_csv",
+    "source_jsonl",
+    "pagerank_orders",
+    "dedup_lsh_candidates",
+    "dedup_jaccard",
+    "corpus_clean",
+    "dedup_minhash",
 ]
-
-R6_DOUBLE_GREEN_HEAD = []
 
 
 def test_window_layout():
     q = list(suite.all_queries())
     assert len(q) == len(set(q)), "duplicate query names"
     assert list(q[:50]) == list(suite._WINDOW)
-    # slot 1: the only never-driver-gated query
-    assert q[0] == "join_transform_diamond"
-    # slots 2-38: the r5-stale set, alphabetical
-    assert q[1: 1 + len(R5_STALE)] == R5_STALE
-    assert R5_STALE == sorted(R5_STALE)
-    n = 1 + len(R5_STALE)
-    # slots 39-40: the new round-8 queries
-    assert q[n: n + len(NEW_R8)] == NEW_R8
-    n += len(NEW_R8)
-    # slots 41-45: r6 single-green; 46-50: r6 double-green alphabetical
-    assert q[n: n + len(R6_SINGLE_GREEN)] == R6_SINGLE_GREEN
-    n += len(R6_SINGLE_GREEN)
-    assert q[n: 50] == R6_DOUBLE_GREEN_HEAD
-    assert R6_DOUBLE_GREEN_HEAD == sorted(R6_DOUBLE_GREEN_HEAD)
+    # slots 1-34: the never-driver-gated round-8 tail, alphabetical
+    assert q[:34] == NEVER_GATED_R8_TAIL
+    assert NEVER_GATED_R8_TAIL == sorted(NEVER_GATED_R8_TAIL)
+    # slots 35-50: the sixteen r6-stale queries in VERDICT's order
+    assert q[34:50] == R6_STALE_SIXTEEN
 
 
 def test_window_names_exist_in_pool():
