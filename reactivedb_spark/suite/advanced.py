@@ -799,19 +799,26 @@ ORACLES["bfs_hops"] = SQL_BFS_HOPS
 # -- record linkage (blocked fuzzy match + attribute scoring) --------------------------
 
 def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
-    """Entity resolution as a composition: the ED-Join prefix filter
-    generates name-similarity candidates (operators/fuzzyjoin.py), then
-    a Fellegi–Sunter-style integer rule score — name agreement
-    (60 − 10·dist), same nation (+30), account balance within 100
-    (+20) — keeps pairs scoring ≥ 80. All comparisons integer or
-    IEEE-identical; the oracle recomputes candidates brute-force AND
-    the same scoring, so the composition (not just the parts) is
-    verified."""
+    """Entity resolution as a composition: the GUARDED ED-Join prefix
+    filter generates name-similarity candidates (operators/fuzzyjoin.py
+    with ``max_bucket=100`` — the production default; VERDICT r8 #2:
+    the unguarded generator profiles at 415 s/sf1 on gram-adversarial
+    names, a quadratic scale-killer, and stays registered separately as
+    the research config ``fuzzy_join_edit``), then a Fellegi–Sunter-
+    style integer rule score — name agreement (60 − 10·dist), same
+    nation (+30), account balance within 100 (+20) — keeps pairs
+    scoring ≥ 80. All comparisons integer or IEEE-identical; the oracle
+    replays the ENTIRE guarded candidate pipeline (positional bigrams,
+    rarity prefix, bucket-count stop-band, length band, levenshtein
+    verify — the fuzzy_join_guarded oracle) AND the same scoring, so
+    the guard's drop semantics inside the composition are
+    driver-verified, not just its speed."""
     from reactivedb_spark.operators.fuzzyjoin import edit_distance_join
 
     c = load(spark, sf, "customer")
     pairs = edit_distance_join(
-        c.select("c_custkey", "c_name"), "c_custkey", "c_name", max_dist=1)
+        c.select("c_custkey", "c_name"), "c_custkey", "c_name", max_dist=1,
+        q=2, max_bucket=100)
     attrs = c.select(
         F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nat"),
         F.col("c_acctbal").alias("bal"))
@@ -839,23 +846,40 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_RECORD_LINKAGE = """
-WITH c AS (SELECT c_custkey AS k, c_name AS n, c_nationkey AS nat,
-                  c_acctbal AS bal FROM customer),
-cand AS (
-  SELECT a.k AS id_a, b.k AS id_b, levenshtein(a.n, b.n) AS dist,
-         a.nat AS nat_a, b.nat AS nat_b, a.bal AS bal_a, b.bal AS bal_b
-  FROM c a JOIN c b
-    ON a.k < b.k AND abs(length(a.n) - length(b.n)) <= 1
-  WHERE levenshtein(a.n, b.n) <= 1)
+WITH c AS (SELECT c_custkey AS id, c_name AS txt, length(c_name) AS len
+           FROM customer WHERE c_name IS NOT NULL AND length(c_name) > 3),
+g AS (SELECT id, len, gram,
+             row_number() OVER (PARTITION BY id, gram ORDER BY pos) AS occ
+      FROM (SELECT id, len, substring(txt, CAST(i AS INT), 2) AS gram, i AS pos
+            FROM c, LATERAL unnest(generate_series(1, len - 1)) AS t(i))),
+dfq AS (SELECT gram, occ, count(*) AS dfn FROM g GROUP BY gram, occ),
+rk AS (SELECT g.id, g.len, g.gram, g.occ,
+              row_number() OVER (PARTITION BY g.id
+                                 ORDER BY dfq.dfn, g.gram, g.occ) AS r
+       FROM g JOIN dfq USING (gram, occ)),
+pref AS (SELECT id, len, gram, occ FROM rk WHERE r <= 3),
+kept AS (SELECT gram, occ FROM pref GROUP BY gram, occ
+         HAVING count(*) <= 100),
+pg AS (SELECT pref.id, pref.len, pref.gram, pref.occ
+       FROM pref JOIN kept USING (gram, occ)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM pg a JOIN pg b ON a.gram = b.gram AND a.occ = b.occ
+          AND a.id < b.id AND abs(a.len - b.len) <= 1),
+pairs AS (SELECT cand.id_a, cand.id_b, levenshtein(ca.txt, cb.txt) AS dist
+          FROM cand JOIN c ca ON ca.id = cand.id_a
+                    JOIN c cb ON cb.id = cand.id_b
+          WHERE levenshtein(ca.txt, cb.txt) <= 1),
+attrs AS (SELECT c_custkey AS k, c_nationkey AS nat, c_acctbal AS bal
+          FROM customer),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         60 - 10 * p.dist
+         + CASE WHEN a.nat = b.nat THEN 30 ELSE 0 END
+         + CASE WHEN abs(a.bal - b.bal) < 100 THEN 20 ELSE 0 END AS score
+  FROM pairs p JOIN attrs a ON a.k = p.id_a JOIN attrs b ON b.k = p.id_b)
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-       CAST(60 - 10 * dist
-            + CASE WHEN nat_a = nat_b THEN 30 ELSE 0 END
-            + CASE WHEN abs(bal_a - bal_b) < 100 THEN 20 ELSE 0 END
-            AS BIGINT) AS score
-FROM cand
-WHERE 60 - 10 * dist
-      + CASE WHEN nat_a = nat_b THEN 30 ELSE 0 END
-      + CASE WHEN abs(bal_a - bal_b) < 100 THEN 20 ELSE 0 END >= 80
+       CAST(score AS BIGINT) AS score
+FROM scored WHERE score >= 80
 """
 
 QUERIES["record_linkage"] = q_record_linkage
