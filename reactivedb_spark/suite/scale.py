@@ -1437,7 +1437,17 @@ def q_wav_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     byte 96). A RIFF mis-parse, off-by-one at a frame boundary, or a
     boundary-pair leak breaks the match."""
     d = spread(load(spark, sf, "documents"))  # straggler smoothing
-    pay = multimodal.encode_wav(d, "doc_id", "text", sample_rate=8000)
+    # Persist + materialize the encoded samples BEFORE the frames Arrow
+    # stage (VERDICT r8 #1): chained encode→frames ran as one task with
+    # two Python hops, and in long suite sessions the frames workers sat
+    # feed-starved behind the in-task encode relay (MMPROF: p50 batch
+    # wait 0.93 s vs 37 ms compute). Splitting the stages lets the
+    # frames feed read local cached blocks; at 100 TB the upstream
+    # relation would already be a materialized table and this persist is
+    # the same stage boundary a pipeline would have naturally.
+    pay = cache.pin(
+        multimodal.encode_wav(d, "doc_id", "text", sample_rate=8000))
+    pay.count()
     return multimodal.wav_frame_features(pay, "doc_id", frame=256)
 
 
