@@ -469,6 +469,79 @@ FROM part WHERE p_size >= 25
 """
 
 
+LISTEN_ENGINE_CFG = {
+    "tables": [
+        {"Source": {"name": "customer", "columns": {
+            "c_custkey": "Integer", "c_name": "Str", "c_nationkey": "Integer",
+            "c_acctbal": "Float", "c_mktsegment": "Str"}}},
+        {"Derived": {"name": "pos_bal",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "customer",
+                         "filter": "c_acctbal > 0.0"}}}},
+        {"Derived": {"name": "big_bal",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "pos_bal",
+                         "filter": "c_acctbal > 5000.0"}}}},
+    ]
+}
+
+
+def q_listen_cascade_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Listen-path event delivery through a MULTI-LEVEL cascade
+    (VERDICT r8 #7): the reference fires one listener event per table
+    per cascade level (listener_hook.rs:56-84); here a 3-level chain
+    customer → pos_bal → big_bal carries one bulk insert and one
+    cascading delete, with Insert AND Delete subscribers on every
+    level. The result is the delivered-event census — (tbl, event,
+    n_events, n_rows) — which the oracle replays from the raw fixture:
+    each commit must produce EXACTLY ONE event per touched table per
+    direction, whose row set equals the level's predicate algebra
+    (delete rows at level k = source predicate ∧ cascade key). Row sets
+    are counted from the delivered snapshots, so an extra event, a
+    missed level, or a leaked/short delta breaks the match."""
+    eng = Engine(spark, LISTEN_ENGINE_CFG,
+                 workspace=tempfile.mkdtemp(prefix="rdb_listen_"))
+    counts: dict = {}
+
+    def tally(tbl, event):
+        def cb(df):
+            calls, rows = counts.get((tbl, event), (0, 0))
+            counts[(tbl, event)] = (calls + 1, rows + df.count())
+        return cb
+
+    tables = ("customer", "pos_bal", "big_bal")
+    for t in tables:
+        eng.listen(t, "Insert", tally(t, "Insert"))
+        eng.listen(t, "Delete", tally(t, "Delete"))
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long"), "c_name",
+        F.col("c_nationkey").cast("long"), "c_acctbal", "c_mktsegment")
+    eng.insert_df("customer", cust)          # commit 1: Insert every level
+    eng.delete("customer", "c_nationkey", 5)  # commit 2: Delete every level
+    rows = [(t, e, counts.get((t, e), (0, 0))[0], counts.get((t, e), (0, 0))[1])
+            for t in tables for e in ("Insert", "Delete")]
+    return spark.createDataFrame(
+        rows, "tbl string, event string, n_events long, n_rows long")
+
+
+SQL_LISTEN_CASCADE_EVENTS = """
+SELECT 'customer' AS tbl, 'Insert' AS event, CAST(1 AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_rows FROM customer
+UNION ALL
+SELECT 'customer', 'Delete', 1, count(*) FROM customer WHERE c_nationkey = 5
+UNION ALL
+SELECT 'pos_bal', 'Insert', 1, count(*) FROM customer WHERE c_acctbal > 0.0
+UNION ALL
+SELECT 'pos_bal', 'Delete', 1, count(*) FROM customer
+WHERE c_acctbal > 0.0 AND c_nationkey = 5
+UNION ALL
+SELECT 'big_bal', 'Insert', 1, count(*) FROM customer WHERE c_acctbal > 5000.0
+UNION ALL
+SELECT 'big_bal', 'Delete', 1, count(*) FROM customer
+WHERE c_acctbal > 5000.0 AND c_nationkey = 5
+"""
+
+
 QUERIES = {
     "function_transform": q_function_transform,
     "filter_transform": q_filter_transform,
@@ -484,6 +557,7 @@ QUERIES = {
     "expr_functions": q_expr_functions,
     "array_filter_dsl": q_array_filter_dsl,
     "struct_map_project": q_struct_map_project,
+    "listen_cascade_events": q_listen_cascade_events,
 }
 
 ORACLES = {
@@ -501,4 +575,5 @@ ORACLES = {
     "expr_arithmetic": SQL_EXPR_ARITHMETIC,
     "expr_functions": SQL_EXPR_FUNCTIONS,
     "struct_map_project": SQL_STRUCT_MAP_PROJECT,
+    "listen_cascade_events": SQL_LISTEN_CASCADE_EVENTS,
 }
