@@ -1065,6 +1065,15 @@ def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
 
     d = spread(load(spark, sf, "documents"))  # straggler smoothing
     pay = multimodal.encode_png(d, "doc_id", "text", width=16)
+    # This is the suite's only THREE-deep Python chain (encode → resize
+    # → decode in one task); late in a long session the tail workers
+    # starve behind the two-hop relay — same mode as wav_frame_features
+    # (VERDICT r8 #1), observed when the r9 window rotation moved this
+    # query to the session tail (2.9-4.7 s vs its 1.6 s median).
+    # Materializing ONE boundary caps the relay depth at two hops, which
+    # the jpeg/wav two-stage chains show is stable at any position.
+    pay = cache.pin(pay)
+    pay.count()
     rez = multimodal.resize(pay, "doc_id", target=8)
     return multimodal.decode_png(rez, "doc_id")
 
