@@ -1,0 +1,145 @@
+"""DSIR-style data selection with importance resampling (Xie et al.,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023) — the hashed-n-gram importance weighting a training-data
+pipeline uses to tilt a raw corpus toward a curated target domain.
+
+Model: unigram bag-of-hashed-features. Every token hashes into one of
+``n_buckets`` feature buckets (portable md5→int64, the sampling.py
+convention); the target subset and the full corpus each define a
+Laplace-smoothed multinomial over buckets, and a document's log
+importance weight is
+
+    log w(d) = Σ_b  cnt_d[b] · ln( p_target[b] / p_source[b] )
+
+Documents with log w > 0 look more like the target than the average
+source document; resampling by these weights (e.g. the top fraction,
+or a Gumbel draw) yields the DSIR-selected corpus. This module emits
+the per-document weights — the selection policy composes downstream
+(operators/sampling.py already provides deterministic weighted draws).
+
+Determinism contract (the lm.py recipe):
+- bucket id is a pure function of the token via the portable md5 hash
+  (identical in DuckDB: ('0x' || substr(md5(w),1,15))::BIGINT % B);
+- the ln ARGUMENT is computed with one fixed op order on both engines
+  — two double divisions and one double division of the ratios
+  ((c_t+1)/(N_t+B)) / ((c_s+1)/(N_s+B)) — IEEE-identical given
+  identical integer counts;
+- ln() may differ by 1 ulp across libms, so each bucket's ln is pinned
+  to DECIMAL(28,14) BEFORE the per-document multiply-sum; the
+  per-bucket count multiplies in as DECIMAL(6,0) (documents are
+  contract-bounded under 10⁶ tokens per bucket), keeping the product
+  DECIMAL(35,14) — exact in both engines; the final round(6) absorbs
+  the pinned drift.
+
+Plan shape (100 TB): one explode+groupBy for per-doc bucket counts
+(map-side combinable), TWO global bucket aggregations whose results
+are ``n_buckets`` rows — broadcast by construction — joined into the
+per-doc stream, one keyed decimal sum. No windows, no self-joins, no
+driver materialization; the bucket-stats relation stays a few KB no
+matter the corpus size (that is the point of feature hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from reactivedb_spark.operators.sampling import _hash64
+
+_LN_DEC = "decimal(28,14)"
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(id, n_tokens, log_w): hashed-unigram DSIR log importance weight
+    of every document toward the ``target`` subset (a boolean Column
+    over ``df``'s rows). Empty documents carry no row (no tokens — the
+    oracle's joins drop them identically)."""
+    b = int(n_buckets)
+    toks = (
+        df.select(F.col(id_col), target.alias("_t"),
+                  F.explode(F.split(F.lower(F.trim(F.col(text_col))), " "))
+                  .alias("w"))
+        .filter(F.col("w") != "")
+        .select(id_col, "_t", (_hash64(F.col("w")) % b).alias("bkt"))
+    )
+    # five consumers (per-doc counts, source/target bucket counts, two
+    # totals) would each re-explode + re-hash the corpus; pin the token
+    # stream once (scoped release via cache.cache_scope)
+    from reactivedb_spark import cache as _cache
+
+    toks = _cache.pin(toks)
+    doc_cnt = toks.groupBy(id_col, "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    src = toks.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("c_s"))
+    tgt = toks.filter(F.col("_t")).groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t"))
+    n_src = toks.agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    n_tgt = toks.filter(F.col("_t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_t"))
+    stats = (
+        src.join(tgt, "bkt", "left")
+        .select("bkt", "c_s", F.coalesce("c_t", F.lit(0)).alias("c_t"))
+        .crossJoin(F.broadcast(n_src)).crossJoin(F.broadcast(n_tgt))
+    )
+    # fixed op order: (c_t+1)/(N_t+B), (c_s+1)/(N_s+B), then one divide
+    ln_ratio = F.log(
+        ((F.col("c_t") + F.lit(1)).cast("double")
+         / (F.col("n_t") + F.lit(b)).cast("double"))
+        / ((F.col("c_s") + F.lit(1)).cast("double")
+           / (F.col("n_s") + F.lit(b)).cast("double"))
+    ).cast(_LN_DEC)
+    terms = (
+        doc_cnt.join(F.broadcast(stats.select("bkt", ln_ratio.alias("lnr"))),
+                     "bkt")
+        .select(id_col, "cnt",
+                (F.col("cnt").cast("decimal(6,0)") * F.col("lnr"))
+                .alias("term"))
+    )
+    return terms.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.round(F.sum("term").cast("double"), 6).alias("log_w"),
+    )
+
+
+def dsir_oracle_sql(src: str, id_col: str, text_col: str,
+                    target_sql: str, n_buckets: int = 1024) -> str:
+    """DuckDB twin: identical md5 bucketing, Laplace counts, op order
+    and DECIMAL(28,14) ln pinning. ``target_sql`` is the boolean SQL
+    expression naming the target subset."""
+    b = int(n_buckets)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, t,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {b} AS bkt
+  FROM (SELECT {id_col}, ({target_sql}) AS t,
+               unnest(string_split(lower(trim({text_col})), ' ')) AS w
+        FROM {src})
+  WHERE w <> ''),
+doc_cnt AS (SELECT {id_col}, bkt, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY {id_col}, bkt),
+srcb AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c_s FROM toks GROUP BY bkt),
+tgtb AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c_t FROM toks
+         WHERE t GROUP BY bkt),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM toks),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_t FROM toks WHERE t),
+stats AS (
+  SELECT srcb.bkt,
+         CAST(ln((CAST(coalesce(c_t, 0) + 1 AS DOUBLE)
+                  / CAST(n_t + {b} AS DOUBLE))
+                 / (CAST(c_s + 1 AS DOUBLE)
+                    / CAST(n_s + {b} AS DOUBLE)))
+              AS DECIMAL(28,14)) AS lnr
+  FROM srcb LEFT JOIN tgtb ON srcb.bkt = tgtb.bkt
+  CROSS JOIN ns CROSS JOIN nt)
+SELECT d.{id_col}, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(cnt AS DECIMAL(6,0)) * lnr) AS DOUBLE), 6)
+         AS log_w
+FROM doc_cnt d JOIN stats ON d.bkt = stats.bkt
+GROUP BY d.{id_col}
+"""

@@ -94,3 +94,45 @@ def chunk_tokens(df, id_col: str, text_col: str,
             F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
         )
     )
+
+
+def length_buckets(df: DataFrame, id_col: str, stratum_col: str,
+                   text_col: str, k: int = 8) -> DataFrame:
+    """(stratum, bucket, n_docs, total_tokens, max_tokens, waste_ppm):
+    length-bucketed batching — the padding-minimization step of a
+    training pipeline. Within each stratum, documents sort by
+    (token count, id) and split into ``k`` equal-count buckets
+    (ntile); a batch drawn from one bucket pads every sequence to the
+    bucket max, so the bucket's padding waste is exactly
+    (max·n − Σlen)/(max·n), reported in integer ppm.
+
+    Like pack_by_budget, the window is KEYED by the stratum (one keyed
+    shuffle; a GLOBAL ntile would be a single-partition sort — a
+    non-starter at 100 TB); production batch-builders bucket per shard
+    for the same reason. The waste cross-product widens to
+    DECIMAL(38,0) before the integral division (max·n overflows int64
+    at shard scale; same rule as assoc lift_ppm)."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), " "),
+        lambda x: x != "")).cast("long")
+    per_doc = (
+        df.select(F.col(id_col), F.col(stratum_col).alias("stratum"),
+                  toks.alias("n_toks"))
+        .withColumn("bucket", F.ntile(int(k)).over(
+            Window.partitionBy("stratum").orderBy("n_toks", id_col)))
+    )
+    agg = per_doc.groupBy("stratum", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+    )
+    return agg.select(
+        "stratum", F.col("bucket").cast("long").alias("bucket"),
+        "n_docs", "total_tokens", "max_tokens",
+        F.expr("CAST(CASE WHEN max_tokens * n_docs = 0 THEN 0 ELSE "
+               "(CAST(max_tokens AS DECIMAL(38,0)) * n_docs - total_tokens)"
+               " * 1000000 DIV (CAST(max_tokens AS DECIMAL(38,0)) * n_docs)"
+               " END AS BIGINT)").alias("waste_ppm"),
+    )

@@ -35,7 +35,8 @@ from reactivedb_spark.suite import advanced, analytics, core, olap, pipeline, sc
 # newest green for everything else is r7+ (≤3 rounds old at r10):
 #   slots 1..k  — any query registered during round 9 with no driver
 #                 evidence yet (as of the r9 window freeze:
-#                 listen_cascade_events — VERDICT r8 #7), first.
+#                 listen_cascade_events — VERDICT r8 #7, dsir_weights,
+#                 length_buckets), first, alphabetical.
 #   next 31     — the full remaining r6-stale block, alphabetical:
 #                 ann_buckets, dedup_simhash, dedup_transform,
 #                 duplicate_spans, embedding_clusters,

@@ -1078,3 +1078,77 @@ GROUP BY g.doc_id
 
 QUERIES_TAIL["ngram_novelty"] = q_ngram_novelty
 ORACLES_TAIL["ngram_novelty"] = SQL_NGRAM_NOVELTY
+
+
+# -- DSIR importance weighting (data selection toward a target domain) -----------
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights (operators/importance.py,
+    Xie et al. 2023) of every document toward the English subset
+    (lang='en' as the curated target): md5-hashed 1024-bucket token
+    features, Laplace-smoothed target/source multinomials,
+    log w = Σ cnt·ln(p_t/p_s) with the DECIMAL(28,14) ln pinning.
+    Selecting log_w > 0 would tilt the corpus toward the target — the
+    selection draw composes with operators/sampling.py downstream."""
+    from reactivedb_spark.operators.importance import dsir_log_weights
+
+    d = load(spark, sf, "documents")
+    return dsir_log_weights(d, "doc_id", "text",
+                            target=F.col("lang") == "en", n_buckets=1024)
+
+
+def _dsir_sql() -> str:
+    from reactivedb_spark.operators.importance import dsir_oracle_sql
+
+    return dsir_oracle_sql("documents", "doc_id", "text",
+                           "lang = 'en'", n_buckets=1024)
+
+
+QUERIES_TAIL["dsir_weights"] = q_dsir_weights
+ORACLES_TAIL["dsir_weights"] = _dsir_sql()
+
+
+# -- length-bucketed batching (padding-waste accounting) --------------------------
+
+def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source length bucketing (operators/packing.py:length_buckets):
+    8 equal-count ntile buckets by (token count, doc_id) within each
+    source shard, with exact integer-ppm padding waste per bucket — the
+    batch-building padding-minimization step. One keyed window shuffle +
+    one keyed aggregation; the waste cross-product is DECIMAL(38,0)-
+    widened (HUGEINT in the oracle)."""
+    from reactivedb_spark.operators.packing import length_buckets
+
+    d = load(spark, sf, "documents")
+    return length_buckets(d, "doc_id", "source", "text", k=8)
+
+
+SQL_LENGTH_BUCKETS = """
+WITH per_doc AS (
+  SELECT doc_id, source AS stratum,
+         CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents),
+bucketed AS (
+  SELECT stratum, n_toks,
+         ntile(8) OVER (PARTITION BY stratum ORDER BY n_toks, doc_id)
+           AS bucket
+  FROM per_doc),
+agg AS (
+  SELECT stratum, bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(max(n_toks) AS BIGINT) AS max_tokens
+  FROM bucketed GROUP BY stratum, bucket)
+SELECT stratum, CAST(bucket AS BIGINT) AS bucket, n_docs, total_tokens,
+       max_tokens,
+       CAST(CASE WHEN max_tokens * n_docs = 0 THEN 0 ELSE
+            (CAST(max_tokens AS HUGEINT) * n_docs - total_tokens) * 1000000
+            // (CAST(max_tokens AS HUGEINT) * n_docs) END AS BIGINT)
+         AS waste_ppm
+FROM agg
+"""
+
+
+QUERIES_TAIL["length_buckets"] = q_length_buckets
+ORACLES_TAIL["length_buckets"] = SQL_LENGTH_BUCKETS
