@@ -79,9 +79,14 @@ def dsir_log_weights(
         F.count(F.lit(1)).cast("long").alias("c_s"))
     tgt = toks.filter(F.col("_t")).groupBy("bkt").agg(
         F.count(F.lit(1)).cast("long").alias("c_t"))
-    n_src = toks.agg(F.count(F.lit(1)).cast("long").alias("n_s"))
-    n_tgt = toks.filter(F.col("_t")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_t"))
+    # totals fold from the ≤n_buckets-row relations, not the token
+    # stream — two data-sized cache scans replaced by 1024-row sums;
+    # coalesce keeps an EMPTY target subset at N_t = 0 (sum of no rows
+    # is NULL, count was 0 — the oracle's count(*) semantics)
+    n_src = src.agg(
+        F.coalesce(F.sum("c_s"), F.lit(0)).cast("long").alias("n_s"))
+    n_tgt = tgt.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t"))
     stats = (
         src.join(tgt, "bkt", "left")
         .select("bkt", "c_s", F.coalesce("c_t", F.lit(0)).alias("c_t"))
