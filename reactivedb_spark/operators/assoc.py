@@ -61,10 +61,13 @@ def association_rules(
             F.col("antecedent").cast("long").alias("antecedent"),
             F.col("consequent").cast("long").alias("consequent"),
             F.col("n_pair").cast("long").alias("n_pair"),
-            F.expr(f"CAST((n_pair * 1000000) DIV {n_baskets} AS BIGINT)")
-            .alias("support_ppm"),
-            F.expr("CAST((n_pair * 1000000) DIV n_ante AS BIGINT)")
-            .alias("confidence_ppm"),
+            # all three ratios widen before the integral division —
+            # n_pair * 1e6 alone wraps int64 once n_pair > ~9.2e12
+            # (same class as the lift product below)
+            F.expr(f"CAST((CAST(n_pair AS DECIMAL(38,0)) * 1000000)"
+                   f" DIV {n_baskets} AS BIGINT)").alias("support_ppm"),
+            F.expr("CAST((CAST(n_pair AS DECIMAL(38,0)) * 1000000)"
+                   " DIV n_ante AS BIGINT)").alias("confidence_ppm"),
             # lift's triple product overflows int64 once n_baskets
             # reaches ~1.5e7 with a hot pair (Spark non-ANSI wraps
             # silently, DuckDB errors) — widen to DECIMAL(38,0) before

@@ -28,16 +28,19 @@ Declared semantics (documented, tested):
   re-elect representatives; counted distinct has nothing to re-elect).
   Both directions are O(delta): one keyed count aggregation over the
   delta, one join against the affected state buckets;
-- the visible row for a tuple is its FIRST arrival EVER OBSERVED
-  (lowest ``_seq``, entry-id tie-break) and carries that row's
-  ``_sourceEntryId`` provenance. Deliberately NOT "first live
-  arrival": when a partial delete removes the original first-arrival
-  parent row while the refcount stays >0, no re-election happens —
-  the projected values are identical by definition of the tuple key,
-  and re-electing would force the delete path to read the parent,
-  breaking the O(delta) no-parent-read design above. The retained
-  ``_sourceEntryId`` may therefore reference a parent row that has
-  since died; within one commit, delete-then-insert
+- the visible row for a tuple is the FIRST ARRIVAL OF ITS CURRENT
+  LIVE STREAK (lowest ``_seq`` since the refcount last rose from 0;
+  entry-id tie-break) and carries that row's ``_sourceEntryId``
+  provenance. Two deliberate consequences: (a) a PARTIAL delete that
+  removes the original first-arrival parent row while the refcount
+  stays >0 does NOT re-elect — projected values are identical by
+  definition of the tuple key, and re-electing would force the delete
+  path to read the parent, breaking the O(delta) no-parent-read
+  design above, so the retained ``_sourceEntryId`` may reference a
+  parent row that has since died; (b) after a tuple dies (refcount 0)
+  and is later re-inserted, the NEW streak's first arrival is the
+  representative — provenance never reaches back across a death.
+  Within one commit, delete-then-insert
   (the reference's Update decomposition, database.rs:155-164) nets:
   old>0 → new==0 emits delete, old==0 → new>0 emits insert, otherwise
   nothing.

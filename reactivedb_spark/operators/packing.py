@@ -114,9 +114,14 @@ def length_buckets(df: DataFrame, id_col: str, stratum_col: str,
     at shard scale; same rule as assoc lift_ppm)."""
     from pyspark.sql.window import Window
 
-    toks = F.size(F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), " "),
-        lambda x: x != "")).cast("long")
+    # NULL text counts as a 0-token document in BOTH engines: Spark's
+    # legacy size(NULL) is -1 (and NULLS FIRST ordering differs from
+    # DuckDB's NULLS LAST), so pin NULL -> 0 explicitly here and with
+    # coalesce in the oracle
+    toks = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), " "),
+            lambda x: x != ""))).cast("long")
     per_doc = (
         df.select(F.col(id_col), F.col(stratum_col).alias("stratum"),
                   toks.alias("n_toks"))
@@ -131,7 +136,10 @@ def length_buckets(df: DataFrame, id_col: str, stratum_col: str,
     return agg.select(
         "stratum", F.col("bucket").cast("long").alias("bucket"),
         "n_docs", "total_tokens", "max_tokens",
-        F.expr("CAST(CASE WHEN max_tokens * n_docs = 0 THEN 0 ELSE "
+        # the zero-guard tests max_tokens alone (n_docs >= 1 after the
+        # groupBy) — guarding on the raw int64 product would itself
+        # wrap/overflow at the shard scale the widening protects
+        F.expr("CAST(CASE WHEN max_tokens = 0 THEN 0 ELSE "
                "(CAST(max_tokens AS DECIMAL(38,0)) * n_docs - total_tokens)"
                " * 1000000 DIV (CAST(max_tokens AS DECIMAL(38,0)) * n_docs)"
                " END AS BIGINT)").alias("waste_ppm"),

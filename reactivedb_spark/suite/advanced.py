@@ -272,8 +272,10 @@ directed AS (
 SELECT CAST(d.antecedent AS BIGINT) AS antecedent,
        CAST(d.consequent AS BIGINT) AS consequent,
        CAST(d.n_pair AS BIGINT) AS n_pair,
-       CAST((d.n_pair * 1000000) // nb.n AS BIGINT) AS support_ppm,
-       CAST((d.n_pair * 1000000) // nx.n_item AS BIGINT) AS confidence_ppm,
+       CAST((CAST(d.n_pair AS HUGEINT) * 1000000) // nb.n AS BIGINT)
+         AS support_ppm,
+       CAST((CAST(d.n_pair AS HUGEINT) * 1000000) // nx.n_item AS BIGINT)
+         AS confidence_ppm,
        CAST((CAST(d.n_pair AS HUGEINT) * nb.n * 1000000)
             // (CAST(nx.n_item AS HUGEINT) * ny.n_item)
             AS BIGINT) AS lift_ppm
@@ -447,8 +449,13 @@ def q_fuzzy_join_guarded(spark: SparkSession, sf: str) -> DataFrame:
                               max_bucket=100)
 
 
-SQL_FUZZY_JOIN_GUARDED = """
-WITH c AS (SELECT c_custkey AS id, c_name AS txt, length(c_name) AS len
+# ONE source of truth for the guarded candidate pipeline the two
+# oracles below share (fuzzy_join_guarded, record_linkage): positional
+# bigrams with occurrence index, (df, gram, occ) rarity order, q·d+1=3
+# prefix, the max_bucket stop-band, length band. A guard-semantics
+# change edits THIS string and operators/fuzzyjoin.py together — never
+# a third copy.
+_GUARDED_CAND_CTES = """c AS (SELECT c_custkey AS id, c_name AS txt, length(c_name) AS len
            FROM customer WHERE c_name IS NOT NULL AND length(c_name) > 3),
 g AS (SELECT id, len, gram,
              row_number() OVER (PARTITION BY id, gram ORDER BY pos) AS occ
@@ -466,7 +473,10 @@ pg AS (SELECT pref.id, pref.len, pref.gram, pref.occ
        FROM pref JOIN kept USING (gram, occ)),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          FROM pg a JOIN pg b ON a.gram = b.gram AND a.occ = b.occ
-          AND a.id < b.id AND abs(a.len - b.len) <= 1)
+          AND a.id < b.id AND abs(a.len - b.len) <= 1)"""
+
+SQL_FUZZY_JOIN_GUARDED = f"""
+WITH {_GUARDED_CAND_CTES}
 SELECT CAST(cand.id_a AS BIGINT) AS id_a, CAST(cand.id_b AS BIGINT) AS id_b,
        CAST(levenshtein(ca.txt, cb.txt) AS BIGINT) AS dist
 FROM cand JOIN c ca ON ca.id = cand.id_a JOIN c cb ON cb.id = cand.id_b
@@ -810,9 +820,13 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     scoring ≥ 80. All comparisons integer or IEEE-identical; the oracle
     replays the ENTIRE guarded candidate pipeline (positional bigrams,
     rarity prefix, bucket-count stop-band, length band, levenshtein
-    verify — the fuzzy_join_guarded oracle) AND the same scoring, so
+    verify — the shared _GUARDED_CAND_CTES) AND the same scoring, so
     the guard's drop semantics inside the composition are
-    driver-verified, not just its speed."""
+    driver-verified, not just its speed. Like fuzzy_join_guarded, the
+    oracle covers the prefix path exactly because every fixture name
+    is length 18 (the short-string pool, names of length ≤ 4, is
+    empty); a fixture with shorter names would need the short-pool
+    block replayed too."""
     from reactivedb_spark.operators.fuzzyjoin import edit_distance_join
 
     c = load(spark, sf, "customer")
@@ -845,26 +859,8 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_RECORD_LINKAGE = """
-WITH c AS (SELECT c_custkey AS id, c_name AS txt, length(c_name) AS len
-           FROM customer WHERE c_name IS NOT NULL AND length(c_name) > 3),
-g AS (SELECT id, len, gram,
-             row_number() OVER (PARTITION BY id, gram ORDER BY pos) AS occ
-      FROM (SELECT id, len, substring(txt, CAST(i AS INT), 2) AS gram, i AS pos
-            FROM c, LATERAL unnest(generate_series(1, len - 1)) AS t(i))),
-dfq AS (SELECT gram, occ, count(*) AS dfn FROM g GROUP BY gram, occ),
-rk AS (SELECT g.id, g.len, g.gram, g.occ,
-              row_number() OVER (PARTITION BY g.id
-                                 ORDER BY dfq.dfn, g.gram, g.occ) AS r
-       FROM g JOIN dfq USING (gram, occ)),
-pref AS (SELECT id, len, gram, occ FROM rk WHERE r <= 3),
-kept AS (SELECT gram, occ FROM pref GROUP BY gram, occ
-         HAVING count(*) <= 100),
-pg AS (SELECT pref.id, pref.len, pref.gram, pref.occ
-       FROM pref JOIN kept USING (gram, occ)),
-cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         FROM pg a JOIN pg b ON a.gram = b.gram AND a.occ = b.occ
-          AND a.id < b.id AND abs(a.len - b.len) <= 1),
+SQL_RECORD_LINKAGE = f"""
+WITH {_GUARDED_CAND_CTES},
 pairs AS (SELECT cand.id_a, cand.id_b, levenshtein(ca.txt, cb.txt) AS dist
           FROM cand JOIN c ca ON ca.id = cand.id_a
                     JOIN c cb ON cb.id = cand.id_b

@@ -524,20 +524,32 @@ def q_listen_cascade_events(spark: SparkSession, sf: str) -> DataFrame:
         rows, "tbl string, event string, n_events long, n_rows long")
 
 
+# n_events is CONDITIONAL on the level's delta being non-empty: the
+# engine fires NO event for a cascade level whose delta has zero rows
+# (store stage-nonempty gate — same as the reference, which pushes a
+# delta per table only when the hook produced one). A level whose
+# predicate matches nothing therefore reports (0, 0), and the oracle
+# must agree on ANY fixture, not just ones where every level is hit.
 SQL_LISTEN_CASCADE_EVENTS = """
-SELECT 'customer' AS tbl, 'Insert' AS event, CAST(1 AS BIGINT) AS n_events,
+SELECT 'customer' AS tbl, 'Insert' AS event,
+       CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_events,
        CAST(count(*) AS BIGINT) AS n_rows FROM customer
 UNION ALL
-SELECT 'customer', 'Delete', 1, count(*) FROM customer WHERE c_nationkey = 5
+SELECT 'customer', 'Delete', CASE WHEN count(*) > 0 THEN 1 ELSE 0 END,
+       count(*) FROM customer WHERE c_nationkey = 5
 UNION ALL
-SELECT 'pos_bal', 'Insert', 1, count(*) FROM customer WHERE c_acctbal > 0.0
+SELECT 'pos_bal', 'Insert', CASE WHEN count(*) > 0 THEN 1 ELSE 0 END,
+       count(*) FROM customer WHERE c_acctbal > 0.0
 UNION ALL
-SELECT 'pos_bal', 'Delete', 1, count(*) FROM customer
+SELECT 'pos_bal', 'Delete', CASE WHEN count(*) > 0 THEN 1 ELSE 0 END,
+       count(*) FROM customer
 WHERE c_acctbal > 0.0 AND c_nationkey = 5
 UNION ALL
-SELECT 'big_bal', 'Insert', 1, count(*) FROM customer WHERE c_acctbal > 5000.0
+SELECT 'big_bal', 'Insert', CASE WHEN count(*) > 0 THEN 1 ELSE 0 END,
+       count(*) FROM customer WHERE c_acctbal > 5000.0
 UNION ALL
-SELECT 'big_bal', 'Delete', 1, count(*) FROM customer
+SELECT 'big_bal', 'Delete', CASE WHEN count(*) > 0 THEN 1 ELSE 0 END,
+       count(*) FROM customer
 WHERE c_acctbal > 5000.0 AND c_nationkey = 5
 """
 

@@ -1126,8 +1126,8 @@ def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
 SQL_LENGTH_BUCKETS = """
 WITH per_doc AS (
   SELECT doc_id, source AS stratum,
-         CAST(len(list_filter(string_split(lower(trim(text)), ' '),
-                              x -> x <> '')) AS BIGINT) AS n_toks
+         CAST(coalesce(len(list_filter(string_split(lower(trim(text)), ' '),
+                                       x -> x <> '')), 0) AS BIGINT) AS n_toks
   FROM documents),
 bucketed AS (
   SELECT stratum, n_toks,
@@ -1142,7 +1142,7 @@ agg AS (
   FROM bucketed GROUP BY stratum, bucket)
 SELECT stratum, CAST(bucket AS BIGINT) AS bucket, n_docs, total_tokens,
        max_tokens,
-       CAST(CASE WHEN max_tokens * n_docs = 0 THEN 0 ELSE
+       CAST(CASE WHEN max_tokens = 0 THEN 0 ELSE
             (CAST(max_tokens AS HUGEINT) * n_docs - total_tokens) * 1000000
             // (CAST(max_tokens AS HUGEINT) * n_docs) END AS BIGINT)
          AS waste_ppm

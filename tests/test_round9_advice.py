@@ -78,3 +78,66 @@ def test_fk_null_child_key_is_orphan_even_vs_null_parent(spark):
     # k=None must NOT match the NULL parent key (plain =, per the
     # module contract and the SQL oracle); k=3 has no parent
     assert got["fk_orphan_rows"] == 2
+
+
+# -- listen: an empty cascade level fires NO event ---------------------
+
+def test_listener_empty_level_fires_no_event(spark):
+    """The oracle for listen_cascade_events encodes conditional
+    n_events; pin the engine side: a cascade level whose delta is
+    empty delivers nothing (no zero-row callback)."""
+    cfg = {"tables": [
+        {"Source": {"name": "customer", "columns": {
+            "c_custkey": "Integer", "c_acctbal": "Float"}}},
+        {"Derived": {"name": "impossible",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "customer",
+                         "filter": "c_acctbal > 99999999.0"}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=tempfile.mkdtemp(prefix="rdb_r9b_"))
+    fired = []
+    eng.listen("impossible", "Insert", lambda df: fired.append(df.count()))
+    eng.listen("impossible", "Delete", lambda df: fired.append(df.count()))
+    eng.insert("customer", [{"c_custkey": 1, "c_acctbal": 10.0}])
+    eng.delete("customer", "c_custkey", 1)
+    assert fired == []  # level never populated -> no events either way
+
+
+# -- length_buckets: NULL text is a 0-token doc in both engines --------
+
+def test_length_buckets_null_text_counts_zero(spark):
+    from reactivedb_spark.operators.packing import length_buckets
+
+    df = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "w w"), (3, "s", "w w w w")],
+        "doc_id long, src string, text string")
+    got = {r.bucket: r for r in
+           length_buckets(df, "doc_id", "src", "text", k=2).collect()}
+    # NULL doc sorts as 0 tokens into bucket 1 (with doc 2); bucket 1
+    # totals 2 tokens with max 2 -> waste (2*2-2)/(2*2)
+    assert (got[1].n_docs, got[1].total_tokens, got[1].max_tokens) == (2, 2, 2)
+    assert got[1].waste_ppm == 500_000
+    assert (got[2].n_docs, got[2].max_tokens) == (1, 4)
+
+
+# -- distinct_transform: rebirth elects the new streak's first arrival -
+
+def test_distinct_rebirth_elects_new_streak_representative(spark):
+    cfg = {"tables": [
+        {"Source": {"name": "ev", "columns": {
+            "eid": "Integer", "user": "Str"}}},
+        {"Derived": {"name": "users",
+                     "transform_definition": {"DistinctTransform": {
+                         "source_table": "ev", "columns": ["user"]}}}},
+    ]}
+    eng = Engine(spark, cfg, workspace=tempfile.mkdtemp(prefix="rdb_r9c_"))
+    eng.insert("ev", [{"eid": 1, "user": "u"}])
+    first = eng.table("users").collect()
+    eng.delete("ev", "eid", 1)           # refcount 0 -> row dies
+    assert eng.table("users").count() == 0
+    eng.insert("ev", [{"eid": 2, "user": "u"}])
+    reborn = eng.table("users").collect()
+    # the representative is the NEW streak's first arrival — provenance
+    # never reaches back across a death (docstring consequence (b))
+    assert len(first) == 1 and len(reborn) == 1
+    assert reborn[0]["user"] == "u"
