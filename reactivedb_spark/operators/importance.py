@@ -26,10 +26,14 @@ Determinism contract (the lm.py recipe):
   identical integer counts;
 - ln() may differ by 1 ulp across libms, so each bucket's ln is pinned
   to DECIMAL(28,14) BEFORE the per-document multiply-sum; the
-  per-bucket count multiplies in as DECIMAL(6,0) (documents are
-  contract-bounded under 10⁶ tokens per bucket), keeping the product
-  DECIMAL(35,14) — exact in both engines; the final round(6) absorbs
-  the pinned drift.
+  per-bucket count multiplies in as DECIMAL(9,0) — the widest integer
+  precision whose product with the pinned ln stays inside
+  DECIMAL(38,14) (9+28+1 = 38) with no scale loss — exact in both
+  engines; the final round(6) absorbs the pinned drift. Past the
+  10⁹-tokens-per-bucket bound BOTH engines fail loudly: DuckDB's cast
+  errors on overflow, and the Spark side guards the cast with
+  raise_error (ADVICE r9 — Spark non-ANSI would otherwise null the
+  cast and F.sum would silently skip the term).
 
 Plan shape (100 TB): one explode+groupBy for per-doc bucket counts
 (map-side combinable), TWO global bucket aggregations whose results
@@ -103,7 +107,12 @@ def dsir_log_weights(
         doc_cnt.join(F.broadcast(stats.select("bkt", ln_ratio.alias("lnr"))),
                      "bkt")
         .select(id_col, "cnt",
-                (F.col("cnt").cast("decimal(6,0)") * F.col("lnr"))
+                (F.when(F.col("cnt") < F.lit(1_000_000_000),
+                        F.col("cnt").cast("decimal(9,0)"))
+                 .otherwise(F.raise_error(F.lit(
+                     "dsir: per-doc bucket count exceeds the "
+                     "DECIMAL(9,0) contract bound")).cast("decimal(9,0)"))
+                 * F.col("lnr"))
                 .alias("term"))
     )
     return terms.groupBy(id_col).agg(
@@ -143,7 +152,7 @@ stats AS (
   FROM srcb LEFT JOIN tgtb ON srcb.bkt = tgtb.bkt
   CROSS JOIN ns CROSS JOIN nt)
 SELECT d.{id_col}, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-       round(CAST(sum(CAST(cnt AS DECIMAL(6,0)) * lnr) AS DOUBLE), 6)
+       round(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * lnr) AS DOUBLE), 6)
          AS log_w
 FROM doc_cnt d JOIN stats ON d.bkt = stats.bkt
 GROUP BY d.{id_col}

@@ -13,102 +13,104 @@ from reactivedb_spark.suite import advanced, analytics, core, olap, pipeline, sc
 
 # Registration order is part of the external contract: the driver's
 # correctness gate checks the FIRST 50 registered queries. _WINDOW is the
-# explicit round-9 rotation, exactly as prescribed by VERDICT r8 "Next
-# round" #1:
-#   slots 1-34  — the 34 round-8 tail queries with ZERO driver evidence
-#                 (they landed after the r8 window froze), alphabetical.
-#                 Green-gating all of them restores the invariant that
-#                 no registered query lacks driver evidence.
-#   slots 35-50 — sixteen r6-stale queries, fewest-greens-first: the
-#                 r8-displaced nine (streaming_late_data,
-#                 streaming_dedup_watermark [single-green], ann_knn_join,
-#                 asof_forward, bloom_semi_join, bm25_topk, chunk_windows,
-#                 cms_heavy_hitters, dag_chain), then source_csv,
-#                 source_jsonl, pagerank_orders, dedup_lsh_candidates,
-#                 dedup_jaccard, corpus_clean, dedup_minhash.
+# ROUND-10 rotation, executing the plan committed in round 9 verbatim
+# (VERDICT r9 "Next round" #1):
+#   slots 1-3   — the never-driver-gated round-9 additions, alphabetical
+#                 (dsir_weights, length_buckets, listen_cascade_events).
+#                 Green-gating them restores the invariant that no
+#                 registered query lacks driver evidence.
+#   slots 4-34  — the full remaining r6-stale block (31 queries),
+#                 alphabetical: ann_buckets ... window_rank. This clears
+#                 ALL r6 staleness: after r10 no query's newest green is
+#                 older than r7.
+#   slots 35-50 — sixteen oldest-r7 queries, alphabetical (anti_join ...
+#                 join_transform), beginning the r7 block's rotation.
 # Everything not in _WINDOW keeps its registration but lands in the tail;
 # tests/test_suite_registration.py enforces this layout.
 #
-# ROUND-10 ROTATION PLAN (VERDICT r8 #5 — committed now so the window
-# discipline survives judge turnover). After r9's gate, the r6-stale
-# backlog is the 31 queries below (the 47 r6-greens minus r9's 16);
-# newest green for everything else is r7+ (≤3 rounds old at r10):
-#   slots 1..k  — any query registered during round 9 with no driver
-#                 evidence yet (as of the r9 window freeze:
-#                 listen_cascade_events — VERDICT r8 #7, dsir_weights,
-#                 length_buckets), first, alphabetical.
-#   next 31     — the full remaining r6-stale block, alphabetical:
-#                 ann_buckets, dedup_simhash, dedup_transform,
-#                 duplicate_spans, embedding_clusters,
-#                 embedding_near_dups, event_deltas, events_json,
-#                 fingerprint, grouping_sets, hll_users, lang_id,
-#                 multimodal_decode, multimodal_frames,
-#                 multimodal_pixel_features, multimodal_resize, pq_topk,
-#                 price_deciles, price_histogram, range_join_attrib,
-#                 resample_gapfill, retention_weeks, rolling_avg,
-#                 sample_transform, sample_weighted, similarity_topk,
-#                 skew_salted_agg, text_quality, token_count,
-#                 topk_orders, window_rank.
-#                 This clears ALL r6 staleness: after r10 no query's
-#                 newest green is older than r7.
-#   remainder   — oldest-first from the r7-green block (alphabetical
+# ROUND-11 ROTATION PLAN (committed now so the window discipline survives
+# judge turnover). After r10's gate, newest greens are: 50@r10, 50@r9,
+# 50@r8, 34@r7 (the r7 block minus this window's 16). The r10-registered
+# queries (txn_rollback, insert_report, dsir_resample, listen_fanout_scale
+# — VERDICT r9 #4/#6/#7) have no driver evidence until gated:
+#   slots 1..k  — any query registered during round 10 with no driver
+#                 evidence yet, alphabetical (as of the r10 freeze:
+#                 dsir_resample, insert_report, listen_fanout_scale,
+#                 txn_rollback).
+#   next 34     — the remaining r7-green block, alphabetical:
+#                 kmeans_iterate, ks_drift, median_price,
+#                 multimodal_jpeg_decode, ngram_novelty, phrase_search,
+#                 pivot_priority, pq_rerank, regression_by_group,
+#                 revenue_by_nation, rollup_orders, semi_join, set_ops,
+#                 source_orc, source_partitioned, source_schema_evolution,
+#                 span_dedup_rewrite, store_time_travel,
+#                 stream_static_enrich, streaming_dedup,
+#                 streaming_outer_join, streaming_sliding,
+#                 streaming_stateful_totals, streaming_stream_join,
+#                 streaming_timeout_sessions, streaming_tumbling,
+#                 table_profile, textstats_transform, topk_transform,
+#                 tpch_q1_like, triangle_count, unigram_logprob,
+#                 wav_frame_features, winsorize_prices.
+#                 (34 queries; with k=4 new that is 38 slots.)
+#   remainder   — oldest-first from the r8-green block (alphabetical
 #                 within equal staleness) until the 50 slots are full.
-# r11+ continues the same rule: new/never-gated first, then strictly
+# r12+ continues the same rule: new/never-gated first, then strictly
 # fewest-greens/stalest-first — every query re-greens at most 3 rounds
 # after its last gate.
 _WINDOW = (
-    # slots 1-34: the round-8 tail — zero driver evidence, alphabetical
-    "assoc_rules",
-    "bfs_hops",
-    "burst_detection",
-    "cumulative_distinct",
-    "decile_lift",
-    "dq_audit",
-    "event_transitions",
-    "fk_discovery",
-    "funnel_latency",
-    "fuzzy_join_edit",
-    "fuzzy_join_guarded",
-    "gini_spend",
-    "interpolate_gapfill",
-    "kfold_split",
-    "label_prop_comms",
-    "mad_outliers",
-    "merge_upsert",
-    "multimodal_dhash",
-    "ohlc_hourly",
-    "pareto_front",
-    "percentile_rank",
-    "record_linkage",
-    "rolling_wau",
-    "rollup_cascade",
-    "session_paths",
-    "skipgram_pairs",
-    "snapshot_diff_accounts",
-    "streaming_merge_upsert",
-    "streaming_windowed_distinct",
-    "table_checksums",
-    "time_weighted_balance",
-    "trigram_search",
-    "vocab_coverage",
-    "weighted_median_price",
-    # slots 35-50: sixteen r6-stale, fewest-greens-first (VERDICT order)
-    "streaming_late_data",
-    "streaming_dedup_watermark",
-    "ann_knn_join",
-    "asof_forward",
-    "bloom_semi_join",
-    "bm25_topk",
-    "chunk_windows",
-    "cms_heavy_hitters",
-    "dag_chain",
-    "source_csv",
-    "source_jsonl",
-    "pagerank_orders",
-    "dedup_lsh_candidates",
-    "dedup_jaccard",
-    "corpus_clean",
-    "dedup_minhash",
+    # slots 1-3: round-9 additions, never driver-gated, alphabetical
+    "dsir_weights",
+    "length_buckets",
+    "listen_cascade_events",
+    # slots 4-34: the full remaining r6-stale block, alphabetical
+    "ann_buckets",
+    "dedup_simhash",
+    "dedup_transform",
+    "duplicate_spans",
+    "embedding_clusters",
+    "embedding_near_dups",
+    "event_deltas",
+    "events_json",
+    "fingerprint",
+    "grouping_sets",
+    "hll_users",
+    "lang_id",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_pixel_features",
+    "multimodal_resize",
+    "pq_topk",
+    "price_deciles",
+    "price_histogram",
+    "range_join_attrib",
+    "resample_gapfill",
+    "retention_weeks",
+    "rolling_avg",
+    "sample_transform",
+    "sample_weighted",
+    "similarity_topk",
+    "skew_salted_agg",
+    "text_quality",
+    "token_count",
+    "topk_orders",
+    "window_rank",
+    # slots 35-50: sixteen oldest-r7, alphabetical
+    "anti_join",
+    "asof_join",
+    "bpe_encode",
+    "bpe_train",
+    "bucketed_join",
+    "char_entropy",
+    "chunk_transform",
+    "corr_matrix",
+    "cube_orders",
+    "dedup_containment",
+    "dedup_containment_exact",
+    "dedup_jaccard_guarded",
+    "distinct_agg",
+    "full_outer_join",
+    "funnel_stages",
+    "join_transform",
 )
 assert len(_WINDOW) == 50
 

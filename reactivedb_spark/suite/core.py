@@ -499,25 +499,35 @@ def q_listen_cascade_events(spark: SparkSession, sf: str) -> DataFrame:
     (delete rows at level k = source predicate ∧ cascade key). Row sets
     are counted from the delivered snapshots, so an extra event, a
     missed level, or a leaked/short delta breaks the match."""
-    eng = Engine(spark, LISTEN_ENGINE_CFG,
-                 workspace=tempfile.mkdtemp(prefix="rdb_listen_"))
+    import shutil
+
+    workspace = tempfile.mkdtemp(prefix="rdb_listen_")
     counts: dict = {}
+    # The tallies .count() every delivered snapshot DURING the commits,
+    # and the result is built from the collected counts — nothing lazy
+    # references the workspace afterwards, so it can be retired in the
+    # finally (ADVICE r9: mkdtemp workspaces must not leak per run).
+    try:
+        eng = Engine(spark, LISTEN_ENGINE_CFG, workspace=workspace)
 
-    def tally(tbl, event):
-        def cb(df):
-            calls, rows = counts.get((tbl, event), (0, 0))
-            counts[(tbl, event)] = (calls + 1, rows + df.count())
-        return cb
+        def tally(tbl, event):
+            def cb(df):
+                calls, rows = counts.get((tbl, event), (0, 0))
+                counts[(tbl, event)] = (calls + 1, rows + df.count())
+            return cb
 
-    tables = ("customer", "pos_bal", "big_bal")
-    for t in tables:
-        eng.listen(t, "Insert", tally(t, "Insert"))
-        eng.listen(t, "Delete", tally(t, "Delete"))
-    cust = load(spark, sf, "customer").select(
-        F.col("c_custkey").cast("long"), "c_name",
-        F.col("c_nationkey").cast("long"), "c_acctbal", "c_mktsegment")
-    eng.insert_df("customer", cust)          # commit 1: Insert every level
-    eng.delete("customer", "c_nationkey", 5)  # commit 2: Delete every level
+        tables = ("customer", "pos_bal", "big_bal")
+        for t in tables:
+            eng.listen(t, "Insert", tally(t, "Insert"))
+            eng.listen(t, "Delete", tally(t, "Delete"))
+        cust = load(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long"), "c_name",
+            F.col("c_nationkey").cast("long"), "c_acctbal", "c_mktsegment")
+        eng.insert_df("customer", cust)          # commit 1: Insert every level
+        eng.delete("customer", "c_nationkey", 5)  # commit 2: Delete all levels
+        eng.flush_listeners()  # reap the staged snapshot dirs
+    finally:
+        shutil.rmtree(workspace, ignore_errors=True)
     rows = [(t, e, counts.get((t, e), (0, 0))[0], counts.get((t, e), (0, 0))[1])
             for t in tables for e in ("Insert", "Delete")]
     return spark.createDataFrame(

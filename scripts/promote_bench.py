@@ -9,8 +9,12 @@ Usage::
 
     python scripts/promote_bench.py [--gate LOAD1] [RAW.json ...]
 
-With no files given, every ``BENCH_RAW_*.json`` in the repo root is
-considered. Gating is RUN-level: the per-query ``load1`` column is
+With no files given, only ``BENCH_RAW_*.json`` records NEWER than the
+current ``BENCH_FULL.json`` are considered (``--all`` lifts the bound,
+``--last N`` keeps just the N most recent) — .bench_evidence/ is
+gitignored and never pruned, so an unbounded default would let stale
+raw runs from before a code change keep feeding the medians
+indefinitely (ADVICE r9). Gating is RUN-level: the per-query ``load1`` column is
 recorded at query end, so it includes the bench's OWN 32-core work
 (even a run started on an idle host reads 5-10 mid-suite) — a per-query
 threshold would gate out everything. A run QUALIFIES when the minimum
@@ -37,6 +41,8 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     gate = 5.0
+    last_n = None
+    include_all = False
     files: list[str] = []
     args = sys.argv[1:]
     i = 0
@@ -44,6 +50,12 @@ def main() -> None:
         if args[i] == "--gate" and i + 1 < len(args):
             gate = float(args[i + 1])
             i += 2
+        elif args[i] == "--last" and i + 1 < len(args):
+            last_n = int(args[i + 1])
+            i += 2
+        elif args[i] == "--all":
+            include_all = True
+            i += 1
         else:
             files.append(args[i])
             i += 1
@@ -52,8 +64,20 @@ def main() -> None:
             glob.glob(os.path.join(HERE, "BENCH_RAW_*.json"))
             + glob.glob(os.path.join(HERE, ".bench_evidence",
                                      "BENCH_RAW_*.json")))
+        # Default bound (ADVICE r9): only raw runs newer than the
+        # committed record — a promotion reflects CURRENT code, not the
+        # accumulated history of the evidence dir. Explicit file args
+        # and --all bypass; --last N tightens further.
+        full_path = os.path.join(HERE, "BENCH_FULL.json")
+        if not include_all and os.path.exists(full_path):
+            cutoff = os.path.getmtime(full_path)
+            files = [p for p in files if os.path.getmtime(p) > cutoff]
+        if last_n is not None:
+            files = sorted(files, key=os.path.getmtime)[-last_n:]
     if not files:
-        raise SystemExit("no BENCH_RAW_*.json records to promote")
+        raise SystemExit(
+            "no BENCH_RAW_*.json records newer than BENCH_FULL.json to "
+            "promote (pass --all to consider the full evidence dir)")
 
     samples: dict[str, list[float]] = {}
     sf = None
