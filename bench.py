@@ -23,6 +23,24 @@ import os
 import sys
 import time
 
+# --quick (VERDICT r9 #3): a driver-runnable ~2-minute subset — the 15
+# most expensive committed queries plus the 5 most recently patched —
+# so the committed calm medians get independent driver confirmation
+# even when the full 184-query run lands in a host load window. The
+# expected per-query bands live in BENCH_QUICK_BANDS.json (committed);
+# the payload carries measured/committed ratios against them.
+QUICK_SET = (
+    # 15 most expensive committed medians (BENCH_FULL.json)
+    "corpus_clean_cc", "dedup_clusters", "dedup_lsh_candidates",
+    "triangle_count", "corpus_clean", "fuzzy_join_edit",
+    "dedup_ngram_jaccard", "streaming_aggregate", "streaming_outer_join",
+    "pagerank_orders", "distinct_transform", "bfs_hops",
+    "graph_components_star", "label_prop_comms", "dedup_jaccard",
+    # 5 most recently patched (r9 fixes + r9 additions)
+    "record_linkage", "wav_frame_features", "multimodal_resize",
+    "dsir_weights", "length_buckets",
+)
+
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -197,6 +215,8 @@ def main() -> None:
     for i, a in enumerate(sys.argv):
         if a == "--only" and i + 1 < len(sys.argv):
             only = set(sys.argv[i + 1].split(","))
+    if "--quick" in sys.argv:
+        only = set(QUICK_SET)
     if only is not None:
         import __spark_entry__ as entrymod
 
@@ -220,6 +240,31 @@ def main() -> None:
     }
     if "--micro" in sys.argv:
         payload["micro"] = run_micro(spark)
+    if "--quick" in sys.argv:
+        # measured/committed ratio per query against the committed bands;
+        # a calm run lands every ratio under band_hi_x, a load window
+        # shows up as a UNIFORM inflation (the adjudication signal)
+        try:
+            with open(os.path.join(here, "BENCH_QUICK_BANDS.json")) as f:
+                bands = json.load(f)
+            hi = bands.get("band_hi_x", 2.0)
+            ratios = {
+                n: round(sec / bands["committed_median_sec"][n], 2)
+                for n, sec in queries.items()
+                if bands["committed_median_sec"].get(n)
+            }
+            payload["quick"] = {
+                "band_hi_x": hi,
+                "ratio_vs_committed": dict(
+                    sorted(ratios.items(), key=lambda kv: -kv[1])),
+                "n_in_band": sum(1 for r in ratios.values() if r <= hi),
+                "n_total": len(ratios),
+                "median_ratio": round(
+                    sorted(ratios.values())[len(ratios) // 2], 2)
+                if ratios else None,
+            }
+        except (OSError, KeyError, ValueError):
+            pass
     # Record hygiene (VERDICT r7 #3): every full run lands on disk as a
     # DATED raw file — bench.py never touches BENCH_FULL.json, so a
     # driver run under a load window can no longer overwrite the
@@ -230,8 +275,9 @@ def main() -> None:
     # file promote_bench.py can merge per-query (new queries get bench
     # rows without paying a full-suite run; absent queries keep their
     # committed medians).
-    if only is None or "--raw" in sys.argv:
-        suffix = "" if only is None else "-subset"
+    if only is None or "--raw" in sys.argv or "--quick" in sys.argv:
+        suffix = ("" if only is None
+                  else "-quick" if "--quick" in sys.argv else "-subset")
         try:
             with open(os.path.join(
                     evidence, f"BENCH_RAW_{run_stamp}{suffix}.json"), "w") as f:

@@ -564,6 +564,171 @@ WHERE c_acctbal > 5000.0 AND c_nationkey = 5
 """
 
 
+# -- transaction rollback on failed cascade (VERDICT r9 #4) -------------------
+
+TXN_ENGINE_CFG = {
+    "tables": [
+        {"Source": {"name": "customer", "columns": {
+            "c_custkey": "Integer", "c_name": "Str", "c_nationkey": "Integer",
+            "c_acctbal": "Float", "c_mktsegment": "Str"}}},
+        {"Derived": {"name": "pos_bal",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "customer",
+                         "filter": "c_acctbal > 0.0"}}}},
+        {"Derived": {"name": "audit",
+                     "transform_definition": {"ActionTransform": {
+                         "name": "poison_gate",
+                         "source_table": "customer"}}}},
+    ]
+}
+
+
+def q_txn_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollback on failed cascade (the reference's TransactionManager
+    invert-edit walk-back, database.rs:317-327,345-396; here a
+    version-pointer restore, store.py begin_commit/rollback): commit 1
+    inserts every nation≠5 customer and cascades through BOTH children
+    (a Filter and an Arrow-batched Action). Commit 2 inserts the
+    nation-5 customers; the action raises mid-cascade — AFTER the
+    source append and the filter child's delta are staged — so the
+    whole commit must walk back: every table reverts to its commit-1
+    snapshot and no listener fires. The result is the post-failure
+    census (rows + exact key checksum per table, plus whether commit 2
+    raised); the oracle replays commit-1's predicate algebra from the
+    raw fixture — one leaked staged file, a surviving version bump, or
+    a missed raise breaks the match."""
+    import shutil
+
+    def poison_gate(pdf):
+        if (pdf["c_nationkey"] == 5).any():
+            raise ValueError("poison_gate: nation 5 is forbidden")
+        return pdf
+
+    workspace = tempfile.mkdtemp(prefix="rdb_txn_")
+    try:
+        eng = Engine(spark, TXN_ENGINE_CFG, workspace=workspace,
+                     actions={"poison_gate": poison_gate})
+        cust = load(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long"), "c_name",
+            F.col("c_nationkey").cast("long"), "c_acctbal", "c_mktsegment")
+        eng.insert_df("customer", cust.filter(F.col("c_nationkey") != 5))
+        raised = 0
+        try:
+            eng.insert_df("customer", cust.filter(F.col("c_nationkey") == 5))
+        except Exception:
+            raised = 1
+        rows = []
+        for t in ("customer", "pos_bal", "audit"):
+            n, s = eng.table(t).agg(
+                F.count(F.lit(1)), F.sum("c_custkey")).collect()[0]
+            rows.append((t, int(n), int(s or 0)))
+        rows.append(("commit2_raised", raised, 0))
+    finally:
+        shutil.rmtree(workspace, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "tbl string, n_rows long, key_sum long")
+
+
+# commit 2 raises IFF the fixture holds any nation-5 customer (an empty
+# poison batch is a no-op commit); post-rollback state == commit-1 state.
+SQL_TXN_ROLLBACK = """
+SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS key_sum
+FROM customer WHERE c_nationkey <> 5
+UNION ALL
+SELECT 'pos_bal', count(*), CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+FROM customer WHERE c_nationkey <> 5 AND c_acctbal > 0.0
+UNION ALL
+SELECT 'audit', count(*), CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+FROM customer WHERE c_nationkey <> 5
+UNION ALL
+SELECT 'commit2_raised',
+       CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM customer WHERE c_nationkey = 5
+"""
+
+
+# -- InsertData full cascade response (VERDICT r9 #4) --------------------------
+
+INSERT_REPORT_CFG = {
+    "tables": [
+        {"Source": {"name": "orders", "columns": {
+            "o_orderkey": "Integer", "o_custkey": "Integer",
+            "o_totalprice": "Float", "o_orderstatus": "Str"}}},
+        {"Derived": {"name": "open_orders",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "orders",
+                         "filter": 'o_orderstatus == "O"'}}}},
+        {"Derived": {"name": "cust_totals",
+                     "transform_definition": {"AggregationTransform": {
+                         "source_table": "open_orders",
+                         "aggregated_column": "o_custkey",
+                         "functions": ["n ~ memo.n + 1",
+                                       "total ~ memo.total + o_totalprice"]}}}},
+    ]
+}
+
+
+def q_insert_report(spark: SparkSession, sf: str) -> DataFrame:
+    """InsertData's full cascade response (database.rs:189-194: insert
+    returns the committed edits of EVERY table the cascade touched):
+    two bulk inserts split the orders fixture by orderkey parity; the
+    result is built from the SECOND insert's RETURNED report — not from
+    reading tables — so it checks the response contract itself: a table
+    appears iff its delta is nonempty, the filter child reports only
+    passing rows, and the aggregation child reports the upsert as
+    delete(old memo row, for keys commit 1 already created) +
+    insert(new memo row) per touched key."""
+    import shutil
+
+    workspace = tempfile.mkdtemp(prefix="rdb_insrep_")
+    try:
+        eng = Engine(spark, INSERT_REPORT_CFG, workspace=workspace)
+        orders = load(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long"), F.col("o_custkey").cast("long"),
+            "o_totalprice", "o_orderstatus")
+        eng.insert_df("orders", orders.filter(F.col("o_orderkey") % 2 == 0))
+        report = eng.insert_df(
+            "orders", orders.filter(F.col("o_orderkey") % 2 == 1))
+        rows = []
+        for t in ("orders", "open_orders", "cust_totals"):
+            d = report.get(t)
+            rows.append((t, 1 if d is not None else 0,
+                         d.num_inserted if d is not None else 0,
+                         d.num_deleted if d is not None else 0))
+    finally:
+        shutil.rmtree(workspace, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "tbl string, present long, n_ins long, n_del long")
+
+
+SQL_INSERT_REPORT = """
+WITH b2 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+b2o AS (SELECT * FROM b2 WHERE o_orderstatus = 'O'),
+b1o AS (SELECT * FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'O'),
+agg AS (
+  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_ins,
+         CAST(count(DISTINCT CASE WHEN o_custkey IN
+                (SELECT o_custkey FROM b1o) THEN o_custkey END)
+              AS BIGINT) AS n_del
+  FROM b2o WHERE o_custkey IS NOT NULL)
+SELECT 'orders' AS tbl,
+       CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT) AS present,
+       CAST(count(*) AS BIGINT) AS n_ins, CAST(0 AS BIGINT) AS n_del
+FROM b2
+UNION ALL
+SELECT 'open_orders', CASE WHEN count(*) > 0 THEN 1 ELSE 0 END,
+       count(*), 0 FROM b2o
+UNION ALL
+SELECT 'cust_totals',
+       CAST(CASE WHEN n_ins + n_del > 0 THEN 1 ELSE 0 END AS BIGINT),
+       n_ins, n_del
+FROM agg
+"""
+
+
 QUERIES = {
     "function_transform": q_function_transform,
     "filter_transform": q_filter_transform,
@@ -580,6 +745,8 @@ QUERIES = {
     "array_filter_dsl": q_array_filter_dsl,
     "struct_map_project": q_struct_map_project,
     "listen_cascade_events": q_listen_cascade_events,
+    "txn_rollback": q_txn_rollback,
+    "insert_report": q_insert_report,
 }
 
 ORACLES = {
@@ -598,4 +765,6 @@ ORACLES = {
     "expr_functions": SQL_EXPR_FUNCTIONS,
     "struct_map_project": SQL_STRUCT_MAP_PROJECT,
     "listen_cascade_events": SQL_LISTEN_CASCADE_EVENTS,
+    "txn_rollback": SQL_TXN_ROLLBACK,
+    "insert_report": SQL_INSERT_REPORT,
 }
