@@ -157,3 +157,63 @@ SELECT d.{id_col}, CAST(sum(cnt) AS BIGINT) AS n_tokens,
 FROM doc_cnt d JOIN stats ON d.bkt = stats.bkt
 GROUP BY d.{id_col}
 """
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    budget: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR selection (Xie et al. 2023 §3): Gumbel-top-k resampling of
+    the corpus by the computed importance weights into a ``budget`` of
+    documents — the step that actually consumes ``dsir_log_weights``
+    in a training-data pipeline. Sampling WITHOUT replacement with
+    probability ∝ w(d) is exactly taking the top-k of
+    log w(d) + Gumbel(0,1); the Gumbel draw is −ln(−ln(u)) with the
+    portable md5 uniform u = h/2⁶⁰ (sampling.py convention), so the
+    draw replays identically in the oracle.
+
+    Determinism contract: the selection key log_w + gumbel is one IEEE
+    double add of two identically-derived doubles, pinned by
+    round(·, 6) IN THE DOUBLE DOMAIN before the top-k compare — the
+    exact pinning ``log_w`` itself ships with. (A DECIMAL(28,14) cast
+    is NOT portable here: DuckDB converts double→decimal by
+    multiply-then-round in double, which disagrees with Spark's exact
+    BigDecimal conversion in the 14th digit — measured on this very
+    key.) Keys tying at 6 decimals break by id.
+
+    Plan shape (100 TB): the weight stage is dsir_log_weights
+    (broadcast bucket stats, one token shuffle); the selection is a
+    per-partition top-k merged on the driver's single reduce
+    (TakeOrderedAndProject) — no global sort, no extra shuffle.
+    """
+    u = (_hash64(F.col(id_col)).cast("double")
+         / F.lit(float(1 << 60)))
+    key = F.round(F.col("log_w") + -F.log(-F.log(u)), 6)
+    w = dsir_log_weights(df, id_col, text_col, target, n_buckets)
+    return (
+        w.select(id_col, "n_tokens", "log_w", key.alias("sel_key"))
+        .orderBy(F.desc("sel_key"), id_col)
+        .limit(int(budget))
+    )
+
+
+def dsir_resample_oracle_sql(src: str, id_col: str, text_col: str,
+                             target_sql: str, budget: int,
+                             n_buckets: int = 1024) -> str:
+    """DuckDB twin of ``dsir_resample``: the weight query as a derived
+    table, the identical md5 uniform / pinned Gumbel key, top-k by
+    (key DESC, id)."""
+    inner = dsir_oracle_sql(src, id_col, text_col, target_sql, n_buckets)
+    return f"""
+SELECT {id_col}, n_tokens, log_w,
+       round(log_w + -ln(-ln(
+           CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))
+                AS BIGINT) / CAST(1152921504606846976 AS DOUBLE))), 6)
+         AS sel_key
+FROM ({inner}) w
+ORDER BY sel_key DESC, {id_col} LIMIT {int(budget)}
+"""

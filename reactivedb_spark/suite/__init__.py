@@ -31,11 +31,11 @@ from reactivedb_spark.suite import advanced, analytics, core, olap, pipeline, sc
 # ROUND-11 ROTATION PLAN (committed now so the window discipline survives
 # judge turnover). After r10's gate, newest greens are: 50@r10, 50@r9,
 # 50@r8, 34@r7 (the r7 block minus this window's 16). The r10-registered
-# queries (txn_rollback, insert_report, dsir_resample, listen_fanout_scale
+# queries (txn_rollback, insert_report, dsir_resample, listen_fanout
 # — VERDICT r9 #4/#6/#7) have no driver evidence until gated:
 #   slots 1..k  — any query registered during round 10 with no driver
 #                 evidence yet, alphabetical (as of the r10 freeze:
-#                 dsir_resample, insert_report, listen_fanout_scale,
+#                 dsir_resample, insert_report, listen_fanout,
 #                 txn_rollback).
 #   next 34     — the remaining r7-green block, alphabetical:
 #                 kmeans_iterate, ks_drift, median_price,

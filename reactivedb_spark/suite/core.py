@@ -564,6 +564,85 @@ WHERE c_acctbal > 5000.0 AND c_nationkey = 5
 """
 
 
+def q_listen_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    """Many-subscriber listen fan-out (VERDICT r9 #6; reference fans out
+    per-client mpsc channels, listener_hook.rs:33-53): 64 ASYNCHRONOUS
+    subscribers per (table, event) across the 3-level cascade — 384
+    callbacks — over one bulk insert and one cascading delete. The
+    engine stages ONE snapshot per (table, event, commit) shared by all
+    64 (engine.py _notify), so delivery cost stays O(delta-count jobs),
+    never O(subscribers × rows); each callback tallies its delivered
+    row count from the staged snapshot's parquet footers (no Spark job
+    per subscriber — the scale contract under test). The census must
+    show every subscriber received every event with the full row set:
+    n_deliveries = 64 × events, n_rows = 64 × level-predicate rows."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    workspace = tempfile.mkdtemp(prefix="rdb_fanout_")
+    counts: dict = {}
+    n_subs = 64
+    try:
+        eng = Engine(spark, LISTEN_ENGINE_CFG, workspace=workspace)
+
+        def tally(tbl, event):
+            def cb(df):
+                n = sum(
+                    _pq.read_metadata(f.replace("file:", "")).num_rows
+                    for f in df.inputFiles())
+                calls, rows = counts.get((tbl, event), (0, 0))
+                counts[(tbl, event)] = (calls + 1, rows + n)
+            return cb
+
+        tables = ("customer", "pos_bal", "big_bal")
+        for t in tables:
+            for e in ("Insert", "Delete"):
+                for _ in range(n_subs):
+                    eng.listen(t, e, tally(t, e), asynchronous=True)
+        cust = load(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long"), "c_name",
+            F.col("c_nationkey").cast("long"), "c_acctbal", "c_mktsegment")
+        eng.insert_df("customer", cust)
+        eng.delete("customer", "c_nationkey", 5)
+        eng.flush_listeners()  # drain barrier + snapshot reap
+        assert not eng.listener_errors, eng.listener_errors[:3]
+    finally:
+        shutil.rmtree(workspace, ignore_errors=True)
+    rows = [(t, e, counts.get((t, e), (0, 0))[0], counts.get((t, e), (0, 0))[1])
+            for t in tables for e in ("Insert", "Delete")]
+    return spark.createDataFrame(
+        rows, "tbl string, event string, n_deliveries long, n_rows long")
+
+
+# 64 subscribers × the single-subscriber census (empty deltas fire no
+# event, so a level whose predicate matches nothing reports 0 — the
+# listen_cascade_events contract multiplied by the fan-out).
+SQL_LISTEN_FANOUT = """
+SELECT 'customer' AS tbl, 'Insert' AS event,
+       CAST(64 * (CASE WHEN count(*) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deliveries,
+       CAST(64 * count(*) AS BIGINT) AS n_rows FROM customer
+UNION ALL
+SELECT 'customer', 'Delete', 64 * (CASE WHEN count(*) > 0 THEN 1 ELSE 0 END),
+       64 * count(*) FROM customer WHERE c_nationkey = 5
+UNION ALL
+SELECT 'pos_bal', 'Insert', 64 * (CASE WHEN count(*) > 0 THEN 1 ELSE 0 END),
+       64 * count(*) FROM customer WHERE c_acctbal > 0.0
+UNION ALL
+SELECT 'pos_bal', 'Delete', 64 * (CASE WHEN count(*) > 0 THEN 1 ELSE 0 END),
+       64 * count(*) FROM customer
+WHERE c_acctbal > 0.0 AND c_nationkey = 5
+UNION ALL
+SELECT 'big_bal', 'Insert', 64 * (CASE WHEN count(*) > 0 THEN 1 ELSE 0 END),
+       64 * count(*) FROM customer WHERE c_acctbal > 5000.0
+UNION ALL
+SELECT 'big_bal', 'Delete', 64 * (CASE WHEN count(*) > 0 THEN 1 ELSE 0 END),
+       64 * count(*) FROM customer
+WHERE c_acctbal > 5000.0 AND c_nationkey = 5
+"""
+
+
 # -- transaction rollback on failed cascade (VERDICT r9 #4) -------------------
 
 TXN_ENGINE_CFG = {
@@ -747,6 +826,7 @@ QUERIES = {
     "listen_cascade_events": q_listen_cascade_events,
     "txn_rollback": q_txn_rollback,
     "insert_report": q_insert_report,
+    "listen_fanout": q_listen_fanout,
 }
 
 ORACLES = {
@@ -767,4 +847,5 @@ ORACLES = {
     "listen_cascade_events": SQL_LISTEN_CASCADE_EVENTS,
     "txn_rollback": SQL_TXN_ROLLBACK,
     "insert_report": SQL_INSERT_REPORT,
+    "listen_fanout": SQL_LISTEN_FANOUT,
 }
