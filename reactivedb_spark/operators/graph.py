@@ -190,7 +190,14 @@ def connected_components_star(edges: DataFrame, a: str = "doc_a", b: str = "doc_
                 .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
             )
-            e1 = ls.filter(F.col("u") != F.col("v")).distinct()
+            # large-star output goes UN-deduplicated into small-star: a
+            # duplicate (u,v) cannot change the window min, and e2's
+            # distinct dedups anyway — dropping the intermediate distinct
+            # removes one full (u,v) shuffle per round (A/B on the sf10
+            # dup-pair graph, 10.4M edges: 9.3→6.3 s, identical
+            # partitions; round-10 record in BASELINE.md). u != v holds
+            # by construction: ls rows are (v, m) with m <= u < v.
+            e1 = ls
             # small-star: edges now all point big→small; every center and its
             # smaller neighbors attach to the neighborhood minimum
             ss = e1.withColumn("m", F.min("v").over(w))

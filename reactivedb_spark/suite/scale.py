@@ -337,16 +337,20 @@ FROM j WHERE n_inter > 0
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Transitive near-dup clusters: connected components (iterative
-    min-label propagation; operators/graph.py) over the Jaccard ≥ 0.8
-    pair graph — chains a~b~c collapse into one cluster even when a~c is
-    below threshold. Oracle: recursive reachability CTE."""
-    from reactivedb_spark.operators.graph import connected_components
+    """Transitive near-dup clusters: connected components (alternating
+    small/large-star contraction, O(log² n) rounds; operators/graph.py)
+    over the Jaccard ≥ 0.8 pair graph — chains a~b~c collapse into one
+    cluster even when a~c is below threshold. Switched from the frontier
+    variant in round 10: identical (node, min-id cluster) contract, and
+    the star rounds are ~1.7-3× cheaper on dup graphs at both measured
+    decades (A/B in BASELINE.md RESULTS-r10). Oracle: recursive
+    reachability CTE."""
+    from reactivedb_spark.operators.graph import connected_components_star
 
     pairs = dedup.jaccard_pairs(
         dedup.widen(load(spark, sf, "documents")), "doc_id", "text", threshold=0.8
     ).select("doc_a", "doc_b")
-    return connected_components(pairs).select(
+    return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
     )
 
@@ -2306,15 +2310,15 @@ FROM orders GROUP BY o_orderstatus
 def q_embedding_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space near-dup CLUSTERS: connected components over the
     cosine ≥ 0.3 pair graph (the fixture embeddings are near-orthogonal random vectors — production embeddings cluster much tighter and use ≥ 0.95+) — operator composition (LSH buckets →
-    array-native verify → frontier CC), the image/audio analogue of
+    array-native verify → star CC), the image/audio analogue of
     ``dedup_clusters``. Oracle: recursive reachability CTE over the
     identical fixed-point pair algebra."""
-    from reactivedb_spark.operators.graph import connected_components
+    from reactivedb_spark.operators.graph import connected_components_star
 
     pairs = similarity.cosine_pairs(
         dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding"
     ).filter(F.col("cos_sim") >= 0.3).select("doc_a", "doc_b")
-    return connected_components(pairs).select(
+    return connected_components_star(pairs).select(
         F.col("node").alias("vec_id"), F.col("cluster").cast("long").alias("cluster")
     )
 
