@@ -79,30 +79,51 @@ def main() -> None:
             "no BENCH_RAW_*.json records newer than BENCH_FULL.json to "
             "promote (pass --all to consider the full evidence dir)")
 
-    samples: dict[str, list[float]] = {}
-    sf = None
-    micro = None
-    used, gated_out = [], []
-    for path in files:
-        with open(path) as f:
-            rec = json.load(f)
-        loads = rec.get("load1", {})
-        floor = min(loads.values()) if loads else None
-        if floor is None or floor > gate:
-            gated_out.append(os.path.basename(path))
-            continue
-        used.append(os.path.basename(path))
-        sf = rec.get("sf", sf)
-        micro = rec.get("micro", micro)
-        for name, sec in rec.get("queries", {}).items():
-            samples.setdefault(name, []).append(sec)
-
     full_path = os.path.join(HERE, "BENCH_FULL.json")
     prior: dict = {}
     if os.path.exists(full_path):
         with open(full_path) as f:
             prior = json.load(f)
     prior_q = prior.get("queries", {})
+
+    samples: dict[str, list[float]] = {}
+    subset_samples: dict[str, list[float]] = {}
+    # sf guard: scale-leg subset raws (bench --only --raw at sf1/sf10
+    # scratch dirs) land in the same evidence dir; merging their
+    # per-query seconds into the sf0.1 medians would silently inflate
+    # the record. Only raws at the committed record's sf qualify.
+    sf = prior.get("sf")
+    micro = None
+    used, gated_out = [], []
+    for path in files:
+        with open(path) as f:
+            rec = json.load(f)
+        rec_sf = rec.get("sf")
+        if sf is not None and rec_sf is not None and rec_sf != sf:
+            gated_out.append(os.path.basename(path) + f" (sf={rec_sf})")
+            continue
+        loads = rec.get("load1", {})
+        floor = min(loads.values()) if loads else None
+        if floor is None or floor > gate:
+            gated_out.append(os.path.basename(path))
+            continue
+        used.append(os.path.basename(path))
+        sf = rec_sf if sf is None else sf
+        micro = rec.get("micro", micro)
+        # Subset/quick raws run SOLO: they pay session cold-start the
+        # in-suite rows never see, so their seconds are not comparable
+        # to full-run rows. They only fill queries with NO full-run
+        # sample (how new queries get a row without a full re-run) —
+        # a full-run sample always wins.
+        is_subset = ("-subset" in os.path.basename(path)
+                     or "-quick" in os.path.basename(path))
+        sink = subset_samples if is_subset else samples
+        for name, sec in rec.get("queries", {}).items():
+            sink.setdefault(name, []).append(sec)
+    subset_filled = sorted(
+        name for name in subset_samples if name not in samples)
+    for name in subset_filled:
+        samples[name] = subset_samples[name]
 
     queries: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -128,6 +149,7 @@ def main() -> None:
             "raw_files_gated_out": gated_out,
             "samples_per_query": counts,
             "kept_prior_no_calm_sample": kept_prior,
+            "queries_filled_from_subset_runs": subset_filled,
         },
     }
     if micro or prior.get("micro"):
