@@ -215,7 +215,8 @@ def main() -> None:
     for i, a in enumerate(sys.argv):
         if a == "--only" and i + 1 < len(sys.argv):
             only = set(sys.argv[i + 1].split(","))
-    if "--quick" in sys.argv:
+    if "--quick" in sys.argv and only is None:
+        # an explicit --only wins; --quick then only adds the band report
         only = set(QUICK_SET)
     if only is not None:
         import __spark_entry__ as entrymod
@@ -247,6 +248,11 @@ def main() -> None:
         try:
             with open(os.path.join(here, "BENCH_QUICK_BANDS.json")) as f:
                 bands = json.load(f)
+            if bands.get("sf") is not None and bands["sf"] != sf:
+                # ratios vs another sf's medians would fake a uniform
+                # "load window" (or mask a real regression) — refuse
+                raise ValueError(
+                    f"bands are sf={bands['sf']}, run is sf={sf}")
             hi = bands.get("band_hi_x", 2.0)
             ratios = {
                 n: round(sec / bands["committed_median_sec"][n], 2)
@@ -263,8 +269,9 @@ def main() -> None:
                     sorted(ratios.values())[len(ratios) // 2], 2)
                 if ratios else None,
             }
-        except (OSError, KeyError, ValueError):
-            pass
+        except (OSError, KeyError, ValueError) as e:
+            # no band block rather than misleading ratios; say why
+            payload["quick"] = {"skipped": str(e)}
     # Record hygiene (VERDICT r7 #3): every full run lands on disk as a
     # DATED raw file — bench.py never touches BENCH_FULL.json, so a
     # driver run under a load window can no longer overwrite the

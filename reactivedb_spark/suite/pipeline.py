@@ -1113,7 +1113,9 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
     actually CONSUMED — Gumbel-top-k resampling (operators/importance.py
     dsir_resample, Xie et al. 2023 §3) of the corpus toward the English
     target into a 100-document budget. Selection key = log_w + the
-    md5-uniform Gumbel draw, pinned DECIMAL(28,14); per-partition top-k
+    md5-uniform Gumbel draw, pinned by round(·,6) in the DOUBLE domain
+    (a decimal cast is NOT cross-engine portable here — see the
+    operator's determinism note); per-partition top-k
     (TakeOrderedAndProject), no global sort."""
     from reactivedb_spark.operators.importance import dsir_resample
 

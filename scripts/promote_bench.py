@@ -9,12 +9,14 @@ Usage::
 
     python scripts/promote_bench.py [--gate LOAD1] [RAW.json ...]
 
-With no files given, only ``BENCH_RAW_*.json`` records NEWER than the
-current ``BENCH_FULL.json`` are considered (``--all`` lifts the bound,
-``--last N`` keeps just the N most recent) — .bench_evidence/ is
-gitignored and never pruned, so an unbounded default would let stale
-raw runs from before a code change keep feeding the medians
-indefinitely (ADVICE r9). Gating is RUN-level: the per-query ``load1`` column is
+With no files given, only ``BENCH_RAW_*.json`` records with a run stamp
+NEWER than the latest raw the previous promotion used are considered
+(``--all`` lifts the bound, ``--last N`` keeps just the N most recent) —
+.bench_evidence/ is gitignored and never pruned, so an unbounded
+default would let stale raw runs from before a code change keep feeding
+the medians indefinitely (ADVICE r9). Scale-leg raws at a different sf
+and solo subset/quick raws are additionally guarded out of committed
+in-suite medians (see inline notes). Gating is RUN-level: the per-query ``load1`` column is
 recorded at query end, so it includes the bench's OWN 32-core work
 (even a run started on an idle host reads 5-10 mid-suite) — a per-query
 threshold would gate out everything. A run QUALIFIES when the minimum
@@ -33,10 +35,19 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import statistics
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_STAMP_RE = re.compile(r"BENCH_RAW_(\d{8}-\d{6})")
+
+
+def _run_stamp(path_or_name: str):
+    """UTC run stamp embedded in a raw record's filename, or None."""
+    m = _STAMP_RE.search(os.path.basename(path_or_name))
+    return m.group(1) if m else None
 
 
 def main() -> None:
@@ -59,6 +70,13 @@ def main() -> None:
         else:
             files.append(args[i])
             i += 1
+    full_path = os.path.join(HERE, "BENCH_FULL.json")
+    prior: dict = {}
+    if os.path.exists(full_path):
+        with open(full_path) as f:
+            prior = json.load(f)
+    prior_q = prior.get("queries", {})
+
     if not files:
         files = sorted(
             glob.glob(os.path.join(HERE, "BENCH_RAW_*.json"))
@@ -67,24 +85,28 @@ def main() -> None:
         # Default bound (ADVICE r9): only raw runs newer than the
         # committed record — a promotion reflects CURRENT code, not the
         # accumulated history of the evidence dir. Explicit file args
-        # and --all bypass; --last N tightens further.
-        full_path = os.path.join(HERE, "BENCH_FULL.json")
-        if not include_all and os.path.exists(full_path):
-            cutoff = os.path.getmtime(full_path)
-            files = [p for p in files if os.path.getmtime(p) > cutoff]
+        # and --all bypass; --last N tightens further. The cutoff is the
+        # LATEST RUN STAMP the prior promotion used (embedded in the
+        # filenames bench.py writes), not the record file's mtime — a
+        # git checkout resets mtime to now, and promotion itself bumps
+        # it, either of which would silently shrink the default pool to
+        # nothing / median-of-1 (self-review r10).
+        cutoff = max(
+            (_run_stamp(name) for name in
+             prior.get("promotion", {}).get("raw_files_used", [])),
+            default=None)
+        if not include_all and cutoff is not None:
+            files = [p for p in files
+                     if (_run_stamp(p) or "") > cutoff]
+        elif not include_all and os.path.exists(full_path):
+            files = [p for p in files
+                     if os.path.getmtime(p) > os.path.getmtime(full_path)]
         if last_n is not None:
             files = sorted(files, key=os.path.getmtime)[-last_n:]
     if not files:
         raise SystemExit(
-            "no BENCH_RAW_*.json records newer than BENCH_FULL.json to "
+            "no BENCH_RAW_*.json records newer than the last promotion to "
             "promote (pass --all to consider the full evidence dir)")
-
-    full_path = os.path.join(HERE, "BENCH_FULL.json")
-    prior: dict = {}
-    if os.path.exists(full_path):
-        with open(full_path) as f:
-            prior = json.load(f)
-    prior_q = prior.get("queries", {})
 
     samples: dict[str, list[float]] = {}
     subset_samples: dict[str, list[float]] = {}
@@ -120,8 +142,12 @@ def main() -> None:
         sink = subset_samples if is_subset else samples
         for name, sec in rec.get("queries", {}).items():
             sink.setdefault(name, []).append(sec)
+    # fill ONLY queries that have neither a full-run sample nor a
+    # committed median: a solo sample must never replace an in-suite
+    # row, whether fresh or previously committed (self-review r10)
     subset_filled = sorted(
-        name for name in subset_samples if name not in samples)
+        name for name in subset_samples
+        if name not in samples and name not in prior_q)
     for name in subset_filled:
         samples[name] = subset_samples[name]
 

@@ -60,8 +60,11 @@ def test_no_short_customer_names_in_fixtures(sf_dir):
     (min_len,) = duckdb.sql(
         f"SELECT min(length(c_name)) FROM '{path}' "
         "WHERE c_name IS NOT NULL").fetchone()
-    assert min_len is not None and min_len > 4, (
-        f"{path}: min(length(c_name)) = {min_len} <= 4 — the guarded "
+    # boundary is length <= 3 (q=2, d=1 -> short_max_len 3): a length-4
+    # name is handled identically by both paths (main prefix path and
+    # oracle both keep it; the short pool stays empty)
+    assert min_len is not None and min_len > 3, (
+        f"{path}: min(length(c_name)) = {min_len} <= 3 — the guarded "
         "fuzzy-join oracle and edit_distance_join's short pool now "
         "diverge; extend _GUARDED_CAND_CTES with the short-pool block "
         "before regenerating fixtures with short names")

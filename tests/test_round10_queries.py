@@ -79,17 +79,23 @@ def test_insert_report_cascade_response(spark):
                              "functions": ["total ~ memo.total + v"]}}}},
         ]
     }
-    eng = Engine(spark, cfg, workspace=tempfile.mkdtemp(prefix="rdb_t10_"))
-    eng.insert("t", [{"k": 1, "v": 5}, {"k": 2, "v": -1}])
-    rep = eng.insert("t", [{"k": 1, "v": 7}, {"k": 3, "v": -9}])
-    assert rep["t"].num_inserted == 2 and rep["t"].num_deleted == 0
-    # only k=1,v=7 passes the filter
-    assert rep["pos"].num_inserted == 1
-    # k=1 existed in sums -> upsert = delete old + insert new
-    assert rep["sums"].num_inserted == 1 and rep["sums"].num_deleted == 1
-    # an insert whose cascade reaches nothing new: only touched tables
-    rep2 = eng.insert("t", [{"k": 9, "v": -2}])
-    assert set(rep2) == {"t"}
+    import shutil
+
+    ws = tempfile.mkdtemp(prefix="rdb_t10_")
+    try:
+        eng = Engine(spark, cfg, workspace=ws)
+        eng.insert("t", [{"k": 1, "v": 5}, {"k": 2, "v": -1}])
+        rep = eng.insert("t", [{"k": 1, "v": 7}, {"k": 3, "v": -9}])
+        assert rep["t"].num_inserted == 2 and rep["t"].num_deleted == 0
+        # only k=1,v=7 passes the filter
+        assert rep["pos"].num_inserted == 1
+        # k=1 existed in sums -> upsert = delete old + insert new
+        assert rep["sums"].num_inserted == 1 and rep["sums"].num_deleted == 1
+        # an insert whose cascade reaches nothing new: only touched tables
+        rep2 = eng.insert("t", [{"k": 9, "v": -2}])
+        assert set(rep2) == {"t"}
+    finally:
+        shutil.rmtree(ws, ignore_errors=True)
 
 
 def test_listen_fanout_stages_once_per_commit_event(spark):
@@ -102,14 +108,21 @@ def test_listen_fanout_stages_once_per_commit_event(spark):
                 "k": "Integer", "v": "Integer"}}},
         ]
     }
-    eng = Engine(spark, cfg, workspace=tempfile.mkdtemp(prefix="rdb_t10f_"))
-    seen = []
-    for i in range(32):
-        eng.listen("t", "Insert", (lambda i: lambda df: seen.append(i))(i),
-                   asynchronous=True)
-    eng.insert("t", [{"k": 1, "v": 1}])
-    eng.insert("t", [{"k": 2, "v": 2}])
-    eng.flush_listeners()
-    assert not eng.listener_errors
-    assert sorted(seen) == sorted(list(range(32)) * 2)  # every sub, both commits
-    assert eng._listen_staged == 2  # one staged snapshot per commit, NOT x32
+    import shutil
+
+    ws = tempfile.mkdtemp(prefix="rdb_t10f_")
+    try:
+        eng = Engine(spark, cfg, workspace=ws)
+        seen = []
+        for i in range(32):
+            eng.listen("t", "Insert",
+                       (lambda i: lambda df: seen.append(i))(i),
+                       asynchronous=True)
+        eng.insert("t", [{"k": 1, "v": 1}])
+        eng.insert("t", [{"k": 2, "v": 2}])
+        eng.flush_listeners()
+        assert not eng.listener_errors
+        assert sorted(seen) == sorted(list(range(32)) * 2)  # every sub, both
+        assert eng._listen_staged == 2  # one snapshot per commit, NOT x32
+    finally:
+        shutil.rmtree(ws, ignore_errors=True)
