@@ -116,3 +116,47 @@ def test_length_buckets_matches_python_replay(spark, corpus, k):
                                    r.waste_ppm)
            for r in length_buckets(df, "doc_id", "src", "text", k=k).collect()}
     assert got == _lb_replay(corpus, k)
+
+
+def _resample_replay(rows, b, budget):
+    """Exact replay of dsir_resample's selection: log_w from the dsir
+    replay, the md5-uniform Gumbel draw, round-6 key, (key DESC, id)
+    top-k."""
+    w = _dsir_replay(rows, b)
+    keyed = []
+    for i, (n_tok, log_w) in w.items():
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = h / float(1 << 60)
+        key = round(log_w + -math.log(-math.log(u)), 6)
+        keyed.append((-key, i))
+    keyed.sort()
+    sel = {i for _, i in keyed[:budget]}
+    # margin between the last selected and first rejected key: the
+    # python replay's ln pin tolerates ~2e-6 vs the engines (see
+    # test_dsir_matches_python_replay), so a boundary tighter than that
+    # is not a meaningful differential case
+    margin = (keyed[budget][0] - keyed[budget - 1][0]
+              if len(keyed) > budget else float("inf"))
+    return sel, margin
+
+
+@pytest.mark.usefixtures("spark")
+@given(_corpus, st.sampled_from([8, 64]), st.integers(min_value=1, max_value=6))
+@settings(max_examples=10, deadline=None)
+def test_dsir_resample_matches_python_replay(spark, corpus, b, budget):
+    """The round-10 consumer: Gumbel-top-k selection must pick the exact
+    same document SET as the pure-python replay (selection is a set
+    comparison, so a key drift at the k-th boundary fails loudly —
+    the risk the round-6 double pin was chosen to kill)."""
+    from reactivedb_spark.operators.importance import dsir_resample
+
+    from hypothesis import assume
+
+    rows = [(i, " ".join(words), t) for i, (words, t) in enumerate(corpus)]
+    want, margin = _resample_replay(corpus, b, budget)
+    assume(margin > 1e-5)  # skip replay-tolerance-tight boundaries
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {r.doc_id for r in dsir_resample(
+        df, "doc_id", "text", F.col("is_t"),
+        budget=budget, n_buckets=b).collect()}
+    assert got == want
