@@ -382,7 +382,13 @@ def q_streaming_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
     agg = (
         stream_parquet_dir(spark, src, ev.schema)
         .withWatermark("tstamp", "3650 days")
-        .withColumn("hour_start", F.date_trunc("hour", F.col("tstamp")))
+        # hour bucket via INSTANT arithmetic (unix_micros div), not
+        # date_trunc: date_trunc('hour') truncates in SESSION-LOCAL
+        # time, so any half-hour-offset timezone (Asia/Kolkata +05:30)
+        # shifts the buckets off the oracle's UTC-hour grid — caught by
+        # a +05:30 hostile drive in round 10 (721 vs 720 rows)
+        .withColumn("hour_start", F.timestamp_micros(
+            F.expr("unix_micros(tstamp) div 3600000000") * 3600000000))
         .dropDuplicates(["user_id", "hour_start"])
         .groupBy("hour_start")
         .agg(F.count(F.lit(1)).cast("long").alias("distinct_users"))
