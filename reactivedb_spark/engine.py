@@ -192,6 +192,14 @@ class Engine:
 
         self._dispatch_q = None  # lazy async-listener drain queue
         self._dispatch_init_lock = _threading.Lock()
+        # Commits serialize INSIDE the engine (the reference's
+        # TransactionManager owns this, database.rs:317-396 — not the
+        # TCP layer): the store's single in-flight txn slot would be
+        # corrupted by interleaved begin_commit calls. The owner ident
+        # turns same-thread re-entrancy (a sync listener mutating the
+        # engine mid-delivery) into a loud error instead of a deadlock.
+        self._commit_lock = _threading.Lock()
+        self._commit_owner = None
         self.listener_errors: list = []
         self._listen_staged = 0  # staged-snapshot commits (observability)
         self.tables: dict[str, TableState] = {}
@@ -420,19 +428,36 @@ class Engine:
     def _commit(self, work) -> dict[str, Delta]:
         """Atomic commit: on any failure mid-cascade every table reverts to
         its pre-commit snapshot (the reference's TransactionManager
-        walk-back, database.rs:317-327) and listeners see nothing."""
-        self.store.begin_commit()
-        seq_before = self._seq
-        try:
-            report = work()
-        except Exception:
-            self.store.rollback()
-            self._seq = seq_before
-            raise
-        self.store.end_commit()
-        for table, d in report.items():
-            self._notify(table, d)
-        return report
+        walk-back, database.rs:317-327) and listeners see nothing.
+        Commits from concurrent threads serialize on the engine's commit
+        lock; a SYNC listener callback that mutates the engine inside
+        delivery is a re-entrant commit and raises loudly (it would
+        corrupt the single in-flight txn slot — use asynchronous=True
+        subscribers for read-modify-write patterns)."""
+        import threading as _threading
+
+        me = _threading.get_ident()
+        if self._commit_owner == me:
+            raise RuntimeError(
+                "re-entrant commit: a synchronous listener callback must "
+                "not insert/delete on the engine during delivery")
+        with self._commit_lock:
+            self._commit_owner = me
+            try:
+                self.store.begin_commit()
+                seq_before = self._seq
+                try:
+                    report = work()
+                except Exception:
+                    self.store.rollback()
+                    self._seq = seq_before
+                    raise
+                self.store.end_commit()
+                for table, d in report.items():
+                    self._notify(table, d)
+                return report
+            finally:
+                self._commit_owner = None
 
     def insert(self, table: str, rows: list[dict]) -> dict[str, Delta]:
         """Insert rows into a source table; returns committed deltas for

@@ -126,3 +126,68 @@ def test_listen_fanout_stages_once_per_commit_event(spark):
         assert eng._listen_staged == 2  # one snapshot per commit, NOT x32
     finally:
         shutil.rmtree(ws, ignore_errors=True)
+
+
+def test_concurrent_commits_serialize(spark):
+    """Commits from concurrent threads must serialize on the engine's
+    commit lock (the reference's TransactionManager semantics): the
+    store's single in-flight txn slot would be corrupted by interleaved
+    begin_commit calls. All rows from all threads must land, and the
+    derived filter must agree exactly."""
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    cfg = {
+        "tables": [
+            {"Source": {"name": "t", "columns": {
+                "k": "Integer", "v": "Integer"}}},
+            {"Derived": {"name": "pos",
+                         "transform_definition": {"FilterTransform": {
+                             "source_table": "t", "filter": "v > 0"}}}},
+        ]
+    }
+    ws = tempfile.mkdtemp(prefix="rdb_t10c_")
+    try:
+        eng = Engine(spark, cfg, workspace=ws)
+
+        def wave(base):
+            eng.insert("t", [{"k": base + i, "v": (base + i) - 8}
+                             for i in range(4)])
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(wave, [0, 10, 20, 30]))
+        assert eng.table("t").count() == 16
+        got = sorted(r["k"] for r in eng.table("pos").collect())
+        want = sorted(k for b in (0, 10, 20, 30)
+                      for k in range(b, b + 4) if k - 8 > 0)
+        assert got == want
+    finally:
+        shutil.rmtree(ws, ignore_errors=True)
+
+
+def test_reentrant_sync_listener_commit_raises(spark):
+    """A SYNC listener mutating the engine during delivery is a
+    re-entrant commit — must raise loudly instead of corrupting the
+    in-flight txn slot (or deadlocking on the commit lock)."""
+    import shutil
+
+    cfg = {"tables": [
+        {"Source": {"name": "t", "columns": {"k": "Integer"}}},
+    ]}
+    ws = tempfile.mkdtemp(prefix="rdb_t10r_")
+    try:
+        eng = Engine(spark, cfg, workspace=ws)
+        errs = []
+
+        def evil(df):
+            try:
+                eng.insert("t", [{"k": 999}])
+            except RuntimeError as e:
+                errs.append(str(e))
+
+        eng.listen("t", "Insert", evil)
+        eng.insert("t", [{"k": 1}])
+        assert errs and "re-entrant commit" in errs[0]
+        assert eng.table("t").count() == 1  # the evil insert never landed
+    finally:
+        shutil.rmtree(ws, ignore_errors=True)
