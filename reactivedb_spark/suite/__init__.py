@@ -52,8 +52,13 @@ from reactivedb_spark.suite import advanced, analytics, core, olap, pipeline, sc
 #                 tpch_q1_like, triangle_count, unigram_logprob,
 #                 wav_frame_features, winsorize_prices.
 #                 (34 queries; with k=4 new that is 38 slots.)
-#   remainder   — oldest-first from the r8-green block (alphabetical
-#                 within equal staleness) until the 50 slots are full.
+#   remainder   — oldest-first from the r8-green block, alphabetical
+#                 within equal staleness, until the 50 slots are full.
+#                 With k=4 that is the first 12 of the 50 r8-greens:
+#                 action_transform, aggregation_transform, ann_ivf_topk,
+#                 ann_sq8_topk, array_filter_dsl, bigram_logprob,
+#                 bpe_train_batched, corpus_clean_cc, decontaminate,
+#                 dedup_clusters, dedup_containment_zipf, dedup_exact.
 # r12+ continues the same rule: new/never-gated first, then strictly
 # fewest-greens/stalest-first — every query re-greens at most 3 rounds
 # after its last gate.
