@@ -13,109 +13,110 @@ from reactivedb_spark.suite import advanced, analytics, core, olap, pipeline, sc
 
 # Registration order is part of the external contract: the driver's
 # correctness gate checks the FIRST 50 registered queries. _WINDOW is the
-# ROUND-10 rotation, executing the plan committed in round 9 verbatim
-# (VERDICT r9 "Next round" #1):
-#   slots 1-3   — the never-driver-gated round-9 additions, alphabetical
-#                 (dsir_weights, length_buckets, listen_cascade_events).
-#                 Green-gating them restores the invariant that no
-#                 registered query lacks driver evidence.
-#   slots 4-34  — the full remaining r6-stale block (31 queries),
-#                 alphabetical: ann_buckets ... window_rank. This clears
-#                 ALL r6 staleness: after r10 no query's newest green is
-#                 older than r7.
-#   slots 35-50 — sixteen oldest-r7 queries, alphabetical (anti_join ...
-#                 join_transform), beginning the r7 block's rotation.
+# ROUND-11 rotation, executing the plan committed in round 10 verbatim
+# (VERDICT r10 "Next round" #1; confirmed by scripts/plan_window.py at the
+# r11 start — the census says 4 never-gated, 34@r7, 50@r8/r9/r10):
+#   slots 1-4   — the round-10 additions with no driver evidence yet,
+#                 alphabetical (dsir_resample, insert_report,
+#                 listen_fanout, txn_rollback). Green-gating them restores
+#                 the invariant that no registered query lacks driver
+#                 evidence — they are the last §2 behaviors (rollback,
+#                 insert response, listener fan-out) without a driver row.
+#   slots 5-38  — the full remaining r7-green block (34 queries),
+#                 alphabetical: kmeans_iterate ... winsorize_prices. This
+#                 clears ALL r7 staleness: after r11 no query's newest
+#                 green is older than r8.
+#   slots 39-50 — the first 12 of the 50 r8-greens, alphabetical
+#                 (action_transform ... dedup_exact), beginning the r8
+#                 block's rotation.
 # Everything not in _WINDOW keeps its registration but lands in the tail;
 # tests/test_suite_registration.py enforces this layout.
 #
-# ROUND-11 ROTATION PLAN (committed now so the window discipline survives
-# judge turnover). After r10's gate, newest greens are: 50@r10, 50@r9,
-# 50@r8, 34@r7 (the r7 block minus this window's 16). The r10-registered
-# queries (txn_rollback, insert_report, dsir_resample, listen_fanout
-# — VERDICT r9 #4/#6/#7) have no driver evidence until gated:
-#   slots 1..k  — any query registered during round 10 with no driver
-#                 evidence yet, alphabetical (as of the r10 freeze:
-#                 dsir_resample, insert_report, listen_fanout,
-#                 txn_rollback).
-#   next 34     — the remaining r7-green block, alphabetical:
-#                 kmeans_iterate, ks_drift, median_price,
-#                 multimodal_jpeg_decode, ngram_novelty, phrase_search,
-#                 pivot_priority, pq_rerank, regression_by_group,
-#                 revenue_by_nation, rollup_orders, semi_join, set_ops,
-#                 source_orc, source_partitioned, source_schema_evolution,
-#                 span_dedup_rewrite, store_time_travel,
-#                 stream_static_enrich, streaming_dedup,
-#                 streaming_outer_join, streaming_sliding,
-#                 streaming_stateful_totals, streaming_stream_join,
-#                 streaming_timeout_sessions, streaming_tumbling,
-#                 table_profile, textstats_transform, topk_transform,
-#                 tpch_q1_like, triangle_count, unigram_logprob,
-#                 wav_frame_features, winsorize_prices.
-#                 (34 queries; with k=4 new that is 38 slots.)
-#   remainder   — oldest-first from the r8-green block, alphabetical
-#                 within equal staleness, until the 50 slots are full.
-#                 With k=4 that is the first 12 of the 50 r8-greens:
-#                 action_transform, aggregation_transform, ann_ivf_topk,
-#                 ann_sq8_topk, array_filter_dsl, bigram_logprob,
-#                 bpe_train_batched, corpus_clean_cc, decontaminate,
-#                 dedup_clusters, dedup_containment_zipf, dedup_exact.
-# r12+ continues the same rule: new/never-gated first, then strictly
+# ROUND-12 ROTATION PLAN (committed now so the window discipline survives
+# judge turnover). After r11's gate, newest greens will be: 50@r11,
+# 50@r10, 50@r9, 38@r8 (the r8 block minus this window's 12, plus any
+# r12 registrations). The rule is unchanged:
+#   slots 1..k  — any query registered during round 11 with no driver
+#                 evidence yet, alphabetical (as of the r11 freeze:
+#                 wire_roundtrip — VERDICT r10 #5).
+#   next 38     — the remaining r8-green block, alphabetical:
+#                 dedup_ngram_jaccard, dedup_simhash_pairs,
+#                 delete_cascade, distinct_transform, events_hourly,
+#                 expr_arithmetic, expr_functions, filter_transform,
+#                 find_one, function_transform, get_all,
+#                 graph_components_star, greater_than, impute_docs,
+#                 interval_join, join_transform_diamond, kcore_parts,
+#                 less_than, multimodal_embed, multimodal_png_decode,
+#                 multimodal_wav_decode, pack_budget, pii_scrub,
+#                 sample_hash, sample_stratified, scd2_users,
+#                 semantic_dedup, sessionize, streaming_aggregate,
+#                 streaming_sessionize, struct_map_project,
+#                 text_repetition, tfidf_top_terms, token_bpe,
+#                 top_bigrams, union_transform, zorder_scan,
+#                 zscore_outliers.
+#                 (38 queries; with k=1 new that is 39 slots.)
+#   remainder   — oldest-first from the r9-green block, alphabetical
+#                 within equal staleness, until the 50 slots are full
+#                 (with k=1 that is the first 11 r9-greens). Regenerate
+#                 with scripts/plan_window.py after CORRECTNESS_r11 lands
+#                 — the program is authoritative, this list is the plan.
+# r13+ continues the same rule: new/never-gated first, then strictly
 # fewest-greens/stalest-first — every query re-greens at most 3 rounds
 # after its last gate.
 _WINDOW = (
-    # slots 1-3: round-9 additions, never driver-gated, alphabetical
-    "dsir_weights",
-    "length_buckets",
-    "listen_cascade_events",
-    # slots 4-34: the full remaining r6-stale block, alphabetical
-    "ann_buckets",
-    "dedup_simhash",
-    "dedup_transform",
-    "duplicate_spans",
-    "embedding_clusters",
-    "embedding_near_dups",
-    "event_deltas",
-    "events_json",
-    "fingerprint",
-    "grouping_sets",
-    "hll_users",
-    "lang_id",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_pixel_features",
-    "multimodal_resize",
-    "pq_topk",
-    "price_deciles",
-    "price_histogram",
-    "range_join_attrib",
-    "resample_gapfill",
-    "retention_weeks",
-    "rolling_avg",
-    "sample_transform",
-    "sample_weighted",
-    "similarity_topk",
-    "skew_salted_agg",
-    "text_quality",
-    "token_count",
-    "topk_orders",
-    "window_rank",
-    # slots 35-50: sixteen oldest-r7, alphabetical
-    "anti_join",
-    "asof_join",
-    "bpe_encode",
-    "bpe_train",
-    "bucketed_join",
-    "char_entropy",
-    "chunk_transform",
-    "corr_matrix",
-    "cube_orders",
-    "dedup_containment",
-    "dedup_containment_exact",
-    "dedup_jaccard_guarded",
-    "distinct_agg",
-    "full_outer_join",
-    "funnel_stages",
-    "join_transform",
+    # slots 1-4: round-10 additions, never driver-gated, alphabetical
+    "dsir_resample",
+    "insert_report",
+    "listen_fanout",
+    "txn_rollback",
+    # slots 5-38: the full remaining r7-green block, alphabetical
+    "kmeans_iterate",
+    "ks_drift",
+    "median_price",
+    "multimodal_jpeg_decode",
+    "ngram_novelty",
+    "phrase_search",
+    "pivot_priority",
+    "pq_rerank",
+    "regression_by_group",
+    "revenue_by_nation",
+    "rollup_orders",
+    "semi_join",
+    "set_ops",
+    "source_orc",
+    "source_partitioned",
+    "source_schema_evolution",
+    "span_dedup_rewrite",
+    "store_time_travel",
+    "stream_static_enrich",
+    "streaming_dedup",
+    "streaming_outer_join",
+    "streaming_sliding",
+    "streaming_stateful_totals",
+    "streaming_stream_join",
+    "streaming_timeout_sessions",
+    "streaming_tumbling",
+    "table_profile",
+    "textstats_transform",
+    "topk_transform",
+    "tpch_q1_like",
+    "triangle_count",
+    "unigram_logprob",
+    "wav_frame_features",
+    "winsorize_prices",
+    # slots 39-50: first twelve r8-greens, alphabetical
+    "action_transform",
+    "aggregation_transform",
+    "ann_ivf_topk",
+    "ann_sq8_topk",
+    "array_filter_dsl",
+    "bigram_logprob",
+    "bpe_train_batched",
+    "corpus_clean_cc",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_containment_zipf",
+    "dedup_exact",
 )
 assert len(_WINDOW) == 50
 

@@ -1,71 +1,72 @@
 """Registration-order contract: the driver's correctness gate checks the
-FIRST 50 registered queries. Round-10 rotation (the plan committed in
-round 9, executed verbatim — VERDICT r9 #1): slots 1-3 are the round-9
-additions that have NEVER been driver-gated (alphabetical); slots 4-34
-are the full remaining r6-stale block (31 queries, alphabetical) — after
-this gate no query's newest green is older than r7; slots 35-50 are the
-sixteen oldest-r7 queries, alphabetical. Everything else fills the tail
-and rotates per the ROUND-11 plan written in suite/__init__.py."""
+FIRST 50 registered queries. Round-11 rotation (the plan committed in
+round 10, executed verbatim — VERDICT r10 #1): slots 1-4 are the round-10
+additions that have NEVER been driver-gated (alphabetical — the last §2
+behaviors without driver evidence); slots 5-38 are the full remaining
+r7-green block (34 queries, alphabetical) — after this gate no query's
+newest green is older than r8; slots 39-50 are the first twelve
+r8-greens, alphabetical. Everything else fills the tail and rotates per
+the ROUND-12 plan written in suite/__init__.py."""
 
 from reactivedb_spark import suite
 
-NEVER_GATED_R9_TRIO = [
-    "dsir_weights",
-    "length_buckets",
-    "listen_cascade_events",
+NEVER_GATED_R10_QUARTET = [
+    "dsir_resample",
+    "insert_report",
+    "listen_fanout",
+    "txn_rollback",
 ]
 
-R6_STALE_THIRTYONE = [
-    "ann_buckets",
-    "dedup_simhash",
-    "dedup_transform",
-    "duplicate_spans",
-    "embedding_clusters",
-    "embedding_near_dups",
-    "event_deltas",
-    "events_json",
-    "fingerprint",
-    "grouping_sets",
-    "hll_users",
-    "lang_id",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_pixel_features",
-    "multimodal_resize",
-    "pq_topk",
-    "price_deciles",
-    "price_histogram",
-    "range_join_attrib",
-    "resample_gapfill",
-    "retention_weeks",
-    "rolling_avg",
-    "sample_transform",
-    "sample_weighted",
-    "similarity_topk",
-    "skew_salted_agg",
-    "text_quality",
-    "token_count",
-    "topk_orders",
-    "window_rank",
+R7_STALE_THIRTYFOUR = [
+    "kmeans_iterate",
+    "ks_drift",
+    "median_price",
+    "multimodal_jpeg_decode",
+    "ngram_novelty",
+    "phrase_search",
+    "pivot_priority",
+    "pq_rerank",
+    "regression_by_group",
+    "revenue_by_nation",
+    "rollup_orders",
+    "semi_join",
+    "set_ops",
+    "source_orc",
+    "source_partitioned",
+    "source_schema_evolution",
+    "span_dedup_rewrite",
+    "store_time_travel",
+    "stream_static_enrich",
+    "streaming_dedup",
+    "streaming_outer_join",
+    "streaming_sliding",
+    "streaming_stateful_totals",
+    "streaming_stream_join",
+    "streaming_timeout_sessions",
+    "streaming_tumbling",
+    "table_profile",
+    "textstats_transform",
+    "topk_transform",
+    "tpch_q1_like",
+    "triangle_count",
+    "unigram_logprob",
+    "wav_frame_features",
+    "winsorize_prices",
 ]
 
-R7_OLDEST_SIXTEEN = [
-    "anti_join",
-    "asof_join",
-    "bpe_encode",
-    "bpe_train",
-    "bucketed_join",
-    "char_entropy",
-    "chunk_transform",
-    "corr_matrix",
-    "cube_orders",
-    "dedup_containment",
-    "dedup_containment_exact",
-    "dedup_jaccard_guarded",
-    "distinct_agg",
-    "full_outer_join",
-    "funnel_stages",
-    "join_transform",
+R8_OLDEST_TWELVE = [
+    "action_transform",
+    "aggregation_transform",
+    "ann_ivf_topk",
+    "ann_sq8_topk",
+    "array_filter_dsl",
+    "bigram_logprob",
+    "bpe_train_batched",
+    "corpus_clean_cc",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_containment_zipf",
+    "dedup_exact",
 ]
 
 
@@ -73,15 +74,15 @@ def test_window_layout():
     q = list(suite.all_queries())
     assert len(q) == len(set(q)), "duplicate query names"
     assert list(q[:50]) == list(suite._WINDOW)
-    # slots 1-3: the never-driver-gated round-9 additions, alphabetical
-    assert q[:3] == NEVER_GATED_R9_TRIO
-    assert NEVER_GATED_R9_TRIO == sorted(NEVER_GATED_R9_TRIO)
-    # slots 4-34: the full remaining r6-stale block, alphabetical
-    assert q[3:34] == R6_STALE_THIRTYONE
-    assert R6_STALE_THIRTYONE == sorted(R6_STALE_THIRTYONE)
-    # slots 35-50: sixteen oldest-r7 queries, alphabetical
-    assert q[34:50] == R7_OLDEST_SIXTEEN
-    assert R7_OLDEST_SIXTEEN == sorted(R7_OLDEST_SIXTEEN)
+    # slots 1-4: the never-driver-gated round-10 additions, alphabetical
+    assert q[:4] == NEVER_GATED_R10_QUARTET
+    assert NEVER_GATED_R10_QUARTET == sorted(NEVER_GATED_R10_QUARTET)
+    # slots 5-38: the full remaining r7-green block, alphabetical
+    assert q[4:38] == R7_STALE_THIRTYFOUR
+    assert R7_STALE_THIRTYFOUR == sorted(R7_STALE_THIRTYFOUR)
+    # slots 39-50: the first twelve r8-greens, alphabetical
+    assert q[38:50] == R8_OLDEST_TWELVE
+    assert R8_OLDEST_TWELVE == sorted(R8_OLDEST_TWELVE)
 
 
 def test_window_names_exist_in_pool():
