@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -266,7 +267,7 @@ def main() -> None:
                 "n_in_band": sum(1 for r in ratios.values() if r <= hi),
                 "n_total": len(ratios),
                 "median_ratio": round(
-                    sorted(ratios.values())[len(ratios) // 2], 2)
+                    statistics.median(ratios.values()), 2)
                 if ratios else None,
             }
         except (OSError, KeyError, ValueError) as e:

@@ -1181,7 +1181,11 @@ class Engine:
         retain rows past it should persist or convert them within the
         call. ``flush_listeners()`` is the barrier; subscriber
         exceptions are collected in ``listener_errors`` (they must not
-        poison the drain thread or other subscribers)."""
+        poison the drain thread or other subscribers). Synchronous
+        callbacks run under the commit lock and must neither mutate the
+        engine (re-entrant commit, raises) nor call
+        ``flush_listeners()`` (deadlock against a committing async
+        callback, raises — ADVICE r10)."""
         if event not in ("Insert", "Delete"):
             raise ConfigError(f"unknown listen event {event!r}")
         self._state(table)
@@ -1228,7 +1232,24 @@ class Engine:
         then reap the delivered staging snapshots — DataFrames retained
         by async callbacks stay valid until this barrier (never-flushed
         engines' stages are reaped by the next engine over the workspace
-        once this process exits; see __init__)."""
+        once this process exits; see __init__).
+
+        MUST NOT be called from a synchronous listener callback
+        (ADVICE r10): sync delivery runs under the commit lock, and an
+        asynchronous drain-thread callback that itself commits (the
+        documented read-modify-write pattern) would block on that lock
+        while this join waits on the queue — a deadlock. The sync
+        callback runs on the committing thread, so the re-entrancy is
+        same-thread-detectable and raises loudly here instead."""
+        import threading as _threading
+
+        if self._commit_owner == _threading.get_ident():
+            raise RuntimeError(
+                "flush_listeners() called from a synchronous listener "
+                "callback: the commit lock is held, and an asynchronous "
+                "callback that commits would deadlock against this "
+                "barrier — flush after the commit returns, or subscribe "
+                "with asynchronous=True")
         if self._dispatch_q is not None:
             self._dispatch_q.join()
         import shutil as _shutil

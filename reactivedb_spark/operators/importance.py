@@ -176,23 +176,33 @@ def dsir_resample(
     portable md5 uniform u = h/2⁶⁰ (sampling.py convention), so the
     draw replays identically in the oracle.
 
-    Determinism contract: the selection key log_w + gumbel is one IEEE
-    double add of two identically-derived doubles, pinned by
-    round(·, 6) IN THE DOUBLE DOMAIN before the top-k compare — the
-    exact pinning ``log_w`` itself ships with. (A DECIMAL(28,14) cast
-    is NOT portable here: DuckDB converts double→decimal by
-    multiply-then-round in double, which disagrees with Spark's exact
-    BigDecimal conversion in the 14th digit — measured on this very
-    key.) Keys tying at 6 decimals break by id.
+    Determinism contract (tightened per ADVICE r10): the Gumbel term
+    −ln(−ln(u)) is the only unpinned libm surface (JVM Math.log vs
+    DuckDB libm can differ by 1 ulp), so it is pinned by round(·, 6)
+    BY ITSELF before the add — the key is then one IEEE double add of
+    two already-6-decimal-pinned doubles (``log_w`` ships pre-pinned),
+    followed by an outer round(·, 6) that sees bit-identical inputs on
+    both engines. u is clamped to ≥ 2⁻⁶⁰ so the h==0 row (prob 2⁻⁶⁰)
+    yields a finite draw instead of Spark-NULL/DuckDB-error. (A
+    DECIMAL(28,14) cast is NOT portable here: DuckDB converts
+    double→decimal by multiply-then-round in double, which disagrees
+    with Spark's exact BigDecimal conversion in the 14th digit —
+    measured on this very key.) Declared residual tolerance: a raw
+    Gumbel draw within 1 ulp of a 0.5e-6 rounding boundary can still
+    flip the 6th decimal between engines (probability ≈ 2⁻⁴⁴ per row);
+    keys tying at 6 decimals break by id.
 
     Plan shape (100 TB): the weight stage is dsir_log_weights
     (broadcast bucket stats, one token shuffle); the selection is a
     per-partition top-k merged on the driver's single reduce
     (TakeOrderedAndProject) — no global sort, no extra shuffle.
     """
-    u = (_hash64(F.col(id_col)).cast("double")
-         / F.lit(float(1 << 60)))
-    key = F.round(F.col("log_w") + -F.log(-F.log(u)), 6)
+    u = F.greatest(
+        _hash64(F.col(id_col)).cast("double") / F.lit(float(1 << 60)),
+        F.lit(2.0 ** -60),
+    )
+    gumbel = F.round(-F.log(-F.log(u)), 6)
+    key = F.round(F.col("log_w") + gumbel, 6)
     w = dsir_log_weights(df, id_col, text_col, target, n_buckets)
     return (
         w.select(id_col, "n_tokens", "log_w", key.alias("sel_key"))
@@ -210,9 +220,10 @@ def dsir_resample_oracle_sql(src: str, id_col: str, text_col: str,
     inner = dsir_oracle_sql(src, id_col, text_col, target_sql, n_buckets)
     return f"""
 SELECT {id_col}, n_tokens, log_w,
-       round(log_w + -ln(-ln(
+       round(log_w + round(-ln(-ln(greatest(
            CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))
-                AS BIGINT) / CAST(1152921504606846976 AS DOUBLE))), 6)
+                AS BIGINT) / CAST(1152921504606846976 AS DOUBLE),
+           8.673617379884035e-19))), 6), 6)
          AS sel_key
 FROM ({inner}) w
 ORDER BY sel_key DESC, {id_col} LIMIT {int(budget)}

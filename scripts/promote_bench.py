@@ -121,7 +121,11 @@ def main() -> None:
         with open(path) as f:
             rec = json.load(f)
         rec_sf = rec.get("sf")
-        if sf is not None and rec_sf is not None and rec_sf != sf:
+        # A raw with NO sf field is untrusted, not exempt: when the
+        # prior record pins an sf, a legacy/hand-trimmed raw missing
+        # the field must be gated out, else it bypasses the very
+        # contamination guard this loop exists for (ADVICE r10).
+        if sf is not None and rec_sf != sf:
             gated_out.append(os.path.basename(path) + f" (sf={rec_sf})")
             continue
         loads = rec.get("load1", {})
