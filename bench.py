@@ -90,15 +90,61 @@ def _warm_arrow(spark) -> None:
         pass  # warm-up is best-effort; the suite runs regardless
 
 
+# Native arbitration canary (VERDICT r10 #2): a FIXED-COST pure-JVM
+# whole-stage-codegen job (range->sum, no Python, no IO, one tiny final
+# exchange) interleaved through the suite. Its committed cost never
+# changes with the repo's plans, so any inflation of a canary sample is
+# host contention BY CONSTRUCTION — the per-session sidecar lets a slow
+# NATIVE driver row (e.g. distinct_agg at 11x) be adjudicated row-by-row
+# the way MMPROF adjudicates codec rows, instead of by uniformity
+# argument. ~0.15-0.2s on local[32] (calibrated r11).
+_CANARY_ROWS = 300_000_000
+_CANARY_EVERY = 5  # run the canary after every Nth query
+
+
+def _canary(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(_CANARY_ROWS).selectExpr("sum(id % 7) AS s").collect()
+    return round(time.perf_counter() - t0, 4)
+
+
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:
+        return None
+
+
 def run_suite(spark, sf_dir: str, only: set[str] | None = None,
-              loads: dict[str, float] | None = None) -> dict[str, float]:
+              loads: dict[str, float] | None = None,
+              canary_path: str | None = None,
+              canary_samples: list[float] | None = None) -> dict[str, float]:
     import __spark_entry__ as entrymod
     from reactivedb_spark.cache import cache_scope
 
+    def _canary_tick(after: str, idx: int) -> None:
+        if canary_path is None:
+            return
+        sec = _canary(spark)
+        if canary_samples is not None:
+            canary_samples.append(sec)
+        rec = {"after_query": after, "idx": idx, "canary_sec": sec,
+               "load1": _load1(), "t": round(time.time(), 1)}
+        try:
+            # append-per-sample (like RDB_MM_PROF): a session killed
+            # mid-suite still leaves the arbitration trace on disk
+            with open(canary_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
+
     results: dict[str, float] = {}
+    _canary_tick("<session-start>", 0)
+    n_run = 0
     for name, fn in sorted(entrymod.queries().items()):
         if only is not None and name not in only:
             continue
+        load_start = _load1()
         t0 = time.perf_counter()
         # cache_scope releases relations the operators pin for multi-branch
         # reuse as soon as the query materializes; clearCache sweeps
@@ -111,11 +157,24 @@ def run_suite(spark, sf_dir: str, only: set[str] | None = None,
             # 1-min loadavg AT QUERY END: evidence for adjudicating a slow
             # row as host contention vs a plan change (VERDICT r6 #4 — a
             # contiguous >2x block with load >> ncpus is a load window)
+            end = _load1()
+            if end is not None:
+                loads[name] = end
+        if canary_path is not None and load_start is not None:
             try:
-                loads[name] = round(os.getloadavg()[0], 1)
+                with open(canary_path, "a") as f:
+                    f.write(json.dumps(
+                        {"query": name, "sec": results[name],
+                         "load1_start": load_start,
+                         "load1_end": loads.get(name) if loads else None,
+                         "t": round(time.time(), 1)}) + "\n")
             except OSError:
                 pass
         spark.catalog.clearCache()
+        n_run += 1
+        if n_run % _CANARY_EVERY == 0:
+            _canary_tick(name, n_run)
+    _canary_tick("<session-end>", n_run)
     return results
 
 
@@ -211,6 +270,9 @@ def main() -> None:
     spark.range(10).count()  # JVM warm-up
     _warm_streaming(spark)  # pay streaming-engine init outside any query
     _warm_arrow(spark)  # pay Python-worker/codec cold-start outside any query
+    _canary(spark)  # discarded: pay the canary's own codegen cold-start
+    # (first canary otherwise reads ~4x its steady cost and poisons the
+    # session median the sidecar exists to provide)
 
     only = None  # --only a,b,c: run a named subset (scale spot-runs)
     for i, a in enumerate(sys.argv):
@@ -227,7 +289,14 @@ def main() -> None:
             raise SystemExit(f"--only names not registered: {sorted(unknown)}")
 
     loads: dict[str, float] = {}
-    queries = run_suite(spark, sf_dir, only, loads)
+    # Native arbitration sidecar (VERDICT r10 #2): fixed-cost canary
+    # samples + per-query start/end load, appended line-by-line through
+    # the session — the native-plan counterpart of the MMPROF dir.
+    canary_path = os.path.join(evidence, f"BENCH_CANARY_{run_stamp}.jsonl")
+    canary_samples: list[float] = []
+    queries = run_suite(spark, sf_dir, only, loads,
+                        canary_path=canary_path,
+                        canary_samples=canary_samples)
     # cheapest-first inside the JSON line: stdout captures that keep only
     # the tail of a long line then lose the cheap rows, not the heavy ones
     # (BENCH_r04 lost 34 rows to front-truncation — VERDICT r4 #4)
@@ -240,6 +309,21 @@ def main() -> None:
         "load1": {n: loads[n] for n in queries if n in loads},
         "sf": sf,
     }
+    if canary_samples:
+        # committed calm baseline lives in BASELINE.md; in-payload the
+        # session's own min is the floor (the canary's cost is fixed, so
+        # median/min >> 1 within one session IS the contention signal)
+        floor = min(canary_samples)
+        payload["canary"] = {
+            "n": len(canary_samples),
+            "min_sec": round(floor, 4),
+            "median_sec": round(statistics.median(canary_samples), 4),
+            "max_sec": round(max(canary_samples), 4),
+            "median_over_min": round(
+                statistics.median(canary_samples) / floor, 2)
+            if floor > 0 else None,
+            "sidecar": os.path.basename(canary_path),
+        }
     if "--micro" in sys.argv:
         payload["micro"] = run_micro(spark)
     if "--quick" in sys.argv:
