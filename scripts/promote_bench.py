@@ -12,9 +12,12 @@ Usage::
 With no files given, only ``BENCH_RAW_*.json`` records with a run stamp
 NEWER than the latest raw the previous promotion used are considered
 (``--all`` lifts the bound, ``--last N`` keeps just the N most recent) —
-.bench_evidence/ is gitignored and never pruned, so an unbounded
-default would let stale raw runs from before a code change keep feeding
-the medians indefinitely (ADVICE r9). Scale-leg raws at a different sf
+.bench_evidence/ is gitignored, so an unbounded default would let stale
+raw runs from before a code change keep feeding the medians
+indefinitely (ADVICE r9). After each successful promotion the evidence
+dir is pruned to the retention rule (sessions the committed record
+references + the ``KEEP_LAST_SESSIONS`` most recent — VERDICT r10 #7);
+``--prune-only`` runs just that step, ``--no-prune`` skips it. Scale-leg raws at a different sf
 and solo subset/quick raws are additionally guarded out of committed
 in-suite medians (see inline notes). Gating is RUN-level: the per-query ``load1`` column is
 recorded at query end, so it includes the bench's OWN 32-core work
@@ -42,6 +45,14 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _STAMP_RE = re.compile(r"BENCH_RAW_(\d{8}-\d{6})")
+# Any evidence artifact bench.py writes carries the session's UTC stamp:
+# BENCH_RAW_<stamp>[ -subset|-quick ].json, BENCH_CANARY_<stamp>.jsonl,
+# BENCH_STREAMPROF_<stamp>.jsonl, BENCH_MMPROF_<stamp>/ (dir).
+_SESSION_RE = re.compile(r"^BENCH_[A-Z]+_(\d{8}-\d{6})")
+
+# Retention (VERDICT r10 #7): how many most-recent sessions survive a
+# prune in addition to every session the committed record references.
+KEEP_LAST_SESSIONS = 8
 
 
 def _run_stamp(path_or_name: str):
@@ -50,10 +61,71 @@ def _run_stamp(path_or_name: str):
     return m.group(1) if m else None
 
 
+def _session_stamp(name: str):
+    """UTC session stamp of ANY evidence artifact (raw/canary/streamprof/
+    mmprof), or None for files that don't follow the bench naming."""
+    m = _SESSION_RE.match(name)
+    return m.group(1) if m else None
+
+
+def prune_evidence(evidence_dir: str, full_path: str,
+                   keep_last: int = KEEP_LAST_SESSIONS) -> dict:
+    """Bound .bench_evidence growth (VERDICT r10 #7 / ADVICE r9 #4).
+
+    Retention rule: an artifact survives iff its session stamp is
+    (a) referenced by the committed record's promotion provenance
+    (``BENCH_FULL.json promotion.raw_files_used``) — the sessions whose
+    medians ARE the committed record must stay auditable forever — or
+    (b) among the ``keep_last`` most recent session stamps present in
+    the directory (un-promoted evidence from recent iteration), or
+    (c) not a bench session artifact at all (unknown names are never
+    deleted — the prune only manages what bench.py itself wrote).
+    Returns a summary dict; deletes nothing on a missing dir.
+    """
+    import shutil
+
+    summary = {"kept_referenced": [], "kept_recent": [], "deleted": []}
+    if not os.path.isdir(evidence_dir):
+        return summary
+    referenced: set[str] = set()
+    if os.path.exists(full_path):
+        with open(full_path) as f:
+            prom = json.load(f).get("promotion", {})
+        for name in prom.get("raw_files_used", []):
+            st = _run_stamp(name)
+            if st:
+                referenced.add(st)
+    entries = sorted(os.listdir(evidence_dir))
+    stamps = sorted({s for s in (_session_stamp(e) for e in entries) if s})
+    recent = set(stamps[-keep_last:]) if keep_last > 0 else set()
+    for entry in entries:
+        st = _session_stamp(entry)
+        if st is None:
+            continue  # never touch names the bench didn't write
+        if st in referenced:
+            summary["kept_referenced"].append(entry)
+            continue
+        if st in recent:
+            summary["kept_recent"].append(entry)
+            continue
+        path = os.path.join(evidence_dir, entry)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                continue
+        summary["deleted"].append(entry)
+    return summary
+
+
 def main() -> None:
     gate = 5.0
     last_n = None
     include_all = False
+    do_prune = True
+    prune_only = False
     files: list[str] = []
     args = sys.argv[1:]
     i = 0
@@ -67,10 +139,21 @@ def main() -> None:
         elif args[i] == "--all":
             include_all = True
             i += 1
+        elif args[i] == "--no-prune":
+            do_prune = False
+            i += 1
+        elif args[i] == "--prune-only":
+            prune_only = True
+            i += 1
         else:
             files.append(args[i])
             i += 1
     full_path = os.path.join(HERE, "BENCH_FULL.json")
+    if prune_only:
+        summary = prune_evidence(
+            os.path.join(HERE, ".bench_evidence"), full_path)
+        print(json.dumps({k: len(v) for k, v in summary.items()}))
+        return
     prior: dict = {}
     if os.path.exists(full_path):
         with open(full_path) as f:
@@ -186,11 +269,16 @@ def main() -> None:
         payload["micro"] = micro or prior.get("micro")
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps({
+    out = {
         "promoted": len(counts), "kept_prior": len(kept_prior),
         "suite_wall": payload["value"], "gate": gate,
         "runs_used": len(used), "runs_gated_out": len(gated_out),
-    }))
+    }
+    if do_prune:
+        summary = prune_evidence(
+            os.path.join(HERE, ".bench_evidence"), full_path)
+        out["pruned"] = len(summary["deleted"])
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
