@@ -808,6 +808,198 @@ FROM agg
 """
 
 
+# -- full wire-protocol roundtrip under the driver's hostile axes -------------
+
+WIRE_ENGINE_CFG = {
+    "tables": [
+        {"Source": {"name": "customer", "columns": {
+            "c_custkey": "Integer", "c_name": "Str", "c_nationkey": "Integer",
+            "c_acctbal": "Decimal", "c_mktsegment": "Str"}}},
+        {"Derived": {"name": "pos_bal",
+                     "transform_definition": {"FilterTransform": {
+                         "source_table": "customer",
+                         "filter": "c_acctbal > 0.0"}}}},
+    ]
+}
+
+
+class _WireClient:
+    """Minimal reference-protocol client (u32-BE frame + JSON envelope,
+    the reference Python client's framing, client.py:18-28) — the suite
+    must not import from tests/, so the ~20 lines live here."""
+
+    def __init__(self, host: str, port: int):
+        import socket
+
+        self.sock = socket.create_connection((host, port))
+
+    def close(self) -> None:
+        self.sock.close()
+
+    def request(self, query: dict) -> dict:
+        import json as _json
+        import socket as _socket
+        import struct as _struct
+        import uuid as _uuid2
+
+        rid = str(_uuid2.uuid4())
+        body = _json.dumps(
+            {"Query": {"request_id": rid, "query": query}}).encode()
+        self.sock.sendall(_struct.pack(">I", len(body)) + body)
+        header = self.sock.recv(4, _socket.MSG_WAITALL)
+        (size,) = _struct.unpack(">I", header)
+        buf = b""
+        while len(buf) < size:
+            buf += self.sock.recv(size - len(buf))
+        resp = _json.loads(buf.decode())
+        assert resp["RequestResponse"]["request_id"] == rid
+        return resp["RequestResponse"]["response"]
+
+
+def _entry_census(entries: list[dict]) -> tuple[int, int]:
+    """(row count, Σ c_custkey) over wire entries — the value the oracle
+    recomputes from the raw fixture."""
+    total = 0
+    for e in entries:
+        v = e.get("c_custkey")
+        total += int(v["Integer"]) if isinstance(v, dict) else 0
+    return len(entries), total
+
+
+def q_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end wire-protocol drive (VERDICT r10 #5): the TCP server
+    (networking/server.py, reference framing network_types.rs:6-30) under
+    the SAME hostile session the driver uses — insert via InsertData →
+    cascade into a Decimal-typed filter child → DeleteData → every query
+    verb (FindOne/GetAll/LessThan/GreaterThan) answered over the socket.
+
+    The fixture's bulk (c_custkey > 3) loads through ``insert_df`` (the
+    declared bulk path — per-row TCP is the reference's protocol for
+    clients, not for ingest); the boundary rows 1-3 travel the full
+    client protocol: floats tagged as Decimal strings (the reference has
+    no runtime Float, types.rs:28), responses are the serde-style
+    ManyResults(Ok([entries])) carrying the WHOLE cascade (the insert
+    report contract, database.rs:189-194). The census tallies, per wire
+    op, the entry count and Σ c_custkey of what came back OVER THE
+    SOCKET — a dropped frame, a missed cascade entry, a wrong verb bound
+    (strict < vs inclusive >=), or a non-roundtripping value encoding
+    breaks the hash against DuckDB's replay of the same algebra."""
+    import shutil
+
+    workspace = tempfile.mkdtemp(prefix="rdb_wire_")
+    rows = []
+    try:
+        eng = Engine(spark, WIRE_ENGINE_CFG, workspace=workspace)
+        srv = None
+        try:
+            from reactivedb_spark.networking import ReactiveDBServer
+
+            srv = ReactiveDBServer(eng).start()
+            cust = load(spark, sf, "customer").select(
+                F.col("c_custkey").cast("long"), "c_name",
+                F.col("c_nationkey").cast("long"),
+                F.col("c_acctbal").cast("decimal(38,18)"), "c_mktsegment")
+            eng.insert_df("customer", cust.filter(F.col("c_custkey") > 3))
+
+            cli = _WireClient(srv.host, srv.port)
+            boundary = (cust.filter(F.col("c_custkey") <= 3)
+                        .orderBy("c_custkey").collect())
+            ins_entries: list[dict] = []
+            for r in boundary:
+                entry = {
+                    "c_custkey": {"Integer": int(r.c_custkey)},
+                    "c_name": {"Str": r.c_name},
+                    "c_nationkey": {"Integer": int(r.c_nationkey)},
+                    "c_acctbal": {"Decimal": str(r.c_acctbal)},
+                    "c_mktsegment": {"Str": r.c_mktsegment},
+                }
+                resp = cli.request(
+                    {"InsertData": {"table": "customer", "entry": entry}})
+                ins_entries.extend(resp["ManyResults"]["Ok"])
+            rows.append(("wire_insert_entries",) + _entry_census(ins_entries))
+
+            resp = cli.request({"DeleteData": {
+                "table": "customer", "column": "c_custkey",
+                "key": {"Integer": 2}}})
+            rows.append(("wire_delete_entries",)
+                        + _entry_census(resp["ManyResults"]["Ok"]))
+
+            one = cli.request({"FindOne": {
+                "table": "customer", "column": "c_custkey",
+                "key": {"Integer": 1}}})["OneResult"]["Ok"]
+            rows.append(("findone_c1",) + _entry_census([one] if one else []))
+
+            for op, query in (
+                ("getall_nation7",
+                 {"GetAll": {"table": "customer", "column": "c_nationkey",
+                             "key": {"Integer": 7}}}),
+                ("lessthan_c10",
+                 {"LessThan": {"table": "customer", "column": "c_custkey",
+                               "key": {"Integer": 10}}}),
+                ("greaterthan_c100",
+                 {"GreaterThan": {"table": "customer", "column": "c_custkey",
+                                  "key": {"Integer": 100}}}),
+                ("getall_posbal_n7",
+                 {"GetAll": {"table": "pos_bal", "column": "c_nationkey",
+                             "key": {"Integer": 7}}}),
+            ):
+                resp = cli.request(query)
+                rows.append((op,) + _entry_census(resp["ManyResults"]["Ok"]))
+            cli.close()
+        finally:
+            if srv is not None:
+                srv.shutdown()
+    finally:
+        shutil.rmtree(workspace, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "op string, n_rows long, key_sum long")
+
+
+# the oracle replays the same algebra from the raw fixture: the insert
+# report carries 1 customer + (1 pos_bal iff acctbal > 0) per boundary
+# row; the delete report mirrors it for custkey 2; the verb censuses run
+# against the post-delete state (fixture minus custkey 2).
+SQL_WIRE_ROUNDTRIP = """
+SELECT 'wire_insert_entries' AS op,
+       CAST(count(*)
+            + sum(CASE WHEN c_acctbal > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rows,
+       CAST(sum(c_custkey)
+            + sum(CASE WHEN c_acctbal > 0.0 THEN c_custkey ELSE 0 END)
+            AS BIGINT) AS key_sum
+FROM customer WHERE c_custkey <= 3
+UNION ALL
+SELECT 'wire_delete_entries',
+       CAST(coalesce(sum(1 + CASE WHEN c_acctbal > 0.0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+       CAST(coalesce(sum(c_custkey
+            * (1 + CASE WHEN c_acctbal > 0.0 THEN 1 ELSE 0 END)), 0)
+            AS BIGINT)
+FROM customer WHERE c_custkey = 2
+UNION ALL
+SELECT 'findone_c1', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+FROM customer WHERE c_custkey = 1
+UNION ALL
+SELECT 'getall_nation7', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+FROM customer WHERE c_custkey <> 2 AND c_nationkey = 7
+UNION ALL
+SELECT 'lessthan_c10', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+FROM customer WHERE c_custkey <> 2 AND c_custkey < 10
+UNION ALL
+SELECT 'greaterthan_c100', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+FROM customer WHERE c_custkey <> 2 AND c_custkey >= 100
+UNION ALL
+SELECT 'getall_posbal_n7', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+FROM customer
+WHERE c_custkey <> 2 AND c_nationkey = 7 AND c_acctbal > 0.0
+"""
+
+
 QUERIES = {
     "function_transform": q_function_transform,
     "filter_transform": q_filter_transform,
@@ -827,6 +1019,7 @@ QUERIES = {
     "txn_rollback": q_txn_rollback,
     "insert_report": q_insert_report,
     "listen_fanout": q_listen_fanout,
+    "wire_roundtrip": q_wire_roundtrip,
 }
 
 ORACLES = {
@@ -848,4 +1041,5 @@ ORACLES = {
     "txn_rollback": SQL_TXN_ROLLBACK,
     "insert_report": SQL_INSERT_REPORT,
     "listen_fanout": SQL_LISTEN_FANOUT,
+    "wire_roundtrip": SQL_WIRE_ROUNDTRIP,
 }
