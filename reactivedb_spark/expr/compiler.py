@@ -93,18 +93,24 @@ def _arith(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
     # property tests): operands compute at decimal(19,9) — HALF_UP-rounded
     # to 9 fractional digits, |values| < 10^10 (overflow ⇒ NULL) — because
     # Spark's DecimalPrecision rule would cap products/quotients of full
-    # (38,18) operands at scale 6. At (19,9): + - * are EXACT and uncapped
-    # ((19,9)×(19,9) → (38,18)); / keeps 18-19 fractional digits. Results
-    # widen losslessly to the storage type decimal(38,18). rust_decimal
+    # (38,18) operands at scale 6. At (19,9): + - are EXACT ((20,9));
+    # * computes at (38,17) (precision p1+p2+1 = 39 caps to 38, shedding
+    # one scale digit — the product is HALF_UP-rounded at the 17th
+    # decimal; the r11 DuckDB fuzz falsified the earlier "exact (38,18)"
+    # claim); / carries scale 19 ((38,19)) then rounds once more to 18.
+    # Results widen to the storage type decimal(38,18). rust_decimal
     # carries ~28 flexible digits; this fixed-point contract is the
     # documented divergence.
     OPW = T.DecimalType(19, 9)
+    # try_cast, not cast: the declared overflow ⇒ NULL contract must hold
+    # under ANSI sessions too (the driver's hostile axis) — a plain cast
+    # would THROW there instead of yielding NULL (DSL-fuzz finding, r11).
     if op == "/":
         if is_integral(out):
             return TypedColumn(_trunc_div(lt.col.cast("long"), rt.col.cast("long")), T.LongType())
         if isinstance(out, T.DecimalType):
             return TypedColumn(
-                F.try_divide(lt.col.cast(OPW), rt.col.cast(OPW)).cast(DECIMAL), DECIMAL
+                F.try_divide(lt.col.try_cast(OPW), rt.col.try_cast(OPW)).cast(DECIMAL), DECIMAL
             )
         return TypedColumn(
             F.try_divide(lt.col.cast("double"), rt.col.cast("double")), T.DoubleType()
@@ -112,7 +118,7 @@ def _arith(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
     pairs = {"+": lambda a, b: a + b, "-": lambda a, b: a - b, "*": lambda a, b: a * b}
     fn = pairs[op]
     if isinstance(out, T.DecimalType):
-        return TypedColumn(fn(lt.col.cast(OPW), rt.col.cast(OPW)).cast(DECIMAL), DECIMAL)
+        return TypedColumn(fn(lt.col.try_cast(OPW), rt.col.try_cast(OPW)).cast(DECIMAL), DECIMAL)
     if is_integral(out):
         return TypedColumn(fn(lt.col.cast("long"), rt.col.cast("long")), T.LongType())
     return TypedColumn(fn(lt.col.cast("double"), rt.col.cast("double")), T.DoubleType())
@@ -191,17 +197,33 @@ def _same_or_numeric(fn):
     return check
 
 
+def _coalesce(a: list[TypedColumn]) -> TypedColumn:
+    """coalesce() with mixed numeric args promotes to the common numeric
+    type and CASTS every arg to it (DSL fuzz finding, round 11: the
+    previous ``dtype = a[0].dtype`` lied when args mixed Integer/Decimal
+    — Spark coerced the value to the wide type while downstream
+    compilation kept planning on the narrow declared type, so e.g. a
+    later ``/`` picked truncating-int semantics on a decimal value)."""
+    out = a[0].dtype
+    if any(x.dtype != out for x in a):
+        for x in a[1:]:
+            out = promote(out, x.dtype)
+        return TypedColumn(
+            F.coalesce(*[x.col.cast(out) for x in a]), out)
+    return TypedColumn(F.coalesce(*[x.col for x in a]), out)
+
+
 def _fn_specs():
     return {
         "abs": (1, _num("abs"), lambda a: TypedColumn(F.abs(a[0].col), a[0].dtype)),
-        "floor": (1, _num("floor"), lambda a: TypedColumn(F.floor(a[0].col).cast("long"), T.LongType())),
-        "ceil": (1, _num("ceil"), lambda a: TypedColumn(F.ceil(a[0].col).cast("long"), T.LongType())),
+        "floor": (1, _num("floor"), lambda a: TypedColumn(F.floor(a[0].col).try_cast("long"), T.LongType())),
+        "ceil": (1, _num("ceil"), lambda a: TypedColumn(F.ceil(a[0].col).try_cast("long"), T.LongType())),
         "sqrt": (1, _num("sqrt"), lambda a: TypedColumn(F.sqrt(a[0].col.cast("double")), T.DoubleType())),
         "length": (1, _str_or_array("length"), lambda a: TypedColumn(F.length(a[0].col).cast("long"), T.LongType())),
         "upper": (1, _str("upper"), lambda a: TypedColumn(F.upper(a[0].col), T.StringType())),
         "lower": (1, _str("lower"), lambda a: TypedColumn(F.lower(a[0].col), T.StringType())),
         "concat": (None, _str("concat"), lambda a: TypedColumn(F.concat(*[x.col for x in a]), T.StringType())),
-        "coalesce": (None, _same_or_numeric("coalesce"), lambda a: TypedColumn(F.coalesce(*[x.col for x in a]), a[0].dtype)),
+        "coalesce": (None, _same_or_numeric("coalesce"), _coalesce),
     }
 
 

@@ -138,7 +138,12 @@ def _interp(e: Expr, row: dict):
         if op == "-":
             return _q(dl - dr)
         if op == "*":
-            return _q(dl * dr)
+            # (19,9)×(19,9) → (38,17): Spark's p1+p2+1 = 39 caps to
+            # precision 38 by shedding one scale digit, so the product
+            # rounds HALF_UP at the 17th decimal before widening to the
+            # (38,18) storage type (falsified-by-fuzz r11; was "exact")
+            return _q((dl * dr).quantize(Decimal("1e-17"),
+                                         rounding=ROUND_HALF_UP))
         if op == "/":
             if dr == 0:
                 return None
