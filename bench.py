@@ -310,18 +310,21 @@ def main() -> None:
         "sf": sf,
     }
     if canary_samples:
-        # committed calm baseline lives in BASELINE.md; in-payload the
-        # session's own min is the floor (the canary's cost is fixed, so
-        # median/min >> 1 within one session IS the contention signal)
-        floor = min(canary_samples)
+        # committed calm baseline lives in BASELINE.md. Normalize by the
+        # session's p25, NOT its min: a fully-JIT-warm fluke sample can
+        # undercut the steady floor ~2x (measured 0.078 vs steady ~0.2 in
+        # a calm full run), which made median/min read 2.86 on a calm
+        # session. max/p25 >> 2, or absolute samples in the seconds, is
+        # the contention signal.
+        vals = sorted(canary_samples)
+        p25 = vals[len(vals) // 4]
         payload["canary"] = {
-            "n": len(canary_samples),
-            "min_sec": round(floor, 4),
-            "median_sec": round(statistics.median(canary_samples), 4),
-            "max_sec": round(max(canary_samples), 4),
-            "median_over_min": round(
-                statistics.median(canary_samples) / floor, 2)
-            if floor > 0 else None,
+            "n": len(vals),
+            "min_sec": round(vals[0], 4),
+            "p25_sec": round(p25, 4),
+            "median_sec": round(statistics.median(vals), 4),
+            "max_sec": round(vals[-1], 4),
+            "max_over_p25": round(vals[-1] / p25, 2) if p25 > 0 else None,
             "sidecar": os.path.basename(canary_path),
         }
     if "--micro" in sys.argv:
