@@ -137,7 +137,11 @@ _CMP = {
 def _compare(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
     # Reference defines comparisons for Integer, Str, Array (lexicographic)
     # and ==/!= for Bool (config/types.rs:8-42); we additionally allow
-    # Decimal (Appendix A #3) and mixed numerics via promotion.
+    # Decimal (Appendix A #3) and mixed numerics via promotion. Anything
+    # else — mixed kinds (string vs number), bool ordering — is a typed
+    # COMPILE error, as in the reference, not whatever Spark's implicit
+    # casts would improvise (tightened r11; previously fell through
+    # silently, leaving the semantics engine-defined).
     lc, rc = lt.col, rt.col
     if is_numeric(lt.dtype) and is_numeric(rt.dtype):
         out = promote(lt.dtype, rt.dtype)
@@ -147,6 +151,15 @@ def _compare(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
             lc, rc = lc.cast("long"), rc.cast("long")
         else:
             lc, rc = lc.cast("double"), rc.cast("double")
+    elif isinstance(lt.dtype, T.BooleanType) and isinstance(rt.dtype, T.BooleanType):
+        if op not in ("==", "!="):
+            raise ExpressionError(
+                f"operator {op!r} not defined for Bool (only == and !=)")
+    elif type(lt.dtype) is not type(rt.dtype) or not isinstance(
+            lt.dtype, (T.StringType, T.ArrayType)):
+        raise ExpressionError(
+            f"operator {op!r} not defined for {lt.dtype.simpleString()} "
+            f"and {rt.dtype.simpleString()}")
     return TypedColumn(_CMP[op](lc, rc), T.BooleanType())
 
 

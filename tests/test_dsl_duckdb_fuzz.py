@@ -361,32 +361,27 @@ def _canon(v, t: str):
     return v
 
 
-def test_dsl_fuzz_vs_duckdb(spark):
+def _compile_batch(parsed_asts):
+    """(src, ast) pairs → (src, ast, TypedColumn), dropping ill-typed
+    statements (ExpressionError — the compiler's typed contract is the
+    single arbiter of well-formedness for both fuzz legs). Column
+    building is py4j-bound (~25 ms/expr single-threaded); the gateway
+    is thread-safe, so compile across threads."""
     from concurrent.futures import ThreadPoolExecutor
 
-    rng = random.Random(SEED)
-    g = Gen(rng)
-    parsed_asts = []
-    while len(parsed_asts) < N_EXPRS:
-        t = rng.choice([INT, DEC, DBL, STR, BOOL])
-        ast = g.expr(t, rng.randint(1, 3))
-        src = _render(ast)
-        parsed = parse_expression(src)
-        assert parsed == ast, f"render/parse drift: {src!r}"
-        parsed_asts.append((src, parsed))
-
-    # Column building is py4j-bound (~25 ms/expr single-threaded); the
-    # gateway is thread-safe, so compile the batch across threads.
     def _compile(item):
         src, ast = item
         try:
             return src, ast, compile_expr(ast, _SPARK_SCHEMA)
         except ExpressionError:
-            return None  # ill-typed composition the generator allowed
+            return None
     with ThreadPoolExecutor(16) as ex:
-        exprs = [r for r in ex.map(_compile, parsed_asts) if r is not None]
-    assert len(exprs) >= N_EXPRS * 0.95  # the generator is type-directed
+        return [r for r in ex.map(_compile, parsed_asts) if r is not None]
 
+
+def _differential(spark, exprs):
+    """Evaluate compiled Spark columns vs the DuckDB translation over
+    the fixture rows; return the list of divergences."""
     rows = [(i,) + r for i, r in enumerate(_ROWS)]
     sdf = spark.createDataFrame(rows, _SPARK_SCHEMA)
 
@@ -397,6 +392,7 @@ def test_dsl_fuzz_vs_duckdb(spark):
     con.execute("""CREATE TABLE fx (rid BIGINT, i1 BIGINT, i2 BIGINT,
         d1_c HUGEINT, d2_c HUGEINT, s1 VARCHAR, s2 VARCHAR,
         b1 BOOLEAN, b2 BOOLEAN)""")
+
     # coefficients as SQL literals: duckdb's Python parameter binding
     # routes ints beyond int64 through a double (lossy — probed r11)
     def _sq(v):
@@ -449,5 +445,81 @@ def test_dsl_fuzz_vs_duckdb(spark):
                 if sv != dv and not (sv is None and dv is None):
                     mismatches.append((src, ri, sv, dv))
     spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+    return mismatches
+
+
+def test_dsl_fuzz_vs_duckdb(spark):
+    rng = random.Random(SEED)
+    g = Gen(rng)
+    parsed_asts = []
+    while len(parsed_asts) < N_EXPRS:
+        t = rng.choice([INT, DEC, DBL, STR, BOOL])
+        ast = g.expr(t, rng.randint(1, 3))
+        src = _render(ast)
+        parsed = parse_expression(src)
+        assert parsed == ast, f"render/parse drift: {src!r}"
+        parsed_asts.append((src, parsed))
+
+    exprs = _compile_batch(parsed_asts)
+    assert len(exprs) >= N_EXPRS * 0.95  # the generator is type-directed
+    mismatches = _differential(spark, exprs)
+    assert not mismatches, (
+        f"{len(mismatches)} divergences; first 5: {mismatches[:5]}")
+
+
+N_FLAT = 3000
+
+
+def test_dsl_parse_order_fuzz_vs_duckdb(spark):
+    """UNPARENTHESIZED statements: flat `leaf op leaf op ...` token
+    runs exercise the reference's no-precedence split order (first
+    depth-0 comparison/boolean token roots; otherwise the RIGHTMOST
+    arithmetic op — parser.py:95-130) END-TO-END: whatever tree the
+    parser produces is compiled AND translated, so a parse-order drift
+    changes real values against DuckDB, not just an AST shape. The
+    compiler's typed contract decides well-formedness (ill-typed runs
+    like `a < b < c` → Integer-vs-Bool compare raise ExpressionError
+    and are skipped — mixed-kind comparisons are compile errors as of
+    r11, matching the reference's typed comparator table)."""
+    rng = random.Random(SEED ^ 0xFFFF)
+    g = Gen(rng)
+    ops = ["+", "-", "*", "/", "<", ">", "<=", ">=", "==", "!=",
+           "&&", "||"]
+
+    def flat_leaf():
+        t = rng.choice([INT, INT, DEC, STR, BOOL])
+        return rng.choice([g.leaf(t), ColumnRef(rng.choice(_COLS[t]))])
+
+    import hashlib
+
+    exprs = []
+    first_batch_lines = []
+    while len(exprs) < N_FLAT:  # typing prunes random runs; top up
+        candidates = []
+        while len(candidates) < N_FLAT:
+            n = rng.randint(1, 5)
+            toks = [_render(flat_leaf())]
+            for _ in range(n):
+                toks.append(rng.choice(ops))
+                toks.append(_render(flat_leaf()))
+            candidates.append(" ".join(toks))
+        parsed = [(src, parse_expression(src)) for src in candidates]
+        if not first_batch_lines:
+            first_batch_lines = [
+                f"{src} => {_render(ast)}" for src, ast in parsed]
+        exprs.extend(_compile_batch(parsed))
+    exprs = exprs[:N_FLAT]
+
+    # Golden split-order digest: the differential alone can't pin parse
+    # ORDER (its oracle follows whatever tree the parser emits), so the
+    # seeded corpus's source→parenthesized-parse mapping is pinned by
+    # hash — a precedence change (e.g. accidentally adopting
+    # conventional binding) flips it even where both engines would
+    # still agree on the new tree's semantics.
+    digest = hashlib.sha256(
+        "\n".join(first_batch_lines).encode()).hexdigest()
+    assert digest == ("ca5214ff6eaaf11a67492a26edc306b9"
+                      "8e693dc36c046bf91a70455c2aa065ca"), first_batch_lines[:3]
+    mismatches = _differential(spark, exprs)
     assert not mismatches, (
         f"{len(mismatches)} divergences; first 5: {mismatches[:5]}")
