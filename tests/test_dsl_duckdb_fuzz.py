@@ -470,6 +470,48 @@ def test_dsl_fuzz_vs_duckdb(spark):
 N_FLAT = 3000
 
 
+def _typeof_flat(e: Expr) -> str:
+    """Pure-Python type judgment for parse-order trees (BinOps over
+    Literal/ColumnRef leaves only), mirroring the compiler's rules —
+    a PREFILTER so the ~2/3 ill-typed random runs never reach the
+    py4j-bound compile. False accepts are harmless (compile_expr still
+    raises and the batch drops them); the compiler stays the arbiter."""
+    if isinstance(e, Literal):
+        v = e.value
+        if isinstance(v, bool):
+            return BOOL
+        if isinstance(v, int):
+            return INT
+        if isinstance(v, str):
+            return STR
+        return DEC
+    if isinstance(e, ColumnRef):
+        for t, cols in _COLS.items():
+            if e.name in cols:
+                return t
+        raise ExpressionError(e.name)
+    assert isinstance(e, BinOp)
+    lt, rt = _typeof_flat(e.left), _typeof_flat(e.right)
+    num = (INT, DEC, DBL)
+    if e.op in ("&&", "||"):
+        if lt == rt == BOOL:
+            return BOOL
+        raise ExpressionError(e.op)
+    if e.op in ("<", ">", "<=", ">=", "==", "!="):
+        if (lt in num and rt in num) or (lt == rt == STR):
+            return BOOL
+        if lt == rt == BOOL and e.op in ("==", "!="):
+            return BOOL
+        raise ExpressionError(e.op)
+    if e.op == "+" and lt == rt == STR:
+        return STR
+    if lt in num and rt in num:
+        if e.op == "^" or DBL in (lt, rt):
+            return DBL
+        return DEC if DEC in (lt, rt) else INT
+    raise ExpressionError(e.op)
+
+
 def test_dsl_parse_order_fuzz_vs_duckdb(spark):
     """UNPARENTHESIZED statements: flat `leaf op leaf op ...` token
     runs exercise the reference's no-precedence split order (first
@@ -507,7 +549,14 @@ def test_dsl_parse_order_fuzz_vs_duckdb(spark):
         if not first_batch_lines:
             first_batch_lines = [
                 f"{src} => {_render(ast)}" for src, ast in parsed]
-        exprs.extend(_compile_batch(parsed))
+        typed = []
+        for src, ast in parsed:
+            try:
+                _typeof_flat(ast)
+            except ExpressionError:
+                continue
+            typed.append((src, ast))
+        exprs.extend(_compile_batch(typed))
     exprs = exprs[:N_FLAT]
 
     # Golden split-order digest: the differential alone can't pin parse
