@@ -13,110 +13,110 @@ from reactivedb_spark.suite import advanced, analytics, core, olap, pipeline, sc
 
 # Registration order is part of the external contract: the driver's
 # correctness gate checks the FIRST 50 registered queries. _WINDOW is the
-# ROUND-11 rotation, executing the plan committed in round 10 verbatim
-# (VERDICT r10 "Next round" #1; confirmed by scripts/plan_window.py at the
-# r11 start — the census says 4 never-gated, 34@r7, 50@r8/r9/r10):
-#   slots 1-4   — the round-10 additions with no driver evidence yet,
-#                 alphabetical (dsir_resample, insert_report,
-#                 listen_fanout, txn_rollback). Green-gating them restores
-#                 the invariant that no registered query lacks driver
-#                 evidence — they are the last §2 behaviors (rollback,
-#                 insert response, listener fan-out) without a driver row.
-#   slots 5-38  — the full remaining r7-green block (34 queries),
-#                 alphabetical: kmeans_iterate ... winsorize_prices. This
-#                 clears ALL r7 staleness: after r11 no query's newest
-#                 green is older than r8.
-#   slots 39-50 — the first 12 of the 50 r8-greens, alphabetical
-#                 (action_transform ... dedup_exact), beginning the r8
-#                 block's rotation.
+# ROUND-12 rotation, executing the plan committed in round 11 verbatim
+# (VERDICT r11 "Next round" #1; confirmed by scripts/plan_window.py at the
+# r12 start — the census says 1 never-gated, 38@r8, 50@r9/r10/r11):
+#   slot 1      — wire_roundtrip, the only query with no driver evidence
+#                 (registered r11 per the r10 #5 demand: the full TCP
+#                 contract — u32-BE framing + insert-report envelope).
+#   slots 2-39  — the full remaining r8-green block (38 queries),
+#                 alphabetical: dedup_ngram_jaccard ... zscore_outliers,
+#                 including the §2 flagship verbs/transforms
+#                 (filter_transform, find_one, function_transform,
+#                 get_all, greater_than, less_than, union_transform).
+#                 This clears ALL r8 staleness: after r12 no query's
+#                 newest green is older than r9.
+#   slots 40-50 — the first 11 of the 50 r9-greens, alphabetical
+#                 (ann_knn_join ... cumulative_distinct), beginning the
+#                 r9 block's rotation.
 # Everything not in _WINDOW keeps its registration but lands in the tail;
 # tests/test_suite_registration.py enforces this layout.
 #
-# ROUND-12 ROTATION PLAN (committed now so the window discipline survives
-# judge turnover). After r11's gate, newest greens will be: 50@r11,
-# 50@r10, 50@r9, 38@r8 (the r8 block minus this window's 12, plus any
+# ROUND-13 ROTATION PLAN (committed now so the window discipline survives
+# judge turnover). After r12's gate, newest greens will be: 50@r12,
+# 50@r11, 50@r10, 39@r9 (the r9 block minus this window's 11, plus any
 # r12 registrations). The rule is unchanged:
-#   slots 1..k  — any query registered during round 11 with no driver
-#                 evidence yet, alphabetical (as of the r11 freeze:
-#                 wire_roundtrip — VERDICT r10 #5).
-#   next 38     — the remaining r8-green block, alphabetical:
-#                 dedup_ngram_jaccard, dedup_simhash_pairs,
-#                 delete_cascade, distinct_transform, events_hourly,
-#                 expr_arithmetic, expr_functions, filter_transform,
-#                 find_one, function_transform, get_all,
-#                 graph_components_star, greater_than, impute_docs,
-#                 interval_join, join_transform_diamond, kcore_parts,
-#                 less_than, multimodal_embed, multimodal_png_decode,
-#                 multimodal_wav_decode, pack_budget, pii_scrub,
-#                 sample_hash, sample_stratified, scd2_users,
-#                 semantic_dedup, sessionize, streaming_aggregate,
-#                 streaming_sessionize, struct_map_project,
-#                 text_repetition, tfidf_top_terms, token_bpe,
-#                 top_bigrams, union_transform, zorder_scan,
-#                 zscore_outliers.
-#                 (38 queries; with k=1 new that is 39 slots.)
-#   remainder   — oldest-first from the r9-green block, alphabetical
+#   slots 1..k  — any query registered during round 12 with no driver
+#                 evidence yet, alphabetical (as of the r12 freeze: none
+#                 planned — suite growth stays within gate capacity).
+#   next 39     — the remaining r9-green block, alphabetical:
+#                 dag_chain, decile_lift, dedup_jaccard,
+#                 dedup_lsh_candidates, dedup_minhash, dq_audit,
+#                 event_transitions, fk_discovery, funnel_latency,
+#                 fuzzy_join_edit, fuzzy_join_guarded, gini_spend,
+#                 interpolate_gapfill, kfold_split, label_prop_comms,
+#                 mad_outliers, merge_upsert, multimodal_dhash,
+#                 ohlc_hourly, pagerank_orders, pareto_front,
+#                 percentile_rank, record_linkage, rolling_wau,
+#                 rollup_cascade, session_paths, skipgram_pairs,
+#                 snapshot_diff_accounts, source_csv, source_jsonl,
+#                 streaming_dedup_watermark, streaming_late_data,
+#                 streaming_merge_upsert, streaming_windowed_distinct,
+#                 table_checksums, time_weighted_balance, trigram_search,
+#                 vocab_coverage, weighted_median_price.
+#                 (39 queries; with k=0 new that is 39 slots.)
+#   remainder   — oldest-first from the r10-green block, alphabetical
 #                 within equal staleness, until the 50 slots are full
-#                 (with k=1 that is the first 11 r9-greens). Regenerate
-#                 with scripts/plan_window.py after CORRECTNESS_r11 lands
+#                 (with k=0 that is the first 11 r10-greens). Regenerate
+#                 with scripts/plan_window.py after CORRECTNESS_r12 lands
 #                 — the program is authoritative, this list is the plan.
-# r13+ continues the same rule: new/never-gated first, then strictly
+# r14+ continues the same rule: new/never-gated first, then strictly
 # fewest-greens/stalest-first — every query re-greens at most 3 rounds
 # after its last gate.
 _WINDOW = (
-    # slots 1-4: round-10 additions, never driver-gated, alphabetical
-    "dsir_resample",
-    "insert_report",
-    "listen_fanout",
-    "txn_rollback",
-    # slots 5-38: the full remaining r7-green block, alphabetical
-    "kmeans_iterate",
-    "ks_drift",
-    "median_price",
-    "multimodal_jpeg_decode",
-    "ngram_novelty",
-    "phrase_search",
-    "pivot_priority",
-    "pq_rerank",
-    "regression_by_group",
-    "revenue_by_nation",
-    "rollup_orders",
-    "semi_join",
-    "set_ops",
-    "source_orc",
-    "source_partitioned",
-    "source_schema_evolution",
-    "span_dedup_rewrite",
-    "store_time_travel",
-    "stream_static_enrich",
-    "streaming_dedup",
-    "streaming_outer_join",
-    "streaming_sliding",
-    "streaming_stateful_totals",
-    "streaming_stream_join",
-    "streaming_timeout_sessions",
-    "streaming_tumbling",
-    "table_profile",
-    "textstats_transform",
-    "topk_transform",
-    "tpch_q1_like",
-    "triangle_count",
-    "unigram_logprob",
-    "wav_frame_features",
-    "winsorize_prices",
-    # slots 39-50: first twelve r8-greens, alphabetical
-    "action_transform",
-    "aggregation_transform",
-    "ann_ivf_topk",
-    "ann_sq8_topk",
-    "array_filter_dsl",
-    "bigram_logprob",
-    "bpe_train_batched",
-    "corpus_clean_cc",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_containment_zipf",
-    "dedup_exact",
+    # slot 1: the only never-driver-gated query (registered r11)
+    "wire_roundtrip",
+    # slots 2-39: the full remaining r8-green block, alphabetical
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "delete_cascade",
+    "distinct_transform",
+    "events_hourly",
+    "expr_arithmetic",
+    "expr_functions",
+    "filter_transform",
+    "find_one",
+    "function_transform",
+    "get_all",
+    "graph_components_star",
+    "greater_than",
+    "impute_docs",
+    "interval_join",
+    "join_transform_diamond",
+    "kcore_parts",
+    "less_than",
+    "multimodal_embed",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+    "pack_budget",
+    "pii_scrub",
+    "sample_hash",
+    "sample_stratified",
+    "scd2_users",
+    "semantic_dedup",
+    "sessionize",
+    "streaming_aggregate",
+    "streaming_sessionize",
+    "struct_map_project",
+    "text_repetition",
+    "tfidf_top_terms",
+    "token_bpe",
+    "top_bigrams",
+    "union_transform",
+    "zorder_scan",
+    "zscore_outliers",
+    # slots 40-50: first eleven r9-greens, alphabetical
+    "ann_knn_join",
+    "asof_forward",
+    "assoc_rules",
+    "bfs_hops",
+    "bloom_semi_join",
+    "bm25_topk",
+    "burst_detection",
+    "chunk_windows",
+    "cms_heavy_hitters",
+    "corpus_clean",
+    "cumulative_distinct",
 )
 assert len(_WINDOW) == 50
 
