@@ -301,14 +301,28 @@ def main() -> None:
     # the tail of a long line then lose the cheap rows, not the heavy ones
     # (BENCH_r04 lost 34 rows to front-truncation — VERDICT r4 #4)
     queries = dict(sorted(queries.items(), key=lambda kv: kv[1]))
+    # Payload layout (VERDICT r11 #2): the driver keeps only the TAIL of
+    # the stdout line, so the per-query seconds dict must be the LAST
+    # large object on it — BENCH_r11 lost every per-query wall because
+    # the full per-query load1 dict (~4.7 kB) sat between `queries` and
+    # the tail. The stdout payload now carries only a compact load1
+    # summary; the full per-query load1 dict lives in the dated RAW file
+    # (promote_bench.py gates on it) and, per query, in the canary
+    # sidecar lines. `queries` is appended LAST, just before print.
     payload = {
         "metric": "suite_wall",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
-        "queries": queries,
-        "load1": {n: loads[n] for n in queries if n in loads},
         "sf": sf,
     }
+    load_vals = sorted(loads[n] for n in queries if n in loads)
+    if load_vals:
+        payload["load1_summary"] = {
+            "n": len(load_vals),
+            "floor": round(load_vals[0], 2),
+            "median": round(statistics.median(load_vals), 2),
+            "max": round(load_vals[-1], 2),
+        }
     if canary_samples:
         # committed calm baseline lives in BASELINE.md. Normalize by the
         # session's p25, NOT its min: a fully-JIT-warm fluke sample can
@@ -370,15 +384,22 @@ def main() -> None:
     # file promote_bench.py can merge per-query (new queries get bench
     # rows without paying a full-suite run; absent queries keep their
     # committed medians).
+    # RAW file: the full record, including the per-query load1 dict that
+    # promote_bench.py's run-level floor gate reads. queries still last
+    # (cheapest-first) so a partial read degrades the same way stdout does.
     if only is None or "--raw" in sys.argv or "--quick" in sys.argv:
         suffix = ("" if only is None
                   else "-quick" if "--quick" in sys.argv else "-subset")
+        raw_payload = dict(payload)
+        raw_payload["load1"] = {n: loads[n] for n in queries if n in loads}
+        raw_payload["queries"] = queries
         try:
             with open(os.path.join(
                     evidence, f"BENCH_RAW_{run_stamp}{suffix}.json"), "w") as f:
-                json.dump(payload, f, indent=1)
+                json.dump(raw_payload, f, indent=1)
         except OSError:
             pass
+    payload["queries"] = queries  # LAST key — survives tail truncation
     print(json.dumps(payload))
 
 

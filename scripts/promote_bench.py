@@ -15,8 +15,10 @@ NEWER than the latest raw the previous promotion used are considered
 .bench_evidence/ is gitignored, so an unbounded default would let stale
 raw runs from before a code change keep feeding the medians
 indefinitely (ADVICE r9). After each successful promotion the evidence
-dir is pruned to the retention rule (sessions the committed record
-references + the ``KEEP_LAST_SESSIONS`` most recent — VERDICT r10 #7);
+dir is pruned to the retention rule (sessions cited anywhere in the
+committed records — BENCH_FULL.json including gated-out provenance,
+plus BASELINE.md prose citations (ADVICE r11 #2) — + the
+``KEEP_LAST_SESSIONS`` most recent — VERDICT r10 #7);
 ``--prune-only`` runs just that step, ``--no-prune`` skips it. Scale-leg raws at a different sf
 and solo subset/quick raws are additionally guarded out of committed
 in-suite medians (see inline notes). Gating is RUN-level: the per-query ``load1`` column is
@@ -54,6 +56,27 @@ _SESSION_RE = re.compile(r"^BENCH_[A-Z]+_(\d{8}-\d{6})")
 # prune in addition to every session the committed record references.
 KEEP_LAST_SESSIONS = 8
 
+# Canary gate (VERDICT r11 #7): the in-session fixed-cost canary is a
+# better contention signal than ambient load1 (BASELINE.md r11
+# calibration: calm full-suite sessions read 0.08-0.45 s absolute with
+# max_over_p25 <= ~2.5; a contended canary reads >1 s). A raw whose own
+# canary block exceeds either bound ran inside a load window — its
+# seconds must not feed the committed medians even if its load1 floor
+# squeaked under the ambient gate (the floor is sampled at query START;
+# a window opening mid-suite dodges it). Raws without a canary block
+# (pre-r11) fall through to the load1 gate alone.
+CANARY_MAX_OVER_P25 = 3.5
+CANARY_MAX_SEC = 1.0
+
+# Any UTC session stamp cited anywhere in a committed record — the
+# promotion provenance of BENCH_FULL.json (raw_files_used AND
+# raw_files_gated_out: a gated-out raw is arbitration evidence) or the
+# prose of BASELINE.md (RAW/MMPROF/CANARY citations in scale and
+# adjudication sections) — must survive pruning forever (ADVICE r11 #2).
+# NOT \b-anchored: stamps appear after underscores (BENCH_RAW_<stamp>)
+# and \b does not match between word chars; digit lookarounds instead.
+_ANY_STAMP_RE = re.compile(r"(?<![0-9])(\d{8}-\d{6})(?![0-9])")
+
 
 def _run_stamp(path_or_name: str):
     """UTC run stamp embedded in a raw record's filename, or None."""
@@ -73,9 +96,13 @@ def prune_evidence(evidence_dir: str, full_path: str,
     """Bound .bench_evidence growth (VERDICT r10 #7 / ADVICE r9 #4).
 
     Retention rule: an artifact survives iff its session stamp is
-    (a) referenced by the committed record's promotion provenance
-    (``BENCH_FULL.json promotion.raw_files_used``) — the sessions whose
-    medians ARE the committed record must stay auditable forever — or
+    (a) cited ANYWHERE in a committed record — the full text of
+    ``BENCH_FULL.json`` (which covers ``promotion.raw_files_used`` and
+    ``promotion.raw_files_gated_out``: gated-out raws are the
+    arbitration evidence for WHY they were excluded) or of
+    ``BASELINE.md`` next to it (scale-leg and adjudication sections
+    cite RAW/MMPROF/CANARY stamps in prose) — cited sessions must stay
+    auditable forever (ADVICE r11 #2) — or
     (b) among the ``keep_last`` most recent session stamps present in
     the directory (un-promoted evidence from recent iteration), or
     (c) not a bench session artifact at all (unknown names are never
@@ -88,13 +115,12 @@ def prune_evidence(evidence_dir: str, full_path: str,
     if not os.path.isdir(evidence_dir):
         return summary
     referenced: set[str] = set()
-    if os.path.exists(full_path):
-        with open(full_path) as f:
-            prom = json.load(f).get("promotion", {})
-        for name in prom.get("raw_files_used", []):
-            st = _run_stamp(name)
-            if st:
-                referenced.add(st)
+    cited_docs = [full_path,
+                  os.path.join(os.path.dirname(full_path), "BASELINE.md")]
+    for doc in cited_docs:
+        if os.path.exists(doc):
+            with open(doc) as f:
+                referenced.update(_ANY_STAMP_RE.findall(f.read()))
     entries = sorted(os.listdir(evidence_dir))
     stamps = sorted({s for s in (_session_stamp(e) for e in entries) if s})
     recent = set(stamps[-keep_last:]) if keep_last > 0 else set()
@@ -215,6 +241,19 @@ def main() -> None:
         floor = min(loads.values()) if loads else None
         if floor is None or floor > gate:
             gated_out.append(os.path.basename(path))
+            continue
+        # In-session canary gate (VERDICT r11 #7): the session's OWN
+        # fixed-cost samples out-rank the ambient floor — a window that
+        # opens mid-suite inflates the canary even when the start-of-run
+        # load1 floor passed.
+        canary = rec.get("canary") or {}
+        c_ratio = canary.get("max_over_p25")
+        c_max = canary.get("max_sec")
+        if ((c_ratio is not None and c_ratio > CANARY_MAX_OVER_P25)
+                or (c_max is not None and c_max > CANARY_MAX_SEC)):
+            gated_out.append(
+                os.path.basename(path)
+                + f" (canary max_over_p25={c_ratio}, max_sec={c_max})")
             continue
         used.append(os.path.basename(path))
         sf = rec_sf if sf is None else sf

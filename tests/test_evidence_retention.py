@@ -90,14 +90,22 @@ def test_prune_only_cli_and_missing_dir(tmp_path, monkeypatch, capsys):
 
 
 def test_promotion_runs_prune_by_default(tmp_path, monkeypatch, capsys):
-    """After a successful promotion the prune fires automatically, and
-    the raw the promotion itself just used is in the referenced set."""
+    """After a successful promotion the prune fires automatically; the
+    raw the promotion just used AND the raws it gated out (arbitration
+    evidence — ADVICE r11 #2) are in the referenced set, so only
+    sessions absent from the committed provenance age out by recency."""
     mod = _load_mod()
     ev = tmp_path / ".bench_evidence"
     ev.mkdir()
-    # 9 old unreferenced sessions + 1 fresh raw to promote
+    # 9 old sessions that the promotion will gate out (no load1 floor)
     for i in range(9):
         _mk_session(ev, f"20200101-00000{i}")
+    # 2 even-older sessions with NO raw file at all (canary/profiler
+    # orphans from killed runs): never referenced by any provenance
+    for i in range(2):
+        stamp = f"20190101-00000{i}"
+        (ev / f"BENCH_CANARY_{stamp}.jsonl").write_text("")
+        (ev / f"BENCH_STREAMPROF_{stamp}.jsonl").write_text("")
     fresh = "20990101-000000"
     (ev / f"BENCH_RAW_{fresh}.json").write_text(json.dumps(
         {"queries": {"q": 2.0}, "load1": {"q": 1.0}, "sf": 0.1}))
@@ -107,12 +115,18 @@ def test_promotion_runs_prune_by_default(tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out)
     # only the fresh raw has samples; the 9 empty ones are load-gated out
     assert out["runs_used"] == 1
-    # retention after the promotion: referenced = {fresh}, recent = the 8
-    # newest stamps -> the 2 oldest sessions (4 artifacts each) are gone
-    assert out["pruned"] == 2 * 4
+    # retention after the promotion: the fresh raw is used, the 9 gated
+    # raws are cited in raw_files_gated_out (kept — ADVICE r11 #2); only
+    # the 2 orphan sessions (2 artifacts each) are prunable, and they
+    # fall outside the 8 most recent of the 12 stamps present
+    assert out["pruned"] == 2 * 2
     full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
     assert f"BENCH_RAW_{fresh}.json" in full["promotion"]["raw_files_used"]
+    # every gated-out session's artifacts survive
+    for i in range(9):
+        assert any(e.startswith(f"BENCH_RAW_20200101-00000{i}")
+                   for e in os.listdir(ev)), i
     left = sorted(os.listdir(ev))
     assert f"BENCH_RAW_{fresh}.json" in left
-    assert not any("20200101-000000" in e or "20200101-000001" in e
-                   for e in left)
+    # the orphan sessions (no raw, no citation) are the ones that aged out
+    assert not any("20190101-" in e for e in left)
