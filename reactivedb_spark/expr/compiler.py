@@ -134,6 +134,20 @@ _CMP = {
 }
 
 
+def _comparable_elems(le: T.DataType, re_: T.DataType) -> bool:
+    """Element-type comparability for array comparisons (ADVICE r11 #1):
+    both numeric (promotable), or same class — recursing into nested
+    arrays so Array(Array(Integer)) vs Array(Array(Str)) also fails at
+    compile time rather than as a Spark AnalysisException."""
+    if is_numeric(le) and is_numeric(re_):
+        return True
+    if type(le) is not type(re_):
+        return False
+    if isinstance(le, T.ArrayType):
+        return _comparable_elems(le.elementType, re_.elementType)
+    return isinstance(le, (T.StringType, T.BooleanType)) or le == re_
+
+
 def _compare(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
     # Reference defines comparisons for Integer, Str, Array (lexicographic)
     # and ==/!= for Bool (config/types.rs:8-42); we additionally allow
@@ -160,6 +174,15 @@ def _compare(op: str, lt: TypedColumn, rt: TypedColumn) -> TypedColumn:
         raise ExpressionError(
             f"operator {op!r} not defined for {lt.dtype.simpleString()} "
             f"and {rt.dtype.simpleString()}")
+    elif isinstance(lt.dtype, T.ArrayType) and not _comparable_elems(
+            lt.dtype.elementType, rt.dtype.elementType):
+        # ADVICE r11 #1: the outer-class check alone let Array(Integer)
+        # vs Array(Str) through to a Spark AnalysisException at run time,
+        # contradicting the typed-COMPILE-error contract; element types
+        # must be comparable too (recursively, for nested arrays).
+        raise ExpressionError(
+            f"operator {op!r} not defined for {lt.dtype.simpleString()} "
+            f"and {rt.dtype.simpleString()} (element types differ)")
     return TypedColumn(_CMP[op](lc, rc), T.BooleanType())
 
 

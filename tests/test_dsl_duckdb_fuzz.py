@@ -230,15 +230,23 @@ CREATE MACRO idiv(a, b) AS
   CASE WHEN b = 0 THEN NULL ELSE a // b END;
 CREATE MACRO ddiv(a, b) AS
   CASE WHEN b = 0 THEN NULL ELSE a / b END;
-CREATE MACRO fl18(c) AS CASE
+CREATE MACRO lguard(v) AS CASE
+  WHEN v IS NULL THEN NULL
+  WHEN v >= {2 ** 63} OR v < -{2 ** 63} THEN NULL
+  ELSE v END;
+CREATE MACRO fl18(c) AS lguard(CASE
   WHEN c IS NULL THEN NULL
   WHEN c < 0 AND c % {P18} <> 0 THEN c // {P18} - 1
-  ELSE c // {P18} END;
-CREATE MACRO ce18(c) AS CASE
+  ELSE c // {P18} END);
+CREATE MACRO ce18(c) AS lguard(CASE
   WHEN c IS NULL THEN NULL
   WHEN c > 0 AND c % {P18} <> 0 THEN c // {P18} + 1
-  ELSE c // {P18} END;
+  ELSE c // {P18} END);
 """
+# lguard (ADVICE r11 #4): the compiler's floor/ceil emit
+# try_cast('long') — NULL when |result| >= 2^63. Unreachable at the
+# current leaf magnitude bounds (~1e16), but the guard keeps the oracle
+# faithful if leaf bounds or expression depth are ever widened.
 
 
 def _tr(e: Expr, nodes: list, prefix: str) -> tuple[str, str, int]:
