@@ -54,15 +54,78 @@ class ParquetSnapshotStore:
                 meta = json.load(f)
             self._versions.update({k: int(v) for k, v in meta.get("versions", {}).items()})
             self._epochs.update({k: int(v) for k, v in meta.get("epochs", {}).items()})
+            self._recover(meta.get("files", {}))
         except (FileNotFoundError, ValueError):
             pass
+
+    def _list_rel(self, path: str) -> set[str]:
+        """Relative paths of every parquet file under ``path`` (covers
+        partitioned layouts: ``col=v/part-*.parquet``)."""
+        out: set[str] = set()
+        if not os.path.isdir(path):
+            return out
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(f if rel == "." else os.path.join(rel, f))
+        return out
+
+    def _recover(self, manifests: dict) -> None:
+        """Crash recovery (VERDICT r11 #4). The commit protocol is:
+        (1) stage/append/replace writes land on disk, (2) ``end_commit``
+        flips the durable pointer by atomically rewriting ``meta.json``
+        (``os.replace``). A process killed between (1) and (2) leaves
+        orphans the old meta does not reference:
+
+        - version dirs NEWER than the committed pointer (a crashed
+          ``replace``/``replace_partitions`` flip) — also dirs older
+          than ``current-1`` whose deferred ``pending_rm`` never ran;
+        - parquet files appended into the CURRENT version dir
+          (``append_delta`` writes in place; without the manifest a
+          fresh engine would read the half-committed delta);
+        - the ``_staging`` scratch tree.
+
+        All are reaped here, restoring the exact pre-commit snapshot for
+        every table. Runs once, on open, BEFORE any read; opening a
+        workspace while another live engine is mid-commit is undefined
+        (single-writer ownership, as in the reference server). Tables
+        absent from the manifest (legacy meta) keep their files — only
+        positively-identified orphans are deleted."""
+        for name, version in self._versions.items():
+            tdir = os.path.join(self.root, name)
+            if os.path.isdir(tdir):
+                keep = {f"v{version:06d}", f"v{version - 1:06d}"}
+                for d in os.listdir(tdir):
+                    if (d.startswith("v") and d[1:].isdigit()
+                            and d not in keep):
+                        shutil.rmtree(os.path.join(tdir, d),
+                                      ignore_errors=True)
+            if name not in manifests:
+                continue
+            cur = self._dir(name, version)
+            committed = set(manifests[name])
+            for rel in self._list_rel(cur) - committed:
+                try:
+                    os.remove(os.path.join(cur, rel))
+                except OSError:
+                    pass
+        shutil.rmtree(os.path.join(self.root, "_staging"), ignore_errors=True)
 
     def save_meta(self) -> None:
         import json
 
+        # The per-table committed-file manifest is recomputed from disk at
+        # every commit point (tables are few and file counts are bounded by
+        # auto-compaction, so the walk is microseconds): whatever is in the
+        # current version dir NOW is, by definition, the committed state
+        # this meta describes. _recover() deletes anything beyond it.
+        files = {name: sorted(self._list_rel(self._dir(name)))
+                 for name in self._versions}
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"versions": self._versions, "epochs": self._epochs}, f)
+            json.dump({"versions": self._versions, "epochs": self._epochs,
+                       "files": files}, f)
         os.replace(tmp, self._meta_path())
 
     # -- streaming epoch ledger (the Delta txnAppId/txnVersion analogue:

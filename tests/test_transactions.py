@@ -154,3 +154,88 @@ def F_col_x():
     from pyspark.sql import functions as F
 
     return F.col("id").alias("x")
+
+
+class TestCrashRecovery:
+    def test_kill_between_bucket_write_and_pointer_flip(self, spark, tmp_path):
+        """Fault injection (VERDICT r11 #4): a subprocess engine commits a
+        baseline, then dies (os._exit) INSIDE its second commit — after
+        every staged/appended bucket write and in-memory version flip,
+        but before the durable meta.json pointer flip. A fresh engine
+        over the same workspace must read the pre-crash committed state
+        for EVERY table, reap the orphan staging tree, and hold no
+        version dirs beyond the committed pointers."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        ws = str(tmp_path / "ws")
+        child = os.path.join(os.path.dirname(__file__), "crash_commit_child.py")
+        proc = subprocess.run(
+            [sys.executable, child, ws],
+            capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 42, proc.stderr[-2000:]
+
+        tables_root = os.path.join(ws, "tables")
+        # the crashed commit left orphans on disk that meta does not see
+        with open(os.path.join(tables_root, "meta.json")) as f:
+            meta = json.load(f)
+        orphans = []
+        for name, version in meta["versions"].items():
+            tdir = os.path.join(tables_root, name)
+            cur = os.path.join(tdir, f"v{int(version):06d}")
+            on_disk = set()
+            for root, _d, fs in os.walk(cur):
+                for fname in fs:
+                    if fname.endswith(".parquet"):
+                        rel = os.path.relpath(os.path.join(root, fname), cur)
+                        on_disk.add(rel)
+            extra_files = on_disk - set(meta["files"][name])
+            extra_dirs = [d for d in os.listdir(tdir)
+                          if d.startswith("v") and d[1:].isdigit()
+                          and int(d[1:]) > int(version)] if os.path.isdir(tdir) else []
+            if extra_files or extra_dirs:
+                orphans.append(name)
+        assert orphans, "crash left no orphans — the injection missed the window"
+
+        from tests.crash_commit_child import CFG
+
+        eng = Engine(spark, CFG, workspace=ws)
+        # pre-commit state for EVERY table: baseline rows only
+        users = {(r["uid"], r["score"]) for r in eng.table("users").collect()}
+        assert users == {(1, 5), (2, 50)}
+        big = {(r["uid"], r["score"]) for r in eng.table("big").collect()}
+        assert big == {(2, 50)}
+        totals = {(r["aggregatedColumn"], r["n"])
+                  for r in eng.table("totals").collect()}
+        assert totals == {(1, 1), (2, 1)}
+        # orphan staging reaped
+        assert not os.path.isdir(os.path.join(tables_root, "_staging"))
+        # no version dirs beyond (or more than one behind) the committed pointer
+        for name, version in meta["versions"].items():
+            tdir = os.path.join(tables_root, name)
+            if not os.path.isdir(tdir):
+                continue
+            vs = sorted(int(d[1:]) for d in os.listdir(tdir)
+                        if d.startswith("v") and d[1:].isdigit())
+            assert all(int(version) - 1 <= v <= int(version) for v in vs), (name, vs)
+        # and no orphan files inside any current version dir
+        for name, version in meta["versions"].items():
+            cur = os.path.join(tables_root, name, f"v{int(version):06d}")
+            on_disk = set()
+            for root, _d, fs in os.walk(cur):
+                for fname in fs:
+                    if fname.endswith(".parquet"):
+                        on_disk.add(os.path.relpath(os.path.join(root, fname), cur))
+            assert on_disk <= set(meta["files"][name]), name
+
+        # the recovered engine stays fully usable: the lost commit can be
+        # replayed and cascades as if the crash never happened
+        eng.insert("users", [{"uid": 3, "score": 99}, {"uid": 1, "score": 7}])
+        assert eng.table("users").count() == 4
+        assert {(r["uid"], r["score"]) for r in eng.table("big").collect()} == \
+            {(2, 50), (3, 99)}
+        assert {(r["aggregatedColumn"], r["n"])
+                for r in eng.table("totals").collect()} == \
+            {(1, 2), (2, 1), (3, 1)}
