@@ -35,33 +35,68 @@ def _err(msg: str) -> dict:
     return {"Err": msg}
 
 
+def _malformed(detail: str, rid=None) -> dict:
+    return {"RequestResponse": {"request_id": rid,
+                                "response": {"NoResult": _err(detail)}}}
+
+
 class _Handler(socketserver.BaseRequestHandler):
+    # Robustness contract (VERDICT r11 #5; the reference survives garbage
+    # by process isolation — ours must not kill the handler thread or
+    # hang the accept loop): truncated frames and mid-frame disconnects
+    # are clean EOFs; garbage JSON in a well-framed body gets an error
+    # response and the connection CONTINUES (the frame was fully
+    # consumed, so framing stays in sync); an oversized declared length
+    # gets an error response then a drop (the declared bytes were never
+    # read — no way to resync); malformed envelopes and unknown Query
+    # variants get error responses. A subsequent well-formed request
+    # must always answer.
     def handle(self) -> None:
         server: "ReactiveDBServer" = self.server.owner  # type: ignore[attr-defined]
         sock: socket.socket = self.request
         send_lock = threading.Lock()
         try:
             while True:
-                req = wire.read_frame(sock)
+                try:
+                    req = wire.read_frame(sock)
+                except wire.FrameTooLarge as e:
+                    with send_lock:
+                        wire.write_frame(sock, _malformed(str(e)))
+                    return
+                except (ValueError, UnicodeDecodeError) as e:
+                    # JSONDecodeError subclasses ValueError; plain
+                    # ValueError covers the JSON-null frame
+                    with send_lock:
+                        wire.write_frame(sock, _malformed(f"invalid JSON: {e}"))
+                    continue
                 if req is None:
                     return
-                msg = self._dispatch(server, req, sock, send_lock)
+                try:
+                    msg = self._dispatch(server, req, sock, send_lock)
+                except Exception as e:  # envelope shape surprises
+                    msg = _malformed(f"malformed request: {type(e).__name__}: {e}")
                 if msg is not None:
                     with send_lock:
                         wire.write_frame(sock, msg)
         except (ConnectionResetError, BrokenPipeError, OSError):
             return
 
-    def _dispatch(self, server: "ReactiveDBServer", req: dict,
+    def _dispatch(self, server: "ReactiveDBServer", req,
                   sock: socket.socket, send_lock: threading.Lock) -> Optional[dict]:
+        if not isinstance(req, dict):
+            return _malformed(f"request must be an object, got {type(req).__name__}")
         if "StartListen" in req:
             body = req["StartListen"]
-            server.subscribe(body["table_name"], body["event"], sock, send_lock)
+            try:
+                server.subscribe(body["table_name"], body["event"], sock, send_lock)
+            except Exception as e:
+                return _malformed(f"StartListen failed: {type(e).__name__}: {e}")
             return None  # reference sends nothing on subscribe
         if "Query" not in req:
-            return {"RequestResponse": {"request_id": None,
-                                        "response": {"NoResult": _err("malformed request")}}}
+            return _malformed("malformed request")
         qreq = req["Query"]
+        if not isinstance(qreq, dict):
+            return _malformed("Query body must be an object")
         rid = qreq.get("request_id")
         try:
             response = server.run_query(qreq["query"])

@@ -141,3 +141,119 @@ class TestWireProtocol:
         entries = ev["value"]["ManyResults"]["Ok"]
         assert len(entries) == 1
         assert entries[0]["matchingKey"] == {"Str": "Zoe"}
+
+
+class TestWireRobustnessFuzz:
+    """VERDICT r11 #5: the server must survive garbage without dying or
+    hanging the accept loop — truncated frames, oversized u32 lengths,
+    invalid JSON, malformed envelopes, unknown Query variants, mid-frame
+    disconnects. Contract: error response (or clean connection drop for
+    unresyncable streams), and a subsequent well-formed request always
+    answers."""
+
+    @staticmethod
+    def _well_formed_still_answers(server):
+        c = RefStyleClient(server.host, server.port)
+        r = c.find_one("users", "age", 1)
+        assert "OneResult" in r
+        c.sock.close()
+
+    def test_invalid_json_gets_error_and_connection_survives(self, server):
+        s = socket.create_connection((server.host, server.port))
+        for garbage in (b"not json at all", b"{truncated", b"\xff\xfe\x00"):
+            s.sendall(struct.pack(">I", len(garbage)) + garbage)
+            resp = _recv_frame(s)
+            assert "Err" in resp["RequestResponse"]["response"]["NoResult"]
+        # SAME connection still answers a well-formed request after garbage
+        body = json.dumps({"Query": {"request_id": "r1", "query": {
+            "FindOne": {"table": "users", "column": "age",
+                        "key": {"Integer": 1}}}}}).encode()
+        s.sendall(struct.pack(">I", len(body)) + body)
+        resp = _recv_frame(s)
+        assert resp["RequestResponse"]["request_id"] == "r1"
+        s.close()
+
+    def test_oversized_length_is_refused_then_dropped(self, server):
+        s = socket.create_connection((server.host, server.port))
+        s.sendall(struct.pack(">I", 0xFFFFFFFF))
+        resp = _recv_frame(s)
+        assert "exceeds cap" in str(resp)
+        # the connection is dropped (no resync possible) — read EOF
+        assert s.recv(4) == b""
+        s.close()
+        self._well_formed_still_answers(server)
+
+    def test_mid_frame_disconnect_and_truncated_header(self, server):
+        # header only, then disconnect
+        s = socket.create_connection((server.host, server.port))
+        s.sendall(struct.pack(">I", 100))
+        s.close()
+        # partial header, then disconnect
+        s = socket.create_connection((server.host, server.port))
+        s.sendall(b"\x00\x00")
+        s.close()
+        # partial body, then disconnect
+        s = socket.create_connection((server.host, server.port))
+        s.sendall(struct.pack(">I", 50) + b'{"Query": {')
+        s.close()
+        self._well_formed_still_answers(server)
+
+    def test_malformed_envelopes_get_error_responses(self, server):
+        s = socket.create_connection((server.host, server.port))
+        cases = [
+            "[1, 2, 3]",                       # non-object request
+            '"just a string"',
+            "42",
+            "null",
+            '{"Nonsense": {}}',                # unknown envelope
+            '{"Query": 7}',                    # non-object Query body
+            '{"Query": {}}',                   # missing query field
+            '{"Query": {"request_id": "x", "query": null}}',
+            '{"Query": {"request_id": "x", "query": {"Frobnicate": {}}}}',
+            '{"Query": {"request_id": "x", "query": {"FindOne": {}}}}',
+            '{"Query": {"request_id": "x", "query": {"FindOne": '
+            '{"table": "users", "column": "age", "key": {"Bad": 1}}}}}',
+            '{"StartListen": {}}',             # missing fields
+            '{"StartListen": 5}',
+        ]
+        for raw in cases:
+            body = raw.encode()
+            s.sendall(struct.pack(">I", len(body)) + body)
+            resp = _recv_frame(s)
+            response = resp["RequestResponse"]["response"]
+            assert "Err" in response.get("NoResult", {}), (raw, resp)
+        # connection survived all of it
+        body = json.dumps({"Query": {"request_id": "ok", "query": {
+            "FindOne": {"table": "users", "column": "age",
+                        "key": {"Integer": 1}}}}}).encode()
+        s.sendall(struct.pack(">I", len(body)) + body)
+        resp = _recv_frame(s)
+        assert resp["RequestResponse"]["request_id"] == "ok"
+        s.close()
+
+    def test_random_byte_fuzz_never_kills_the_server(self, server):
+        import random
+
+        rng = random.Random(0xBEEF)
+        for _i in range(40):
+            s = socket.create_connection((server.host, server.port))
+            n = rng.randrange(0, 64)
+            blob = bytes(rng.randrange(256) for _ in range(n))
+            try:
+                s.sendall(blob)
+            except OSError:
+                pass
+            s.close()
+        self._well_formed_still_answers(server)
+
+
+def _recv_frame(sock):
+    header = sock.recv(4, socket.MSG_WAITALL)
+    assert len(header) == 4
+    (size,) = struct.unpack(">I", header)
+    buf = b""
+    while len(buf) < size:
+        chunk = sock.recv(size - len(buf))
+        assert chunk, "connection closed mid-frame"
+        buf += chunk
+    return json.loads(buf.decode())
