@@ -131,6 +131,7 @@ def merge_with_state(
     mtypes = memo_types(cfg, parent_schema)
     o = state_rows.select(
         F.col(C.AGGREGATED_COLUMN).alias("_k"),
+        F.lit(True).alias("_matched"),
         *[F.col(st.dest).alias(f"_o_{st.dest}") for st in cfg.functions],
     )
     merged = delta_groups.join(o, delta_groups[C.AGGREGATED_COLUMN] == o["_k"], "left")
@@ -138,10 +139,14 @@ def merge_with_state(
     for st in cfg.functions:
         kind, _term = plan[st.dest]
         if kind == "sum":
-            cur[st.dest] = (
-                F.coalesce(F.col(f"_o_{st.dest}"), F.lit(0).cast(mtypes[st.dest]))
-                + F.col(st.dest)
-            ).cast(mtypes[st.dest])
+            # _matched (never-null marker), NOT coalesce on the value:
+            # a NULL in prior state means the fold is poisoned and must
+            # STAY NULL (r12 fold-fuzz finding); only a join miss (no
+            # prior group row) initializes at 0.
+            old = F.when(F.col("_matched").isNull(),
+                         F.lit(0).cast(mtypes[st.dest])
+                         ).otherwise(F.col(f"_o_{st.dest}"))
+            cur[st.dest] = (old + F.col(st.dest)).cast(mtypes[st.dest])
         elif kind == "last":
             cur[st.dest] = F.col(st.dest)  # delta rows are strictly newer
     for st in cfg.functions:
@@ -175,7 +180,33 @@ def compute_groups(cfg: AggregationTransformConfig, parent_rows: DataFrame) -> D
             kind, term = plan[st.dest]
             if kind == "sum":
                 tc = compile_expr(term, schema)
-                aggs.append(F.sum(tc.col).cast(mtypes[st.dest]).alias(st.dest))
+                col = tc.col
+                if isinstance(mtypes[st.dest], T.DecimalType):
+                    # Per-add operand coercion parity (r12 fold-fuzz
+                    # finding #3): the fold computes memo + term with BOTH
+                    # operands HALF_UP-coerced to decimal(19,9) (the DSL's
+                    # declared operand contract, expr/compiler.py) — so
+                    # each TERM rounds to 9 fractional digits before it
+                    # accumulates, and the running value stays scale-9
+                    # exact. A bare F.sum of the full-scale (38,18) terms
+                    # kept low-order digits the fold had already shed.
+                    # try_cast: term |value| >= 1e10 coerces to NULL in
+                    # the fold too. Residual declared divergence: a
+                    # mid-sequence |memo| >= 1e10 that RE-ENTERS range
+                    # NULLs the fold but not this sum — unreachable
+                    # without |Σ| >= 1e10 crossings, and the general fold
+                    # path remains the exact-semantics fallback.
+                    col = col.try_cast(T.DecimalType(19, 9))
+                # NULL-poisoning parity (r12 fold-fuzz finding): the
+                # reference fold computes memo + term sequentially, so ONE
+                # NULL term makes the memo NULL for the rest of the group;
+                # a bare F.sum would SKIP null terms and diverge. count()
+                # counts all rows, count(term) non-null terms — any gap
+                # means the fold would have poisoned the accumulator.
+                aggs.append(
+                    F.when(F.count(F.lit(1)) == F.count(col),
+                           F.sum(col))
+                    .cast(mtypes[st.dest]).alias(st.dest))
             elif kind == "last":
                 tc = compile_expr(term, schema)
                 aggs.append(_last_agg(tc.col).cast(mtypes[st.dest]).alias(st.dest))
@@ -201,15 +232,31 @@ def compute_groups(cfg: AggregationTransformConfig, parent_rows: DataFrame) -> D
         F.col(C.SEQ).alias("_s"), *[F.col(c).alias(c) for c in needed]
     )
     arr = F.array_sort(F.collect_list(row_struct))
+    # NULL-safe accumulator encoding (r12 fold-fuzz finding): Spark's
+    # aggregate() with a STRUCT accumulator silently rewrites a NULL
+    # field to the field's zero value when materializing the struct
+    # (reproduced in both the Column and SQL forms on 4.1.x; a SCALAR
+    # accumulator propagates NULL correctly). A memo poisoned by a NULL
+    # term therefore "recovered" to 0 mid-fold. Each memo field is
+    # stored as a never-NULL pair — `<d>__n` (is-null flag) + `<d>__v`
+    # (value, 0 when null) — so the struct never carries a NULL field;
+    # memo refs decode the pair, the final projection re-encodes NULL.
     init = F.struct(
-        *[F.lit(0).cast(mtypes[st.dest]).alias(st.dest) for st in cfg.functions]
+        *[c for st in cfg.functions for c in (
+            F.lit(False).alias(f"{st.dest}__n"),
+            F.lit(0).cast(mtypes[st.dest]).alias(f"{st.dest}__v"))]
     )
 
     def step(acc: Column, x: Column) -> Column:
         # Left-to-right per-row assignment updates, each seeing the memo
         # values already updated by earlier assignments on the same row
         # (transform.rs:250-266).
-        cur: dict[str, Column] = {st.dest: acc[st.dest] for st in cfg.functions}
+        cur: dict[str, Column] = {
+            st.dest: F.when(acc[f"{st.dest}__n"],
+                            F.lit(None).cast(mtypes[st.dest])
+                            ).otherwise(acc[f"{st.dest}__v"])
+            for st in cfg.functions
+        }
 
         def resolver(m: MemoRef) -> TypedColumn:
             if m.name not in cur:
@@ -224,13 +271,19 @@ def compute_groups(cfg: AggregationTransformConfig, parent_rows: DataFrame) -> D
                 column_resolver=lambda name, _dt: x[name],
             )
             cur[st.dest] = tc.col.cast(mtypes[st.dest])
-        return F.struct(*[cur[st.dest].alias(st.dest) for st in cfg.functions])
+        return F.struct(*[c for st in cfg.functions for c in (
+            cur[st.dest].isNull().alias(f"{st.dest}__n"),
+            F.coalesce(cur[st.dest], F.lit(0).cast(mtypes[st.dest]))
+            .alias(f"{st.dest}__v"))])
 
     folded = F.aggregate(arr, init, step).alias("_m")
     out = parent_rows.groupBy(
         F.col(cfg.aggregated_column).alias(C.AGGREGATED_COLUMN)
     ).agg(*base, folded)
     cols = [C.SOURCE_ENTRY_ID, C.SEQ, C.AGGREGATED_COLUMN] + [
-        F.col("_m")[st.dest].alias(st.dest) for st in cfg.functions
+        F.when(F.col("_m")[f"{st.dest}__n"],
+               F.lit(None).cast(mtypes[st.dest]))
+        .otherwise(F.col("_m")[f"{st.dest}__v"]).alias(st.dest)
+        for st in cfg.functions
     ]
     return out.select(*cols)

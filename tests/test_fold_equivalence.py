@@ -51,8 +51,14 @@ def _random_cfg(rng: random.Random) -> AggregationTransformConfig:
 
 
 def _rows_df(spark, rng: random.Random, n=200, keys=7):
+    # ~8% NULLs per value column: the fold NULL-poisons the accumulator
+    # from the first NULL term on, and the native path must reproduce
+    # that exactly (r12 fold-fuzz finding: bare F.sum silently SKIPPED
+    # null terms, diverging from the reference's sequential semantics)
     rows = [
-        (f"e{i}", i + 1, i % keys, rng.randint(-50, 100), rng.randint(-20, 60))
+        (f"e{i}", i + 1, i % keys,
+         None if rng.random() < 0.08 else rng.randint(-50, 100),
+         None if rng.random() < 0.08 else rng.randint(-20, 60))
         for i in range(n)
     ]
     return spark.createDataFrame(
