@@ -220,10 +220,21 @@ def parse_transform(spec, name: str):
             raise ConfigError(f"table {name}: UnionTransform needs >=1 parent")
         return UnionTransformConfig(pairs)
     if kind == "AggregationTransform":
+        functions = _parse_assignments(body["functions"], name)
+        for st in functions:
+            # The incremental merge plan joins prior state on internal
+            # columns `_k` / `_matched` / `_o_<dest>` (aggregation.py);
+            # a user dest with one of those names would make the merged
+            # frame's column references ambiguous at runtime (ADVICE r12).
+            if st.dest in ("_k", "_matched") or st.dest.startswith("_o_"):
+                raise ConfigError(
+                    f"table {name}: aggregation dest {st.dest!r} collides "
+                    "with internal merge columns (_k, _matched, _o_*)"
+                )
         return AggregationTransformConfig(
             body["source_table"],
             body["aggregated_column"],
-            _parse_assignments(body["functions"], name),
+            functions,
         )
     if kind == "ActionTransform":
         return ActionTransformConfig(body["name"], body["source_table"])

@@ -142,11 +142,27 @@ def merge_with_state(
             # _matched (never-null marker), NOT coalesce on the value:
             # a NULL in prior state means the fold is poisoned and must
             # STAY NULL (r12 fold-fuzz finding); only a join miss (no
-            # prior group row) initializes at 0.
-            old = F.when(F.col("_matched").isNull(),
+            # prior group row) initializes at 0. Internal columns are
+            # referenced through the `o` handle, never by bare name —
+            # config.py additionally rejects colliding dests (ADVICE r12).
+            old = F.when(o["_matched"].isNull(),
                          F.lit(0).cast(mtypes[st.dest])
-                         ).otherwise(F.col(f"_o_{st.dest}"))
-            cur[st.dest] = (old + F.col(st.dest)).cast(mtypes[st.dest])
+                         ).otherwise(o[f"_o_{st.dest}"])
+            new = F.col(st.dest)
+            if isinstance(mtypes[st.dest], T.DecimalType):
+                # Per-add operand coercion parity with compute_groups
+                # (ADVICE r12): the fold contract coerces BOTH add
+                # operands to decimal(19,9) HALF_UP, NULLing on
+                # |value| >= 1e10 — so the merge's old+delta add applies
+                # the same guard to each operand. Residual declared
+                # divergence (same class as compute_groups): delta_sum
+                # is an aggregated addend, so a mid-DELTA |memo| >= 1e10
+                # crossing that re-enters range NULLs the true sequential
+                # fold but not this merge; the general fold path remains
+                # the exact-semantics fallback.
+                old = old.try_cast(T.DecimalType(19, 9))
+                new = new.try_cast(T.DecimalType(19, 9))
+            cur[st.dest] = (old + new).cast(mtypes[st.dest])
         elif kind == "last":
             cur[st.dest] = F.col(st.dest)  # delta rows are strictly newer
     for st in cfg.functions:

@@ -273,8 +273,12 @@ class ParquetSnapshotStore:
                 self._txn["compact"].add(name)
         return delta, n
 
-    def append(self, name: str, materialized: DataFrame) -> None:
-        materialized.write.mode("append").parquet(self._dir(name))
+    # INVARIANT: every path that lands files in a table's CURRENT version
+    # dir must be followed by save_meta() (normally via end_commit) before
+    # the engine is considered quiescent — _recover() deletes any file in
+    # the current dir that the meta.json manifest does not list. There is
+    # deliberately no bare append() here (ADVICE r12): a non-transactional
+    # in-place write would be silently reaped on the next open.
 
     def replace(self, name: str, df: DataFrame, partition_by: list | None = None) -> None:
         nxt = self._versions[name] + 1
@@ -350,32 +354,43 @@ class ParquetSnapshotStore:
     def end_commit(self) -> None:
         if self._txn is None:
             return
-        txn, self._txn = self._txn, None
+        txn = self._txn
+        try:
+            # deferred compaction: only for tables whose version pointer did
+            # not move during the commit, so the appended delta files stay
+            # one retained generation away from replace()'s cleanup. Runs
+            # while the txn is still registered, so replace()'s _flip
+            # defers its back-version cleanup into pending_rm below.
+            for name in txn["compact"]:
+                if self._versions[name] != txn["versions"].get(name):
+                    continue
+                path = self._dir(name)
+                if not os.path.isdir(path):
+                    continue
+                n_files = sum(
+                    1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+                )
+                part_cols = sorted(
+                    {d.split("=")[0] for d in os.listdir(path)
+                     if "=" in d and os.path.isdir(os.path.join(path, d))}
+                )
+                if n_files > self.compact_threshold:
+                    self.replace(
+                        name,
+                        self.read(name).coalesce(max(1, n_files // 32)),
+                        partition_by=part_cols or None,
+                    )
+        finally:
+            self._txn = None
+        self.save_meta()
+        # Nothing is deleted until AFTER the atomic pointer flip above
+        # (ADVICE r12): a crash anywhere earlier leaves every pre-commit
+        # dir intact — exact rollback AND the read_at(current-1) time
+        # travel window both survive. A crash between save_meta and these
+        # removals leaves orphan back-version dirs, which _recover()
+        # positively identifies (outside {v, v-1}) and reaps on next open.
         for path in txn["pending_rm"]:
             shutil.rmtree(path, ignore_errors=True)
-        # deferred compaction: only for tables whose version pointer did not
-        # move during the commit, so the appended delta files stay one
-        # retained generation away from replace()'s cleanup.
-        for name in txn["compact"]:
-            if self._versions[name] != txn["versions"].get(name):
-                continue
-            path = self._dir(name)
-            if not os.path.isdir(path):
-                continue
-            n_files = sum(
-                1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
-            )
-            part_cols = sorted(
-                {d.split("=")[0] for d in os.listdir(path)
-                 if "=" in d and os.path.isdir(os.path.join(path, d))}
-            )
-            if n_files > self.compact_threshold:
-                self.replace(
-                    name,
-                    self.read(name).coalesce(max(1, n_files // 32)),
-                    partition_by=part_cols or None,
-                )
-        self.save_meta()
 
     def rollback(self) -> None:
         """Restore every table to its pre-commit snapshot: version pointers
