@@ -58,7 +58,14 @@ class _Handler(socketserver.BaseRequestHandler):
         try:
             while True:
                 try:
-                    req = wire.read_frame(sock)
+                    req = wire.read_frame(sock, stall_timeout=server.stall_timeout)
+                except wire.FrameStalled as e:
+                    # mid-frame silence: no way to resync; free the
+                    # handler thread (VERDICT r12 #6). Best-effort error
+                    # so a merely-slow client learns why it was dropped.
+                    with send_lock:
+                        wire.write_frame(sock, _malformed(str(e)))
+                    return
                 except wire.FrameTooLarge as e:
                     with send_lock:
                         wire.write_frame(sock, _malformed(str(e)))
@@ -108,8 +115,12 @@ class _Handler(socketserver.BaseRequestHandler):
 class ReactiveDBServer:
     """``serve(engine, port)`` — reference-protocol front door."""
 
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0,
+                 stall_timeout: float = 30.0):
         self.engine = engine
+        # mid-frame read bound (VERDICT r12 #6); None disables. Idle
+        # BETWEEN frames is never bounded — subscribers sit silent.
+        self.stall_timeout = stall_timeout
         self._commit_lock = threading.Lock()
         self._subs_lock = threading.Lock()
         # (table, event) -> list[(sock, send_lock)]

@@ -32,19 +32,31 @@ class FrameTooLarge(ValueError):
     the connection after the error response."""
 
 
-def read_frame(sock: socket.socket) -> dict | None:
+class FrameStalled(OSError):
+    """The client went silent MID-FRAME (some bytes of a frame arrived,
+    then nothing for stall_timeout). The stream cannot be resynced —
+    caller must drop the connection (VERDICT r12 #6: a valid length
+    prefix followed by silence must not hold a handler thread forever).
+    Idle BETWEEN frames is never a stall: listen subscribers legitimately
+    sit silent for the life of the connection."""
+
+
+def read_frame(sock: socket.socket, stall_timeout: float | None = None) -> dict | None:
     """One framed JSON message, or None on clean EOF / mid-frame
-    disconnect. Raises FrameTooLarge on an oversized declared length and
+    disconnect. Raises FrameTooLarge on an oversized declared length,
     json.JSONDecodeError / UnicodeDecodeError on a garbage body (the
-    body HAS been consumed, so framing stays in sync for the caller)."""
-    header = _read_exact(sock, 4)
+    body HAS been consumed, so framing stays in sync for the caller),
+    and — when ``stall_timeout`` is set — FrameStalled if the client
+    stops sending partway through a frame. The wait for a frame's FIRST
+    byte is always unbounded (between-frame idle is legal)."""
+    header = _read_exact(sock, 4, stall_timeout=stall_timeout)
     if header is None:
         return None
     (size,) = struct.unpack(">I", header)
     if size > MAX_FRAME_BYTES:
         raise FrameTooLarge(
             f"declared frame length {size} exceeds cap {MAX_FRAME_BYTES}")
-    body = _read_exact(sock, size)
+    body = _read_exact(sock, size, stall_timeout=stall_timeout, mid_frame=True)
     if body is None:
         return None
     parsed = json.loads(body.decode("utf-8"))
@@ -59,13 +71,32 @@ def write_frame(sock: socket.socket, obj: dict) -> None:
     sock.sendall(struct.pack(">I", len(body)) + body)
 
 
-def _read_exact(sock: socket.socket, n: int) -> bytes | None:
+def _read_exact(sock: socket.socket, n: int,
+                stall_timeout: float | None = None,
+                mid_frame: bool = False) -> bytes | None:
+    """Read exactly ``n`` bytes. With ``stall_timeout`` set, the recv for
+    a frame's first byte blocks forever (``mid_frame=False`` and no bytes
+    buffered yet — idle is legal between frames) but every LATER recv is
+    bounded: a partial frame followed by silence raises FrameStalled.
+    With ``stall_timeout=None`` the socket's timeout state is untouched
+    (client-side callers manage their own)."""
     buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            return None
-        buf += chunk
+    try:
+        while len(buf) < n:
+            if stall_timeout is not None:
+                sock.settimeout(stall_timeout if (mid_frame or buf) else None)
+            try:
+                chunk = sock.recv(n - len(buf))
+            except socket.timeout:
+                raise FrameStalled(
+                    f"client stalled mid-frame ({len(buf)}/{n} bytes of the "
+                    f"current segment after {stall_timeout}s)") from None
+            if not chunk:
+                return None
+            buf += chunk
+    finally:
+        if stall_timeout is not None:
+            sock.settimeout(None)
     return buf
 
 

@@ -231,6 +231,52 @@ class TestWireRobustnessFuzz:
         assert resp["RequestResponse"]["request_id"] == "ok"
         s.close()
 
+    def test_stalled_mid_frame_connections_are_reaped(self, server):
+        """VERDICT r12 #6: a valid length prefix followed by silence must
+        not hold a handler thread forever. N stalled clients each get an
+        error frame + close within the stall bound, and a fresh
+        well-formed request still answers."""
+        server.stall_timeout = 0.8
+        stalled = []
+        for i in range(8):
+            s = socket.create_connection((server.host, server.port))
+            s.sendall(struct.pack(">I", 100))  # declare 100 bytes...
+            if i % 2:
+                s.sendall(b'{"Qu')  # ...optionally start the body
+            stalled.append(s)
+        for s in stalled:
+            s.settimeout(10)
+            msg = _recv_frame(s)  # best-effort error before the drop
+            assert "stalled mid-frame" in str(msg)
+            assert s.recv(1) == b"", "stalled connection was not closed"
+            s.close()
+        self._well_formed_still_answers(server)
+
+    def test_partial_header_stall_is_reaped(self, server):
+        server.stall_timeout = 0.8
+        s = socket.create_connection((server.host, server.port))
+        s.sendall(b"\x00\x00")  # 2 of 4 header bytes, then silence
+        s.settimeout(10)
+        msg = _recv_frame(s)
+        assert "stalled mid-frame" in str(msg)
+        assert s.recv(1) == b""
+        s.close()
+        self._well_formed_still_answers(server)
+
+    def test_idle_between_frames_is_never_reaped(self, server):
+        """Listen subscribers sit silent for the connection's life; only
+        MID-frame silence is a protocol violation."""
+        import time
+
+        server.stall_timeout = 0.5
+        c = RefStyleClient(server.host, server.port)
+        r = c.find_one("users", "age", 1)
+        assert "OneResult" in r
+        time.sleep(1.6)  # 3× the stall bound, between frames
+        r = c.find_one("users", "age", 1)
+        assert "OneResult" in r
+        c.sock.close()
+
     def test_random_byte_fuzz_never_kills_the_server(self, server):
         import random
 
