@@ -264,3 +264,112 @@ def trigram_search(
         .select("pattern", F.col(id_col).cast("long").alias(id_col))
     )
     return verified
+
+
+def trigram_search_bounded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[str],
+    probe_k: int = 2,
+    sample_mod: int = 8,
+) -> DataFrame:
+    """df-bounded production twin of :func:`trigram_search`
+    (VERDICT r12 #3) — same exact result set, posting lists capped by a
+    document-frequency bound before the intersect, the
+    :func:`containment_prefix_pairs` rarest-first technique applied to
+    the pg_trgm design.
+
+    :func:`trigram_search` probes the posting list of EVERY pattern
+    trigram; on a fixed trigram vocabulary the posting relation (and the
+    distinct shuffle over it) densifies — |docs × all pattern-trigram
+    hits| grows super-linearly on fixture-like corpora. Here each pattern
+    probes only its ``probe_k`` RAREST trigrams by (estimated) document
+    frequency, so candidate generation touches Σ df(rarest trigrams)
+    postings — the rarest-first order keeps every probed posting list
+    df-bounded by construction, exactly the prefix-filter argument of
+    containment_prefix_pairs (SSJoin/PPJoin).
+
+    Exactness is unchanged: a true match contains ALL pattern trigrams,
+    in particular the probed subset (no false negatives); the contains()
+    verify removes the extra false positives the looser candidacy admits
+    (no false-positive cost beyond the verify scan). df estimates come
+    from a deterministic 1/``sample_mod`` hash-sample of the corpus —
+    estimate quality affects only WHICH posting lists are probed (cost),
+    never the result.
+
+    Posting generation is the second half of the fix: the research twin
+    explodes EVERY character position of every document (|chars| rows
+    before its isin filter — the dominant sf1 cost, shared by any
+    per-position index build). Here postings come from vectorized JVM
+    ``contains`` over the chosen trigram literals: one text scan with
+    |chosen| ≤ probe_k × |patterns| boolean probes per document, each
+    (doc, tri) hit emitted at most once — the posting relation is BORN
+    distinct, so the distinct shuffle disappears entirely. (The explode
+    index amortizes better only when the pattern set is so large that
+    |all pattern trigrams| rivals the document length — not the bounded
+    production regime.)
+
+    Plan shape (100 TB): one 1/sample_mod text scan for the df estimate
+    (aggregated to ≤ |pattern trigrams| rows — a bounded collect, like
+    the ANN k-row seeds), one full text scan emitting the df-bounded
+    postings, one partial-aggregable count per (doc, pattern), two
+    broadcast joins, one contains() verify on candidates. Linear in the
+    corpus; the only shuffle is Σ df(chosen trigrams) rows — df-bounded
+    by the rarest-first selection.
+    """
+    if not patterns:
+        raise ValueError("trigram_search: patterns must be non-empty")
+    if any(len(p) < 3 for p in patterns):
+        raise ValueError("trigram_search: every pattern needs length >= 3")
+    if probe_k < 1:
+        raise ValueError("trigram_search_bounded: probe_k must be >= 1")
+
+    def tris(s: str) -> list[str]:
+        return sorted({s[i:i + 3] for i in range(len(s) - 2)})
+
+    def probe_postings(frame: DataFrame, probe_tris: list[str]) -> DataFrame:
+        # one scan, |probe_tris| vectorized contains per doc; a (doc, tri)
+        # hit appears at most once — no distinct needed downstream
+        return frame.select(
+            F.col(id_col),
+            F.explode(F.array(*[F.lit(t) for t in probe_tris])).alias("tri"),
+        ).filter(F.expr(f"contains({text_col}, tri)"))
+
+    all_tris = sorted({t for p in patterns for t in tris(p)})
+    spark = df.sparkSession
+
+    # pass 1: document-frequency estimates on a deterministic hash-sample
+    est = (
+        probe_postings(
+            df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0),
+            all_tris)
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    df_est = {r["tri"]: r["_df"] for r in est.collect()}  # ≤ |all_tris| rows
+
+    chosen_rows, need_rows = [], []
+    for p in patterns:
+        probe = sorted(tris(p), key=lambda t: (df_est.get(t, 0), t))[:probe_k]
+        chosen_rows += [(p, t) for t in probe]
+        need_rows.append((p, len(probe)))
+    chosen_union = sorted({t for _, t in chosen_rows})
+    pat_df = spark.createDataFrame(chosen_rows, ["pattern", "tri"])
+    need = spark.createDataFrame(need_rows, ["pattern", "n_need"])
+
+    # pass 2: probe only the chosen (df-bounded) posting lists
+    cand = (
+        probe_postings(df, chosen_union)
+        .join(F.broadcast(pat_df), "tri")
+        .groupBy(id_col, "pattern")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(need), "pattern")
+        .filter(F.col("n_hit") == F.col("n_need"))
+        .select(id_col, "pattern")
+    )
+    return (
+        cand.join(df.select(id_col, text_col), id_col)
+        .filter(F.expr(f"contains({text_col}, pattern)"))
+        .select("pattern", F.col(id_col).cast("long").alias(id_col))
+    )

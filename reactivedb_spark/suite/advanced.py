@@ -315,6 +315,19 @@ FROM documents d JOIN pats p ON contains(d.text, p.pattern)
 """
 
 
+def q_trigram_search_bounded(spark: SparkSession, sf: str) -> DataFrame:
+    """The df-bounded PRODUCTION twin (VERDICT r12 #3;
+    operators/retrieval.py:trigram_search_bounded): each pattern probes
+    only its probe_k rarest trigrams by sampled document frequency, so
+    the posting relation is df-bounded before the intersect; contains()
+    verify keeps the result set identical to the research twin — the
+    oracle is the same naive full scan."""
+    from reactivedb_spark.operators.retrieval import trigram_search_bounded
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return trigram_search_bounded(d, "doc_id", "text", TRIGRAM_PATTERNS)
+
+
 # -- cumulative distinct users (first-seen running count) --------------------------
 
 def q_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
@@ -421,6 +434,7 @@ FROM events GROUP BY 1
 QUERIES.update({
     "assoc_rules": q_assoc_rules,
     "trigram_search": q_trigram_search,
+    "trigram_search_bounded": q_trigram_search_bounded,
     "cumulative_distinct": q_cumulative_distinct,
     "streaming_windowed_distinct": q_streaming_windowed_distinct,
 })
@@ -428,6 +442,7 @@ QUERIES.update({
 ORACLES.update({
     "assoc_rules": SQL_ASSOC_RULES,
     "trigram_search": SQL_TRIGRAM_SEARCH,
+    "trigram_search_bounded": SQL_TRIGRAM_SEARCH,
     "cumulative_distinct": SQL_CUMULATIVE_DISTINCT,
     "streaming_windowed_distinct": SQL_STREAMING_WINDOWED_DISTINCT,
 })
