@@ -15,11 +15,17 @@ Spark expression — two compilation strategies, chosen statically:
   (memo refs only), or memo-free): native ``groupBy(...).agg(sum/…)``
   with map-side partial aggregation — one shuffle, whole-stage codegen,
   scales to any group size.
-- **General fold**: ``aggregate(array_sort(collect_list(struct(_seq, …))),
-  init, step)`` — an ordered left fold per group, exactly the reference's
-  sequential semantics. Groups must fit in executor memory; documented
-  limitation of non-decomposable folds (the reference has the same O(group)
-  behavior per insert, only worse).
+- **General fold**: an ordered left fold per group, exactly the
+  reference's sequential semantics — executed per GROUP SIZE
+  (_route_general_fold, VERDICT r12 #4): groups up to
+  GENERAL_FOLD_MAX_GROUP_ROWS fold on the JVM array path
+  (``aggregate(array_sort(collect_list(...)))`` — whole-stage codegen,
+  whole group in one array cell); oversized groups fold on the
+  memory-bounded Arrow streaming path (repartition by key +
+  sortWithinPartitions + mapInArrow forward scan, O(1) state per group)
+  so ONE skewed key at 100 TB degrades only itself instead of OOMing an
+  executor. Both paths are fuzz-pinned against a DuckDB ordered replay
+  on the same configs (tests/test_fold_duckdb_fuzz.py).
 
 The engine re-aggregates only *affected* keys per batch (semi-join on the
 delta's keys), mirroring the reference's per-key re-scan but batched.
@@ -33,9 +39,17 @@ from reactivedb_spark import constants as C
 from reactivedb_spark.config import AggregationTransformConfig
 from reactivedb_spark.errors import ConfigError
 from reactivedb_spark.expr.ast import (
-    BinOp, ColumnRef, Expr, Literal, MemoRef, has_column, has_memo,
+    ARITH_OPS, BOOL_OPS, CMP_OPS, BinOp, ColumnRef, Expr, FuncCall, Literal,
+    MemoRef, has_column, has_memo,
 )
+from reactivedb_spark.errors import ExpressionError
 from reactivedb_spark.expr.compiler import TypedColumn, compile_expr, field_type, infer_type
+from reactivedb_spark.types import DECIMAL, is_integral, is_numeric, promote
+
+# aliases used inside _build_row_fold's builder body (driver-side only;
+# runtime closures never reference them)
+ARITH_OPS_, CMP_OPS_, BOOL_OPS_ = ARITH_OPS, CMP_OPS, BOOL_OPS
+ExpressionError_ = ExpressionError
 
 
 def memo_types(cfg: AggregationTransformConfig, parent: T.StructType) -> dict[str, T.DataType]:
@@ -180,12 +194,23 @@ def merge_with_state(
     )
 
 
-def compute_groups(cfg: AggregationTransformConfig, parent_rows: DataFrame) -> DataFrame:
+def compute_groups(cfg: AggregationTransformConfig, parent_rows: DataFrame,
+                   fold_strategy: str = "auto",
+                   max_group_rows: int | None = None) -> DataFrame:
     """Aggregate ``parent_rows`` (already filtered to affected keys by the
-    engine) into one output row per key."""
+    engine) into one output row per key. Non-decomposable configs run the
+    general ordered fold; ``fold_strategy``/``max_group_rows`` control the
+    array-vs-streaming execution per group (see _route_general_fold)."""
+    if max_group_rows is None:
+        max_group_rows = GENERAL_FOLD_MAX_GROUP_ROWS
     schema = parent_rows.schema
     mtypes = memo_types(cfg, schema)
-    plan = classify(cfg)
+    # a forced strategy bypasses the native decomposable plan entirely:
+    # the fold fuzz runs both general-fold paths on EVERY config, and
+    # "array"/"stream" double as the reference-exact escape hatch for the
+    # declared decomposable divergence on |memo| >= 1e10 re-entry
+    # crossings (see test_fold_duckdb_fuzz.py).
+    plan = classify(cfg) if fold_strategy == "auto" else None
     base = [
         _last_agg(F.col(C.ENTRY_ID)).alias(C.SOURCE_ENTRY_ID),
         F.max(C.SEQ).alias(C.SEQ),
@@ -240,7 +265,64 @@ def compute_groups(cfg: AggregationTransformConfig, parent_rows: DataFrame) -> D
         ordered = [C.SOURCE_ENTRY_ID, C.SEQ, C.AGGREGATED_COLUMN] + [st.dest for st in cfg.functions]
         return out.select(*ordered)
 
-    # General ordered fold (reference-exact sequential semantics).
+    return _route_general_fold(cfg, parent_rows, fold_strategy,
+                               max_group_rows)
+
+
+# -- general-fold strategy routing (VERDICT r12 #4) -------------------------
+
+# Above this many rows in one group, the array fold's per-group
+# collect_list risks executor OOM (the documented limitation); the
+# streaming fold takes over. 100k rows x ~100 B is ~10 MB per group
+# state-free in the stream path vs a 10 MB+ single array cell in the
+# array path — comfortably inside any executor at the default, while
+# keeping the (faster, whole-stage-codegen) array path for every sanely
+# sized group.
+GENERAL_FOLD_MAX_GROUP_ROWS = 100_000
+
+
+def _route_general_fold(cfg: AggregationTransformConfig, parent_rows: DataFrame,
+                        fold_strategy: str, max_group_rows: int) -> DataFrame:
+    """Pick the general-fold execution per GROUP, fully lazily (no driver
+    probe job): a keyed count joins back null-safely, keys at or under
+    ``max_group_rows`` fold on the JVM array path, oversized keys fold on
+    the memory-bounded Arrow streaming path, results union. With no skew
+    the stream branch is an empty relation (scheduling cost only); ONE
+    hot key at 100 TB degrades only itself to the Python path instead of
+    OOMing an executor (VERDICT r12 #4). ``fold_strategy``: "auto" |
+    "array" | "stream" (forced paths exist for the fold fuzz, which runs
+    both on the same configs and compares against the DuckDB replay)."""
+    if fold_strategy == "array":
+        return _general_fold_array(cfg, parent_rows)
+    if fold_strategy == "stream":
+        return _general_fold_stream(cfg, parent_rows)
+    if fold_strategy != "auto":
+        raise ConfigError(f"unknown fold_strategy {fold_strategy!r}")
+    key = cfg.aggregated_column
+    cnt = parent_rows.groupBy(F.col(key).alias("__rdb_gk")).agg(
+        F.count(F.lit(1)).alias("__rdb_gn"))
+    enriched = parent_rows.join(
+        cnt, F.col(key).eqNullSafe(F.col("__rdb_gk")), "left"
+    ).drop("__rdb_gk")
+    small = enriched.filter(F.col("__rdb_gn") <= max_group_rows).drop("__rdb_gn")
+    big = enriched.filter(F.col("__rdb_gn") > max_group_rows).drop("__rdb_gn")
+    return _general_fold_array(cfg, small).unionByName(
+        _general_fold_stream(cfg, big))
+
+
+def _general_fold_array(cfg: AggregationTransformConfig,
+                        parent_rows: DataFrame) -> DataFrame:
+    """JVM array fold: ``aggregate(array_sort(collect_list(...)))`` — the
+    reference-exact sequential semantics, whole group in one array cell
+    (groups must fit in executor memory; oversized groups are routed to
+    :func:`_general_fold_stream` by ``_route_general_fold``)."""
+    schema = parent_rows.schema
+    mtypes = memo_types(cfg, schema)
+    base = [
+        _last_agg(F.col(C.ENTRY_ID)).alias(C.SOURCE_ENTRY_ID),
+        F.max(C.SEQ).alias(C.SEQ),
+    ]
+
     needed = sorted(
         {n.name for st in cfg.functions for n in st.expr.walk() if isinstance(n, ColumnRef)}
     )
@@ -303,3 +385,562 @@ def compute_groups(cfg: AggregationTransformConfig, parent_rows: DataFrame) -> D
         for st in cfg.functions
     ]
     return out.select(*cols)
+
+
+def _general_fold_stream(cfg: AggregationTransformConfig,
+                         parent_rows: DataFrame) -> DataFrame:
+    """Memory-bounded general fold (VERDICT r12 #4): repartition by the
+    aggregation key + ``sortWithinPartitions(key, _seq)`` + an Arrow
+    ``mapInArrow`` streaming fold. Rows of one group arrive contiguous
+    and _seq-ascending inside one partition, so a single forward scan
+    folds every group with O(1) state per group — a group larger than
+    executor memory streams through in Arrow batches instead of
+    materializing as one array cell.
+
+    Same sequential semantics as the array fold (transform.rs:250-266):
+    memos init Integer(0) cast to the memo type; statements apply
+    left-to-right per row, each seeing memos already updated by earlier
+    statements on the same row. The per-row evaluator is compiled
+    driver-side by :func:`_build_row_fold`, which mirrors
+    expr/compiler.py's declared semantics (trunc int div, NULL on /0,
+    the decimal(19,9) HALF_UP operand contract with overflow⇒NULL,
+    Kleene boolean logic); parity between the two paths and the DuckDB
+    ordered replay is pinned by tests/test_fold_duckdb_fuzz.py running
+    BOTH paths on the same configs.
+
+    mapInArrow (not mapInPandas): pandas coerces nullable int64 columns
+    to float64 (NaN for NULL), silently losing exactness above 2^53;
+    Arrow batches keep int64+validity and hand decimals over as
+    ``decimal.Decimal``.
+    """
+    import pyarrow as pa
+
+    schema = parent_rows.schema
+    mtypes = memo_types(cfg, schema)
+    apply_row, inits = _build_row_fold(cfg, schema, mtypes)
+    key = cfg.aggregated_column
+    needed = sorted(
+        {n.name.split(".")[0] for st in cfg.functions
+         for n in st.expr.walk() if isinstance(n, ColumnRef)}
+        - {C.ENTRY_ID, C.SEQ}
+    )
+    src = parent_rows.select(
+        F.col(C.ENTRY_ID), F.col(C.SEQ),
+        F.col(key).alias(C.AGGREGATED_COLUMN),
+        *[F.col(c) for c in needed if c != key],
+        *([F.col(key)] if key in needed else []),
+    )
+    out_fields = [
+        T.StructField(C.SOURCE_ENTRY_ID, T.StringType(), True),
+        T.StructField(C.SEQ, T.LongType(), True),
+        T.StructField(C.AGGREGATED_COLUMN, field_type(schema, key), True),
+    ] + [T.StructField(st.dest, mtypes[st.dest], True) for st in cfg.functions]
+    out_schema = T.StructType(out_fields)
+
+    def arrow_type(dt: T.DataType):
+        if isinstance(dt, T.DecimalType):
+            return pa.decimal128(dt.precision, dt.scale)
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return pa.int64()
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return pa.float64()
+        if isinstance(dt, T.StringType):
+            return pa.string()
+        if isinstance(dt, T.BooleanType):
+            return pa.bool_()
+        raise ConfigError(
+            f"streaming fold: unsupported output type {dt.simpleString()}")
+
+    arrow_schema = pa.schema(
+        [pa.field(f.name, arrow_type(f.dataType)) for f in out_fields])
+    dests = tuple(st.dest for st in cfg.functions)
+    k_ent, k_seq, k_agg = C.ENTRY_ID, C.SEQ, C.AGGREGATED_COLUMN
+    k_src = C.SOURCE_ENTRY_ID
+    # float keys group like Spark: -0.0 joins 0.0, NaN is ONE group
+    float_key = isinstance(field_type(schema, key), (T.DoubleType, T.FloatType))
+
+    def fold_batches(batches):
+        # worker-side: stdlib + pyarrow only (no package symbols — Python
+        # workers do not import reactivedb_spark; SKILL.md gotcha)
+        import pyarrow as _pa
+
+        started = False
+        cur_key = cur_ck = None
+        memo = None
+        last_seq = last_ent = None
+        out_rows = []
+
+        def finish():
+            row = {k_src: last_ent, k_seq: last_seq, k_agg: cur_key}
+            for d in dests:
+                row[d] = memo[d]
+            out_rows.append(row)
+
+        for batch in batches:
+            for r in batch.to_pylist():
+                k = r[k_agg]
+                ck = k
+                if float_key and k is not None:
+                    if k == 0.0:
+                        k = ck = 0.0
+                    elif k != k:
+                        ck = "__rdb_nan__"
+                if not started or ck != cur_ck:
+                    if started:
+                        finish()
+                    started, cur_key, cur_ck, memo = True, k, ck, dict(inits)
+                apply_row(r, memo)
+                last_seq, last_ent = r[k_seq], r[k_ent]
+            if out_rows:
+                yield _pa.RecordBatch.from_pylist(out_rows, schema=arrow_schema)
+                out_rows = []
+        if started:
+            finish()
+        if out_rows:
+            yield _pa.RecordBatch.from_pylist(out_rows, schema=arrow_schema)
+
+    return (
+        src.repartition(F.col(C.AGGREGATED_COLUMN))
+        .sortWithinPartitions(C.AGGREGATED_COLUMN, C.SEQ)
+        .mapInArrow(fold_batches, out_schema)
+    )
+
+
+def _build_row_fold(cfg: AggregationTransformConfig, schema: T.StructType,
+                    mtypes: dict[str, T.DataType]):
+    """Compile the assignment statements into a pure-Python per-row fold
+    for the streaming path: ``(apply_row(row_dict, memo_dict), inits)``.
+
+    Type decisions reuse the SAME driver-side machinery as the JVM path
+    (``promote``/``is_integral``/``field_type``), then bake into plain
+    closures — so the two paths cannot disagree on typing by
+    construction. Value semantics mirror expr/compiler.py line for line:
+
+    - integer ``/`` truncates toward zero, NULL on zero divisor;
+      ``+ - *`` wrap to signed 64-bit (Spark non-ANSI; overflow is
+      declared session-defined and unreachable at contract magnitudes);
+    - decimal operands coerce to (19,9) HALF_UP with |v| >= 1e10 ⇒ NULL
+      (try_cast); ``*`` rounds HALF_UP at the 17th decimal ((38,17));
+      ``/`` rounds at the 19th then once more to 18; results widen to
+      decimal(38,18);
+    - double division by zero ⇒ NULL (try_divide), sqrt(<0) ⇒ NaN;
+    - comparisons promote numerics, NULL-propagate; booleans use Kleene
+      three-valued logic; decimal/long casts round HALF_UP / truncate
+      toward zero exactly as probed on Spark 4.1 (tests pin parity).
+
+    The returned closures capture ONLY stdlib objects and plain data —
+    cloudpickle ships them by value; workers never import this package.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Context, Decimal, localcontext
+
+    # explicit wide context for every quantize: the thread-default 28-digit
+    # context raises InvalidOperation quantizing values near the (38,18)
+    # envelope (e.g. 1.2e10 at scale 18 needs 29 digits)
+    CTX = Context(prec=60)
+
+    LMAX = (1 << 63) - 1
+    TEN10 = Decimal(10) ** 10
+    TEN19 = Decimal(10) ** 19
+    TEN20 = Decimal(10) ** 20
+    Q9 = Decimal(1).scaleb(-9)
+    Q17 = Decimal(1).scaleb(-17)
+    Q18 = Decimal(1).scaleb(-18)
+    Q19 = Decimal(1).scaleb(-19)
+
+    def wrap64(v):
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v > LMAX else v
+
+    def kind(dt) -> str:
+        if isinstance(dt, T.DecimalType):
+            return "dec"
+        if is_integral(dt):
+            return "long"
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return "double"
+        if isinstance(dt, T.StringType):
+            return "str"
+        if isinstance(dt, T.BooleanType):
+            return "bool"
+        raise ConfigError(
+            f"streaming fold: unsupported value type {dt.simpleString()}")
+
+    def to19_9(v, k):
+        """try_cast to decimal(19,9): HALF_UP, overflow ⇒ None."""
+        if v is None:
+            return None
+        if k == "long":
+            return None if abs(v) >= 10 ** 10 else Decimal(v)
+        q = v.quantize(Q9, rounding=ROUND_HALF_UP, context=CTX)
+        return None if abs(q) >= TEN10 else q
+
+    def cast_value(k_from: str, k_to: str):
+        """Mirror Column.cast between the DSL's storage kinds."""
+        if k_from == k_to:
+            if k_to == "dec":
+                def f(v):
+                    if v is None:
+                        return None
+                    q = v.quantize(Q18, rounding=ROUND_HALF_UP, context=CTX)
+                    return None if abs(q) >= TEN20 else q
+                return f
+            return lambda v: v
+        if k_to == "dec":
+            if k_from == "long":
+                return lambda v: None if v is None else Decimal(v)
+            if k_from == "double":
+                def f(v):
+                    if v is None or v != v or v in (float("inf"), float("-inf")):
+                        return None
+                    with localcontext() as ctx:
+                        ctx.prec = 60
+                        q = Decimal(repr(v)).quantize(Q18, rounding=ROUND_HALF_UP, context=CTX)
+                    return None if abs(q) >= TEN20 else q
+                return f
+        if k_to == "long":
+            if k_from == "dec":
+                def f(v):
+                    if v is None:
+                        return None
+                    t = int(v)  # truncates toward zero, like Spark
+                    return t if -(1 << 63) <= t <= LMAX else None
+                return f
+            if k_from == "double":
+                def f(v):
+                    if v is None or v != v or v in (float("inf"), float("-inf")):
+                        return None
+                    t = int(v)
+                    return t if -(1 << 63) <= t <= LMAX else None
+                return f
+            if k_from == "bool":
+                return lambda v: None if v is None else int(v)
+        if k_to == "double":
+            return lambda v: None if v is None else float(v)
+        if k_to == "str":
+            if k_from == "dec":
+                return lambda v: None if v is None else f"{v:f}"
+            return lambda v: None if v is None else str(v).lower() \
+                if isinstance(v, bool) else (None if v is None else str(v))
+        raise ConfigError(f"streaming fold: cannot cast {k_from} -> {k_to}")
+
+    def compile_node(expr):
+        """AST -> (pyfn(row, memo) -> value, dtype). Structure mirrors
+        compile_expr; typing decisions are IDENTICAL calls."""
+        if isinstance(expr, Literal):
+            v = expr.value
+            if isinstance(v, bool):
+                return (lambda row, memo, _v=v: _v), T.BooleanType()
+            if isinstance(v, int):
+                return (lambda row, memo, _v=v: _v), T.LongType()
+            if isinstance(v, str):
+                return (lambda row, memo, _v=v: _v), T.StringType()
+            d = Decimal(v)
+            return (lambda row, memo, _v=d: _v), DECIMAL
+        if isinstance(expr, ColumnRef):
+            dtype = field_type(schema, expr.name)
+            if "." in expr.name:
+                parts = tuple(expr.name.split("."))
+
+                def f(row, memo, _p=parts):
+                    cur = row
+                    for seg in _p:
+                        if cur is None:
+                            return None
+                        cur = cur[seg]
+                    return cur
+                return f, dtype
+            n = expr.name
+            return (lambda row, memo, _n=n: row[_n]), dtype
+        if isinstance(expr, MemoRef):
+            if expr.name not in mtypes:
+                raise ConfigError(f"unknown memo.{expr.name}")
+            n = expr.name
+            return (lambda row, memo, _n=n: memo[_n]), mtypes[n]
+        if isinstance(expr, BinOp):
+            lf, ldt = compile_node(expr.left)
+            rf, rdt = compile_node(expr.right)
+            if expr.op in ARITH_OPS_:
+                return arith_node(expr.op, lf, ldt, rf, rdt)
+            if expr.op in CMP_OPS_:
+                return compare_node(expr.op, lf, ldt, rf, rdt)
+            if expr.op in BOOL_OPS_:
+                if not (isinstance(ldt, T.BooleanType)
+                        and isinstance(rdt, T.BooleanType)):
+                    raise ExpressionError_(
+                        f"{expr.op!r} requires boolean operands")
+                if expr.op == "&&":
+                    def f(row, memo):
+                        a, b = lf(row, memo), rf(row, memo)
+                        if a is False or b is False:
+                            return False
+                        if a is None or b is None:
+                            return None
+                        return True
+                else:
+                    def f(row, memo):
+                        a, b = lf(row, memo), rf(row, memo)
+                        if a is True or b is True:
+                            return True
+                        if a is None or b is None:
+                            return None
+                        return False
+                return f, T.BooleanType()
+            raise ExpressionError_(f"unknown operator {expr.op!r}")
+        if isinstance(expr, FuncCall):
+            return func_node(expr)
+        raise ExpressionError_(f"cannot compile {expr!r}")
+
+    def arith_node(op, lf, ldt, rf, rdt):
+        if op == "+" and isinstance(ldt, T.StringType) and isinstance(rdt, T.StringType):
+            def f(row, memo):
+                a, b = lf(row, memo), rf(row, memo)
+                return None if a is None or b is None else a + b
+            return f, T.StringType()
+        if not (is_numeric(ldt) and is_numeric(rdt)):
+            raise ExpressionError_(f"operator {op!r} not defined for {ldt} and {rdt}")
+        if op == "^":
+            def f(row, memo):
+                a, b = lf(row, memo), rf(row, memo)
+                if a is None or b is None:
+                    return None
+                return float(a) ** float(b)
+            return f, T.DoubleType()
+        out = promote(ldt, rdt)
+        lk, rk = kind(ldt), kind(rdt)
+        if op == "/":
+            if is_integral(out):
+                def f(row, memo):
+                    a, b = lf(row, memo), rf(row, memo)
+                    if a is None or b is None or b == 0:
+                        return None
+                    q = abs(a) // abs(b)
+                    return q if (a < 0) == (b < 0) else -q
+                return f, T.LongType()
+            if isinstance(out, T.DecimalType):
+                def f(row, memo):
+                    a = to19_9(lf(row, memo), lk)
+                    b = to19_9(rf(row, memo), rk)
+                    if a is None or b is None or b == 0:
+                        return None
+                    with localcontext() as ctx:
+                        ctx.prec = 60
+                        q = (a / b).quantize(Q19, rounding=ROUND_HALF_UP, context=CTX)
+                    if abs(q) >= TEN19:
+                        return None
+                    return q.quantize(Q18, rounding=ROUND_HALF_UP, context=CTX)
+                return f, DECIMAL
+            def f(row, memo):
+                a, b = lf(row, memo), rf(row, memo)
+                if a is None or b is None or float(b) == 0.0:
+                    return None
+                return float(a) / float(b)
+            return f, T.DoubleType()
+        if isinstance(out, T.DecimalType):
+            if op == "*":
+                def f(row, memo):
+                    a = to19_9(lf(row, memo), lk)
+                    b = to19_9(rf(row, memo), rk)
+                    if a is None or b is None:
+                        return None
+                    with localcontext() as ctx:
+                        ctx.prec = 60
+                        p = (a * b).quantize(Q17, rounding=ROUND_HALF_UP, context=CTX)
+                    return None if abs(p) >= TEN20 * 10 else p
+                return f, DECIMAL
+            sign = 1 if op == "+" else -1
+
+            def f(row, memo):
+                a = to19_9(lf(row, memo), lk)
+                b = to19_9(rf(row, memo), rk)
+                if a is None or b is None:
+                    return None
+                return a + b if sign == 1 else a - b
+            return f, DECIMAL
+        if is_integral(out):
+            pyop = {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+                    "*": lambda a, b: a * b}[op]
+
+            def f(row, memo, _op=pyop):
+                a, b = lf(row, memo), rf(row, memo)
+                if a is None or b is None:
+                    return None
+                return wrap64(_op(a, b))
+            return f, T.LongType()
+        pyop = {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+                "*": lambda a, b: a * b}[op]
+
+        def f(row, memo, _op=pyop):
+            a, b = lf(row, memo), rf(row, memo)
+            if a is None or b is None:
+                return None
+            return _op(float(a), float(b))
+        return f, T.DoubleType()
+
+    def compare_node(op, lf, ldt, rf, rdt):
+        if is_numeric(ldt) and is_numeric(rdt):
+            out = promote(ldt, rdt)
+            conv = (Decimal if isinstance(out, T.DecimalType)
+                    else float if isinstance(out, T.DoubleType) else int)
+        elif isinstance(ldt, T.BooleanType) and isinstance(rdt, T.BooleanType):
+            if op not in ("==", "!="):
+                raise ExpressionError_(
+                    f"operator {op!r} not defined for Bool (only == and !=)")
+            conv = None
+        elif isinstance(ldt, T.StringType) and isinstance(rdt, T.StringType):
+            conv = None
+        else:
+            raise ExpressionError_(
+                f"streaming fold: operator {op!r} not defined for "
+                f"{ldt.simpleString()} and {rdt.simpleString()}")
+        import operator as _op_mod
+        pyop = {"<": _op_mod.lt, ">": _op_mod.gt, "<=": _op_mod.le,
+                ">=": _op_mod.ge, "==": _op_mod.eq, "!=": _op_mod.ne}[op]
+
+        def f(row, memo, _c=conv, _o=pyop):
+            a, b = lf(row, memo), rf(row, memo)
+            if a is None or b is None:
+                return None
+            if _c is not None:
+                a, b = _c(a), _c(b)
+            return bool(_o(a, b))
+        return f, T.BooleanType()
+
+    def func_node(expr):
+        name = expr.name
+        if name == "round":
+            if len(expr.args) not in (1, 2):
+                raise ExpressionError_("round() takes 1 or 2 args")
+            af, adt = compile_node(expr.args[0])
+            scale = 0
+            if len(expr.args) == 2:
+                s = expr.args[1]
+                if not (isinstance(s, Literal) and isinstance(s.value, int)):
+                    raise ExpressionError_("round() scale must be an integer literal")
+                scale = s.value
+            k = kind(adt)
+            q = Decimal(1).scaleb(-scale)
+
+            def f(row, memo):
+                v = af(row, memo)
+                if v is None:
+                    return None
+                if k == "long":
+                    r = int(Decimal(v).quantize(q, rounding=ROUND_HALF_UP, context=CTX))
+                    return wrap64(r)
+                if k == "dec":
+                    return v.quantize(q, rounding=ROUND_HALF_UP, context=CTX)
+                if v != v or v in (float("inf"), float("-inf")):
+                    return v
+                return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP, context=CTX))
+            return f, adt
+        args = [compile_node(a) for a in expr.args]
+        if name == "abs":
+            af, adt = args[0]
+            if not is_numeric(adt):
+                raise ExpressionError_("abs() arg 1 must be numeric")
+            def f(row, memo):
+                v = af(row, memo)
+                if v is None:
+                    return None
+                if isinstance(v, int):
+                    return wrap64(abs(v))
+                return abs(v)
+            return f, adt
+        if name in ("floor", "ceil"):
+            af, adt = args[0]
+            if not is_numeric(adt):
+                raise ExpressionError_(f"{name}() arg 1 must be numeric")
+            up = name == "ceil"
+
+            def f(row, memo):
+                v = af(row, memo)
+                if v is None:
+                    return None
+                if isinstance(v, float) and (v != v or v in (
+                        float("inf"), float("-inf"))):
+                    return None
+                r = math.ceil(v) if up else math.floor(v)
+                return r if -(1 << 63) <= r <= LMAX else None
+            return f, T.LongType()
+        if name == "sqrt":
+            af, adt = args[0]
+            if not is_numeric(adt):
+                raise ExpressionError_("sqrt() arg 1 must be numeric")
+
+            def f(row, memo):
+                v = af(row, memo)
+                if v is None:
+                    return None
+                v = float(v)
+                return float("nan") if v < 0 else math.sqrt(v)
+            return f, T.DoubleType()
+        if name == "length":
+            af, adt = args[0]
+            if not isinstance(adt, (T.StringType, T.ArrayType)):
+                raise ExpressionError_("length() arg 1 must be a string or array")
+
+            def f(row, memo):
+                v = af(row, memo)
+                return None if v is None else len(v)
+            return f, T.LongType()
+        if name in ("upper", "lower"):
+            af, adt = args[0]
+            if not isinstance(adt, T.StringType):
+                raise ExpressionError_(f"{name}() arg 1 must be a string")
+            up = name == "upper"
+
+            def f(row, memo):
+                v = af(row, memo)
+                if v is None:
+                    return None
+                return v.upper() if up else v.lower()
+            return f, T.StringType()
+        if name == "concat":
+            if not args:
+                raise ExpressionError_("concat() needs at least one arg")
+            for _af, adt in args:
+                if not isinstance(adt, T.StringType):
+                    raise ExpressionError_("concat() args must be strings")
+            fns = tuple(a for a, _ in args)
+
+            def f(row, memo):
+                parts = [fn(row, memo) for fn in fns]
+                if any(p is None for p in parts):
+                    return None
+                return "".join(parts)
+            return f, T.StringType()
+        if name == "coalesce":
+            if not args:
+                raise ExpressionError_("coalesce() needs at least one arg")
+            out = args[0][1]
+            if any(adt != out for _af, adt in args):
+                for _af, adt in args[1:]:
+                    out = promote(out, adt)
+            casts = tuple(cast_value(kind(adt), kind(out)) for _af, adt in args)
+            fns = tuple(a for a, _ in args)
+
+            def f(row, memo):
+                for fn, cv in zip(fns, casts):
+                    v = fn(row, memo)
+                    if v is not None:
+                        return cv(v)
+                return None
+            return f, out
+        raise ExpressionError_(f"streaming fold: unknown function {name!r}")
+
+    stmts = []
+    inits = {}
+    for st in cfg.functions:
+        mk = kind(mtypes[st.dest])
+        inits[st.dest] = {"long": 0, "dec": Decimal(0), "double": 0.0,
+                          "str": "0", "bool": False}[mk]
+        fn, dt = compile_node(st.expr)
+        stmts.append((st.dest, fn, cast_value(kind(dt), mk)))
+    stmts = tuple(stmts)
+
+    def apply_row(row, memo):
+        for dest, fn, cast in stmts:
+            memo[dest] = cast(fn(row, memo))
+
+    return apply_row, inits

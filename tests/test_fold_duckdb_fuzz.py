@@ -401,10 +401,11 @@ def test_fold_fuzz_vs_duckdb(spark):
 
     # Spark leg: the engine's own path chooser (native when classify
     # accepts, ordered fold otherwise), jobs across threads
-    def run_spark(item):
+    def run_spark(item, strategy="auto"):
         cfg, kinds, _stmts = item
         out = {}
-        for r in aggregation.compute_groups(cfg, sdf).collect():
+        df = aggregation.compute_groups(cfg, sdf, fold_strategy=strategy)
+        for r in df.collect():
             d = r.asDict()
             out[d[C.AGGREGATED_COLUMN]] = tuple(
                 _canon_spark(d[st.dest], kinds[st.dest])
@@ -413,6 +414,11 @@ def test_fold_fuzz_vs_duckdb(spark):
 
     with ThreadPoolExecutor(8) as ex:
         spark_results = list(ex.map(run_spark, configs))
+        # second leg (VERDICT r12 #4): the SAME configs through the
+        # memory-bounded streaming fold — the Python evaluator must match
+        # the JVM paths and the DuckDB replay statement for statement
+        stream_results = list(ex.map(
+            lambda it: run_spark(it, "stream"), configs))
 
     # DuckDB replay leg: one serial connection, bounded memory (the
     # spark fixture's JVM already owns most of the address space; a
@@ -440,17 +446,23 @@ def test_fold_fuzz_vs_duckdb(spark):
 
     n_statements = n_decomposable = n_general = 0
     mismatches = []
-    for (cfg, kinds, stmts), got, want in zip(configs, spark_results,
-                                              oracle_results):
+    for (cfg, kinds, stmts), got, got_stream, want in zip(
+            configs, spark_results, stream_results, oracle_results):
         n_statements += len(cfg.functions)
         if aggregation.classify(cfg) is not None:
             n_decomposable += 1
         else:
             n_general += 1
         if got != want:
-            mismatches.append((stmts, {k: (got.get(k), want.get(k))
-                                       for k in set(got) | set(want)
-                                       if got.get(k) != want.get(k)}))
+            mismatches.append(("auto", stmts,
+                               {k: (got.get(k), want.get(k))
+                                for k in set(got) | set(want)
+                                if got.get(k) != want.get(k)}))
+        if got_stream != want:
+            mismatches.append(("stream", stmts,
+                               {k: (got_stream.get(k), want.get(k))
+                                for k in set(got_stream) | set(want)
+                                if got_stream.get(k) != want.get(k)}))
 
     assert not mismatches, f"{len(mismatches)} diverging configs; first 3: " \
                            f"{mismatches[:3]}"
@@ -458,3 +470,143 @@ def test_fold_fuzz_vs_duckdb(spark):
     # both execution paths must actually be exercised
     assert n_decomposable >= 25, n_decomposable
     assert n_general >= 50, n_general
+
+
+# -- decimal mid-sequence overflow leg (VERDICT r12 #8) -----------------------
+#
+# Magnitudes that CROSS the (19,9) operand bound mid-fold: |w1| <= 8e9, so
+# two same-sign adds exceed 1e10 (the memo operand then try_casts to NULL
+# and the fold stays poisoned), while every individual term stays castable.
+# Both general-fold paths (JVM array + Arrow streaming) must replay the
+# crossings exactly as the DuckDB coefficient-space oracle (c9's >= 1e19
+# coefficient saturation IS the (19,9) bound). The decomposable NATIVE
+# path is deliberately absent here: its divergence on re-entering
+# crossings is the DECLARED contract, pinned separately below.
+
+N_OVERFLOW_CONFIGS = 40
+
+
+def _overflow_rows(rng: random.Random):
+    rows, seq = [], 0
+    for k, n in _KEYS:
+        for _ in range(n):
+            seq += 1
+            v1 = None if rng.random() < 0.15 else rng.randint(-999, 999)
+            v2 = None if rng.random() < 0.15 else rng.randint(-999, 999)
+            w1 = (None if rng.random() < 0.1 else
+                  Decimal(rng.randint(-8_000_000_000_000, 8_000_000_000_000))
+                  .scaleb(-3))
+            rows.append((f"e{seq}", seq, k, v1, v2, w1))
+    return rows
+
+
+def test_fold_fuzz_decimal_overflow_leg(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = random.Random(0xD0C5)
+    rows = _overflow_rows(rng)
+    sdf = spark.createDataFrame(rows, _SPARK_SCHEMA)
+    by_key: dict[int, list] = {}
+    for _eid, _seq, k, v1, v2, w1 in rows:
+        by_key.setdefault(k, []).append(
+            (v1, v2, None if w1 is None else int(w1.scaleb(18))))
+
+    candidates = []
+    for _ in range(int(N_OVERFLOW_CONFIGS * 1.6)):
+        n = rng.randint(3, 5)
+        kinds = {f"d{i}": DEC for i in range(n)}
+        gen = FoldGen(rng, kinds)
+        stmts = [f"{d} ~ {_render(gen.statement(d))}" for d in kinds]
+        candidates.append((kinds, stmts))
+
+    configs = []
+    for kinds, stmts in candidates:
+        try:
+            cfg = AggregationTransformConfig(
+                "src", "k", tuple(parse_statement(s) for s in stmts))
+            mtypes = aggregation.memo_types(cfg, _SPARK_SCHEMA)
+        except (ConfigError, ExpressionError):
+            continue
+        if all(isinstance(t, T.DecimalType) for t in mtypes.values()):
+            configs.append((cfg, kinds, stmts))
+        if len(configs) == N_OVERFLOW_CONFIGS:
+            break
+    assert len(configs) >= N_OVERFLOW_CONFIGS * 0.75, len(configs)
+
+    def run(item, strategy):
+        cfg, kinds, _stmts = item
+        out = {}
+        df = aggregation.compute_groups(cfg, sdf, fold_strategy=strategy)
+        for r in df.collect():
+            d = r.asDict()
+            out[d[C.AGGREGATED_COLUMN]] = tuple(
+                _canon_spark(d[st.dest], kinds[st.dest])
+                for st in cfg.functions)
+        return out
+
+    with ThreadPoolExecutor(8) as ex:
+        array_results = list(ex.map(lambda it: run(it, "array"), configs))
+        stream_results = list(ex.map(lambda it: run(it, "stream"), configs))
+
+    con = duckdb.connect()
+    con.execute("SET memory_limit='512MB'")
+    con.execute("SET threads=2")
+    for stmt in (_MACROS + _FOLD_MACROS).split(";"):
+        if stmt.strip():
+            con.execute(stmt)
+
+    mismatches, n_null, n_val = [], 0, 0
+    for (cfg, kinds, stmts), arr_got, stm_got in zip(
+            configs, array_results, stream_results):
+        dests = [st.dest for st in cfg.functions]
+        stmt_trs = []
+        for i, st in enumerate(cfg.functions):
+            nodes: list = []
+            sql, t, _h = _tr_memo(st.expr, kinds, nodes, f"s{i}")
+            stmt_trs.append((nodes, sql))
+        want = {k: _replay_key(con, dests, stmt_trs, key_rows)
+                for k, key_rows in by_key.items()}
+        for vals in want.values():
+            n_null += sum(v is None for v in vals)
+            n_val += sum(v is not None for v in vals)
+        for label, got in (("array", arr_got), ("stream", stm_got)):
+            if got != want:
+                mismatches.append((label, stmts,
+                                   {k: (got.get(k), want.get(k))
+                                    for k in set(got) | set(want)
+                                    if got.get(k) != want.get(k)}))
+    assert not mismatches, f"{len(mismatches)} diverging; first 3: " \
+                           f"{mismatches[:3]}"
+    # the leg must actually exercise poisoning crossings AND live values
+    assert n_null >= 40, n_null
+    assert n_val >= 40, n_val
+
+
+def test_decimal_midsequence_overflow_divergence_declared(spark):
+    """The DECLARED decomposable divergence (VERDICT r12 #8, r12 finding
+    #3's residual): a running decimal memo that crosses |1e10| and
+    re-enters range NULL-poisons the sequential fold (the (19,9) memo
+    operand try_casts to NULL at the next add) but not the native
+    partial-aggregate sum (terms are guarded individually; the TOTAL is
+    back in range). Both general-fold paths agree with the reference
+    semantics (NULL); the native path returns the re-entered value —
+    pinned here as the documented contract (operators/aggregation.py),
+    unreachable without |Σ| >= 1e10 crossings."""
+    from decimal import Decimal as D
+
+    rows = [("e1", 1, 0, None, None, D("6e9")),
+            ("e2", 2, 0, None, None, D("6e9")),
+            ("e3", 3, 0, None, None, D("-6e9"))]
+    sdf = spark.createDataFrame(rows, _SPARK_SCHEMA)
+    cfg = AggregationTransformConfig(
+        "src", "k", (parse_statement("s ~ memo.s + w1"),))
+    assert aggregation.classify(cfg) is not None  # decomposable sum
+
+    def val(strategy):
+        [r] = aggregation.compute_groups(
+            cfg, sdf, fold_strategy=strategy).collect()
+        return r["s"]
+
+    assert val("array") is None       # fold: poisoned at row 2's add
+    assert val("stream") is None      # streaming fold: identical
+    assert val("auto") == D("6e9")    # native sum: declared divergence
