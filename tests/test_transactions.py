@@ -239,3 +239,88 @@ class TestCrashRecovery:
         assert {(r["aggregatedColumn"], r["n"])
                 for r in eng.table("totals").collect()} == \
             {(1, 2), (2, 1), (3, 1)}
+
+
+class TestCrashStreamListen:
+    """VERDICT r12 #5: crash-injection with ACTIVE listeners and a
+    RUNNING checkpointed stream. Two kill windows (crash_stream_child):
+    A — between bucket write and pointer flip (commit not durable,
+    checkpoint marker absent); B — after the commit+epoch note, before
+    the checkpoint marker (the double-apply window). Asserted on
+    reattach: exact pre-crash snapshot, no phantom/duplicate listener
+    events, and an exactly-once resume from the SAME checkpoint."""
+
+    @staticmethod
+    def _run_child(ws, mode, expect_rc):
+        import os
+        import subprocess
+        import sys
+
+        child = os.path.join(os.path.dirname(__file__), "crash_stream_child.py")
+        proc = subprocess.run([sys.executable, child, ws, mode],
+                              capture_output=True, text=True, timeout=600)
+        assert proc.returncode == expect_rc, proc.stderr[-3000:]
+
+    @staticmethod
+    def _events(ws, name):
+        import json
+        import os
+
+        path = os.path.join(ws, name)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _resume(self, spark, ws):
+        import os
+
+        from tests.crash_stream_child import (
+            CFG, attach_logger, run_available_now)
+
+        eng = Engine(spark, CFG, workspace=ws)
+        attach_logger(eng, ws, "listen_log2.jsonl")
+        run_available_now(eng, spark, os.path.join(ws, "stream_src"),
+                          os.path.join(ws, "ckpt"))
+        return eng
+
+    def test_kill_before_pointer_flip_replays_exactly_once(self, spark, tmp_path):
+        ws = str(tmp_path / "wsA")
+        self._run_child(ws, "A", 42)
+
+        # pre-crash snapshot: batch 1 only, and the dead commit produced
+        # ZERO listener events (notification is strictly post-commit)
+        ev1 = self._events(ws, "listen_log.jsonl")
+        assert {(e["table"], e["uid"]) for e in ev1} == \
+            {("users", 1), ("users", 2), ("big", 2)}
+        assert len(ev1) == 3, ev1
+
+        eng = self._resume(spark, ws)
+        users = sorted((r["uid"], r["score"]) for r in eng.table("users").collect())
+        assert users == [(1, 5), (2, 50), (3, 99), (4, 7)] or \
+            users == sorted([(1, 5), (2, 50), (3, 99), (4, 7)])
+        big = sorted((r["uid"], r["score"]) for r in eng.table("big").collect())
+        assert big == [(2, 50), (3, 99)]
+        # the replayed batch's events fire exactly once, in the resume
+        ev2 = self._events(ws, "listen_log2.jsonl")
+        assert sorted((e["table"], e["uid"]) for e in ev2) == \
+            [("big", 3), ("users", 3), ("users", 4)]
+
+    def test_kill_before_checkpoint_marker_skips_replay(self, spark, tmp_path):
+        ws = str(tmp_path / "wsB")
+        self._run_child(ws, "B", 43)
+
+        # the commit WAS durable: both batches on disk, events exactly once
+        ev1 = self._events(ws, "listen_log.jsonl")
+        assert sorted((e["table"], e["uid"]) for e in ev1) == \
+            [("big", 2), ("big", 3), ("users", 1), ("users", 2),
+             ("users", 3), ("users", 4)]
+
+        eng = self._resume(spark, ws)
+        users = sorted((r["uid"], r["score"]) for r in eng.table("users").collect())
+        assert users == [(1, 5), (2, 50), (3, 99), (4, 7)], \
+            "replayed epoch was double-applied"
+        big = sorted((r["uid"], r["score"]) for r in eng.table("big").collect())
+        assert big == [(2, 50), (3, 99)]
+        # the ledger skipped the replay BEFORE any insert: zero new events
+        assert self._events(ws, "listen_log2.jsonl") == []
