@@ -43,6 +43,23 @@ QUICK_SET = (
 )
 
 
+# --scale (VERDICT r12 #7): the full suite with each DECLARED-quadratic
+# research twin swapped for its guarded production config (both stay
+# registered and oracle-gated; the swap only changes what a SCALE DRIVE
+# measures). The five unguarded twins cost ~1200 s of the 2069 s sf1
+# full-suite wall — quadratic BY DESIGN on this fixed-vocab fixture —
+# which made full-suite sf10 drives infeasible; their production
+# configs are the committed at-scale path (BASELINE.md).
+RESEARCH_TWIN_SWAPS = {
+    "fuzzy_join_edit": "fuzzy_join_guarded",
+    "dedup_jaccard": "dedup_jaccard_guarded",
+    "dedup_clusters": "dedup_clusters_guarded",
+    "dedup_ngram_jaccard": "dedup_ngram_jaccard_guarded",
+    "dedup_containment": "dedup_containment_zipf",
+    "trigram_search": "trigram_search_bounded",
+}
+
+
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -281,6 +298,16 @@ def main() -> None:
     if "--quick" in sys.argv and only is None:
         # an explicit --only wins; --quick then only adds the band report
         only = set(QUICK_SET)
+    if "--scale" in sys.argv and only is None:
+        import __spark_entry__ as entrymod
+
+        all_names = set(entrymod.queries())
+        missing = {p for p in RESEARCH_TWIN_SWAPS.values()
+                   if p not in all_names}
+        if missing:
+            raise SystemExit(f"--scale production twins not registered: "
+                             f"{sorted(missing)}")
+        only = all_names - set(RESEARCH_TWIN_SWAPS)
     if only is not None:
         import __spark_entry__ as entrymod
 
@@ -315,6 +342,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
     }
+    if "--scale" in sys.argv:
+        payload["scale_profile"] = {"swapped_out": sorted(RESEARCH_TWIN_SWAPS)}
     load_vals = sorted(loads[n] for n in queries if n in loads)
     if load_vals:
         payload["load1_summary"] = {
@@ -387,9 +416,11 @@ def main() -> None:
     # RAW file: the full record, including the per-query load1 dict that
     # promote_bench.py's run-level floor gate reads. queries still last
     # (cheapest-first) so a partial read degrades the same way stdout does.
-    if only is None or "--raw" in sys.argv or "--quick" in sys.argv:
+    if only is None or "--raw" in sys.argv or "--quick" in sys.argv \
+            or "--scale" in sys.argv:
         suffix = ("" if only is None
-                  else "-quick" if "--quick" in sys.argv else "-subset")
+                  else "-quick" if "--quick" in sys.argv
+                  else "-scale" if "--scale" in sys.argv else "-subset")
         raw_payload = dict(payload)
         raw_payload["load1"] = {n: loads[n] for n in queries if n in loads}
         raw_payload["queries"] = queries

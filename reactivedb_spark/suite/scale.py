@@ -385,6 +385,106 @@ FROM reach GROUP BY doc
 )
 
 
+def q_dedup_ngram_jaccard_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """Production config of the char-3-gram near-dup pipeline (VERDICT
+    r12 #7): ``max_bucket=100`` drops stop-band LSH buckets before pair
+    generation — the same guard dedup_jaccard_guarded carries, applied
+    to the shingle tokenizer. The oracle replays the identical bucket-
+    count rule, so the guard's semantics are driver-verified."""
+    return dedup.ngram_jaccard_pairs(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text",
+        n=3, threshold=0.8, max_bucket=100,
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD_GUARDED = (
+    """WITH series AS (
+  SELECT g.p FROM generate_series(1, 4096) g(p)),
+tok AS (
+  SELECT DISTINCT doc_id, substr(lower(trim(text)), CAST(s.p AS INT), 3) AS token
+  FROM documents, series s
+  WHERE s.p <= length(lower(trim(text))) - 2), """
+    + _SIG_CTE + ", " + _BANDED_CTE + ", " + _LONG_CTE + """,
+kept AS (
+  SELECT doc_id, bi, bk FROM (
+    SELECT doc_id, bi, bk, count(*) OVER (PARTITION BY bi, bk) AS bn FROM lng)
+  WHERE bn <= 100),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+sets AS (
+  SELECT doc_id, list(DISTINCT token) AS toks,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+         sa.n_tok AS n_a, sb.n_tok AS n_b
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+FROM j WHERE n_inter > 0
+  AND CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8
+"""
+)
+
+
+def q_dedup_clusters_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """Production config of transitive near-dup clustering (VERDICT r12
+    #7): connected components over the GUARDED (max_bucket=100) Jaccard
+    >= 0.8 pair graph — the committed config at scale (16.0 s vs
+    569.5 s unguarded at sf10, BASELINE.md). Oracle: recursive
+    reachability over the identically-guarded pair CTE."""
+    from reactivedb_spark.operators.graph import connected_components_star
+
+    pairs = dedup.jaccard_pairs(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text",
+        threshold=0.8, max_bucket=100,
+    ).select("doc_a", "doc_b")
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+SQL_DEDUP_CLUSTERS_GUARDED = (
+    """WITH RECURSIVE tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''), """
+    + _SIG_CTE + ", " + _BANDED_CTE + ", " + _LONG_CTE + """,
+kept AS (
+  SELECT doc_id, bi, bk FROM (
+    SELECT doc_id, bi, bk, count(*) OVER (PARTITION BY bi, bk) AS bn FROM lng)
+  WHERE bn <= 100),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+sets AS (
+  SELECT doc_id, list(DISTINCT token) AS toks,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+edges AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b
+  WHERE len(list_intersect(sa.toks, sb.toks)) > 0
+    AND CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+        / CAST(sa.n_tok + sb.n_tok - len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) >= 0.8),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+reach AS (
+  SELECT s AS doc, s AS r FROM sym
+  UNION
+  SELECT y.d AS doc, re.r FROM reach re JOIN sym y ON y.s = re.doc)
+SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+FROM reach GROUP BY doc
+"""
+)
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(dedup.widen(load(spark, sf, "documents")), "doc_id", "text")
 
@@ -2600,6 +2700,8 @@ QUERIES = {
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
+    "dedup_ngram_jaccard_guarded": q_dedup_ngram_jaccard_guarded,
+    "dedup_clusters_guarded": q_dedup_clusters_guarded,
     "dedup_containment_exact": q_dedup_containment_exact,
     "dedup_containment_zipf": q_dedup_containment_zipf,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2664,6 +2766,8 @@ ORACLES = {
     "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
+    "dedup_ngram_jaccard_guarded": SQL_DEDUP_NGRAM_JACCARD_GUARDED,
+    "dedup_clusters_guarded": SQL_DEDUP_CLUSTERS_GUARDED,
     "dedup_containment_exact": SQL_DEDUP_CONTAINMENT_EXACT,
     "dedup_containment_zipf": SQL_DEDUP_CONTAINMENT_ZIPF,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
