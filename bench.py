@@ -46,11 +46,17 @@ QUICK_SET = (
 # --scale (VERDICT r12 #7): the full suite with each DECLARED-quadratic
 # research twin swapped for its guarded production config (both stay
 # registered and oracle-gated; the swap only changes what a SCALE DRIVE
-# measures). The five unguarded twins cost ~1200 s of the 2069 s sf1
-# full-suite wall — quadratic BY DESIGN on this fixed-vocab fixture —
-# which made full-suite sf10 drives infeasible; their production
-# configs are the committed at-scale path (BASELINE.md).
+# measures). The five unguarded dedup/fuzzy twins cost ~1200 s of the
+# 2069 s sf1 full-suite wall — quadratic BY DESIGN on this fixed-vocab
+# fixture — which made full-suite sf10 drives infeasible; their
+# production configs are the committed at-scale path (BASELINE.md).
+# ann_knn_join joined the swap list after the first sf10 drive measured
+# its fixed-bucket-count self-join densifying 6.5 → 238 s over the
+# second decade (RESULTS-r13); its banded twin is worst-case linear.
 RESEARCH_TWIN_SWAPS = {
+    "ann_knn_join": "ann_knn_join_banded",
+    "embedding_near_dups": "embedding_near_dups_banded",
+    "embedding_clusters": "embedding_clusters_banded",
     "fuzzy_join_edit": "fuzzy_join_guarded",
     "dedup_jaccard": "dedup_jaccard_guarded",
     "dedup_clusters": "dedup_clusters_guarded",

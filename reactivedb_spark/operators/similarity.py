@@ -493,6 +493,15 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     a = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
     cand = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    return _exact_cosine(cand, df, id_col, vec_col)
+
+
+def _exact_cosine(cand: DataFrame, df: DataFrame, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Attach the exact fixed-point cosine to a (doc_a, doc_b) candidate
+    relation — the array-native verify shared by ``cosine_pairs`` and
+    ``banded_pairs`` (one row per pair, ``zip_with``+``aggregate`` dot
+    product, integer-exact in any order)."""
     n2 = F.aggregate(
         F.transform(F.col("vl"), lambda x: x * x),
         F.lit(0).cast("long"),
@@ -519,6 +528,49 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def banded_pairs(df: DataFrame, id_col: str, vec_col: str,
+                 band: int = 64) -> DataFrame:
+    """(doc_a, doc_b, cos_sim) — the BANDED production config of the
+    LSH-bucket candidate pairs: within each bucket, members are totally
+    ordered by (md5(id), id) and each vector pairs only with the
+    ``band`` members FOLLOWING it in that order.
+
+    Scale contract (the ANN analog of the dedup family's ``max_bucket``
+    stop-band): candidates ≤ n·band BY CONSTRUCTION — worst-case LINEAR
+    in corpus size even if every vector hashes to one bucket, where the
+    unbanded bucket self-join densifies as Σ|bucket|² (fixed bucket
+    count ⇒ quadratic per decade; measured 6.5 s → 238 s over sf1→sf10
+    on the 8-plane/256-bucket layout, BASELINE.md RESULTS-r13). The
+    hash order is geometry-blind, so buckets with ≤ band+1 members pair
+    EXACTLY as the research config; larger buckets trade recall for the
+    linear bound — declared, and replayed identically by the oracle.
+
+    Plan: row_number over (bucket, hash-order) — one shuffle on the
+    bucket key; candidates come from an offset explode (1..band) joined
+    back on (bucket, position) — an equi-join whose build side is the
+    position relation itself, never a bucket×bucket self-join. Each
+    unordered pair appears exactly once (a precedes b in band order)."""
+    from pyspark.sql.window import Window
+
+    buckets = cache.pin(lsh_buckets(df, id_col, vec_col))
+    order = buckets.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("bucket")
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        ),
+    )
+    a = order.select(F.col(id_col).alias("doc_a"), "bucket",
+                     F.col("pos").alias("pa"))
+    probes = a.select(
+        "doc_a", "bucket", "pa",
+        F.explode(F.sequence(F.lit(1), F.lit(int(band)))).alias("off"),
+    ).select("doc_a", "bucket", (F.col("pa") + F.col("off")).alias("pos"))
+    b = order.select(F.col(id_col).alias("doc_b"), "bucket", "pos")
+    cand = probes.join(b, ["bucket", "pos"]).select("doc_a", "doc_b")
+    return _exact_cosine(cand, df, id_col, vec_col)
+
+
 def knn_join(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
     """Approximate k-NN self-join: for EVERY vector, its top-``k``
     neighbors by cosine among vectors sharing its hyperplane-LSH bucket
@@ -534,7 +586,13 @@ def knn_join(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
     doc_a, no driver-side state. Vectors whose bucket holds no other
     vector yield no rows (approximate-by-design: LSH recall, not a
     correctness gap — the oracle applies the same candidate rule)."""
-    pairs = cache.pin(cosine_pairs(df, id_col, vec_col))
+    return _topk_of_pairs(cache.pin(cosine_pairs(df, id_col, vec_col)), k)
+
+
+def _topk_of_pairs(pairs: DataFrame, k: int) -> DataFrame:
+    """Symmetrize a pinned (doc_a, doc_b, cos_sim) pair relation and keep
+    each doc_a's top-``k`` by (cos_sim desc, doc_b) — the shared tail of
+    the k-NN joins (one keyed window shuffle, no driver-side state)."""
     sym = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"),
@@ -550,6 +608,19 @@ def knn_join(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_a", "doc_b", F.col("rank").cast("long").alias("rank"), "cos_sim")
     )
+
+
+def knn_join_banded(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+                    band: int = 64) -> DataFrame:
+    """Production config of the k-NN self-join: ``knn_join`` over the
+    BANDED candidate relation (:func:`banded_pairs` — candidates ≤
+    n·band by construction, worst-case linear at any corpus size or
+    bucket skew). Same output contract: (doc_a, doc_b, rank, cos_sim),
+    rank 1-based by (cos_sim desc, doc_b). Identical to ``knn_join``
+    whenever every bucket holds ≤ band+1 vectors (small-sf gates);
+    bounded-recall, declared, at densities beyond that."""
+    return _topk_of_pairs(
+        cache.pin(banded_pairs(df, id_col, vec_col, band=band)), k)
 
 
 def pq_codes(df: DataFrame, id_col: str, vec_col: str,

@@ -28,6 +28,20 @@ def get_spark(app_name: str = "reactivedb_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size shuffles by DATA, not by core count: start every shuffle
+        # at 8x cores partitions and let AQE coalesce back down
+        # (parallelismFirst keeps small shuffles at core-count
+        # parallelism, so sf<=0.1 plans are unchanged in effect). At
+        # cores-sized partitions a 100x-the-cores dataset sort-spills:
+        # the sf10 solo A/B measured fuzzy_join_guarded at 101.7/256.6 s
+        # with 32 initial partitions (spill-bound, GC-thrashed canary)
+        # vs 28.6/33.0 s with 256 (calm), bigram_logprob 39.2 vs 34.7 s,
+        # pure-map and small-shuffle ops unchanged (RESULTS-r13 A/B).
+        # On a real cluster you'd size initialPartitionNum to
+        # total-shuffle-bytes / 128MB the same way.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                os.environ.get("SPARK_INITIAL_SHUFFLE_PARTITIONS",
+                               str(max(cpus, 8) * 8)))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Declared contract (SURVEY.md Appendix A #6): non-ANSI arithmetic —

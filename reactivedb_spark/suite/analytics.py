@@ -1164,6 +1164,69 @@ def q_ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_knn_join_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Production config of the k-NN self-join (VERDICT r12 #7 class:
+    bound the declared-quadratic candidate stage): same LSH buckets,
+    but each vector pairs only with the 64 bucket-mates FOLLOWING it in
+    (md5(id), id) order — candidates ≤ n·64 by construction, worst-case
+    LINEAR however skewed the buckets get, where the unbanded bucket
+    self-join measured 6.5 s → 238 s over sf1→sf10 (quadratic on the
+    fixed 256-bucket layout). Identical output to ``ann_knn_join``
+    whenever every bucket holds ≤ 65 vectors (the sf≤0.1 gates); the
+    oracle replays the identical band rule."""
+    from reactivedb_spark.operators import dedup
+    from reactivedb_spark.operators.similarity import knn_join_banded
+
+    return knn_join_banded(
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding",
+        k=5, band=64,
+    )
+
+
+def _sql_ann_knn_join_banded() -> str:
+    from reactivedb_spark.suite import scale as _scale
+
+    return (
+        "WITH " + _scale._ELEM_CTE + ", " + _scale._BUCKETS_CTE + """,
+posn AS (
+  SELECT vec_id, bucket,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pos
+  FROM buckets),
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM posn a JOIN posn b
+    ON a.bucket = b.bucket AND b.pos > a.pos AND b.pos <= a.pos + 64),
+n2 AS (SELECT vec_id, SUM(xl * xl) AS n2 FROM elem GROUP BY vec_id),
+dotp AS (
+  SELECT c.doc_a, c.doc_b, SUM(ea.xl * eb.xl) AS dot
+  FROM cand c
+  JOIN elem ea ON ea.vec_id = c.doc_a
+  JOIN elem eb ON eb.vec_id = c.doc_b AND eb.j = ea.j
+  GROUP BY c.doc_a, c.doc_b),
+pairs AS (
+  SELECT d.doc_a, d.doc_b,
+         round((CAST(d.dot AS DOUBLE) / 1e16)
+               / (sqrt(CAST(na.n2 AS DOUBLE) / 1e16)
+                  * sqrt(CAST(nb.n2 AS DOUBLE) / 1e16)), 9) AS cos_sim
+  FROM dotp d
+  JOIN n2 na ON na.vec_id = d.doc_a
+  JOIN n2 nb ON nb.vec_id = d.doc_b),
+sym AS (
+  SELECT doc_a, doc_b, cos_sim FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b, cos_sim FROM pairs),
+ranked AS (
+  SELECT doc_a, doc_b, cos_sim,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY cos_sim DESC, doc_b) AS rnk
+  FROM sym)
+SELECT doc_a, doc_b, CAST(rnk AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rnk <= 5
+"""
+    )
+
+
 def _sql_ann_knn_join() -> str:
     from reactivedb_spark.suite import scale as _scale
 
@@ -1284,6 +1347,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "ann_knn_join": q_ann_knn_join,
+    "ann_knn_join_banded": q_ann_knn_join_banded,
     "sample_weighted": q_sample_weighted,
     "streaming_tumbling": q_streaming_tumbling,
     "hll_users": q_hll_users,
@@ -1316,6 +1380,7 @@ ORACLES = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "ann_knn_join": _sql_ann_knn_join(),
+    "ann_knn_join_banded": _sql_ann_knn_join_banded(),
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "streaming_tumbling": SQL_STREAMING_TUMBLING,
     "hll_users": SQL_HLL_USERS,

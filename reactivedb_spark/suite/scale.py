@@ -863,6 +863,54 @@ JOIN n2 nb ON nb.vec_id = d.doc_b
 """
 )
 
+# Banded candidate rule (similarity.banded_pairs): within each bucket,
+# members totally ordered by (md5(id), id); each vector pairs with the
+# 64 members FOLLOWING it — candidates <= n*64 by construction, the
+# worst-case-linear production config of the bucket self-join (the sf10
+# drive measured the unbanded cand CTE densifying quadratically on the
+# fixed 256-bucket layout — BASELINE.md RESULTS-r13).
+_BANDED_CAND_CTE = """posn AS (
+  SELECT vec_id, bucket,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pos
+  FROM buckets),
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM posn a JOIN posn b
+    ON a.bucket = b.bucket AND b.pos > a.pos AND b.pos <= a.pos + 64)"""
+
+
+def q_embedding_near_dups_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Production config of embedding near-dup pairs: the BANDED
+    candidate relation (candidates <= n·64, worst-case linear at any
+    bucket skew) with the identical array-native fixed-point verify.
+    Identical output to ``embedding_near_dups`` while buckets hold
+    <= 65 vectors (every sf <= 0.1 fixture); declared bounded-recall
+    beyond. The unbanded twin stays registered as the research config."""
+    return similarity.banded_pairs(
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding",
+        band=64,
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS_BANDED = (
+    "WITH " + _ELEM_CTE + ", " + _BUCKETS_CTE + ", " + _BANDED_CAND_CTE + """,
+n2 AS (SELECT vec_id, SUM(xl * xl) AS n2 FROM elem GROUP BY vec_id),
+dotp AS (
+  SELECT c.doc_a, c.doc_b, SUM(ea.xl * eb.xl) AS dot
+  FROM cand c
+  JOIN elem ea ON ea.vec_id = c.doc_a
+  JOIN elem eb ON eb.vec_id = c.doc_b AND eb.j = ea.j
+  GROUP BY c.doc_a, c.doc_b)
+SELECT d.doc_a, d.doc_b,
+       round((CAST(d.dot AS DOUBLE) / 1e16)
+             / (sqrt(CAST(na.n2 AS DOUBLE) / 1e16) * sqrt(CAST(nb.n2 AS DOUBLE) / 1e16)), 9) AS cos_sim
+FROM dotp d
+JOIN n2 na ON na.vec_id = d.doc_a
+JOIN n2 nb ON nb.vec_id = d.doc_b
+"""
+)
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2455,6 +2503,56 @@ FROM reach GROUP BY v
 )
 
 
+def q_embedding_clusters_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Production config of embedding near-dup CLUSTERS: star-contraction
+    CC over the BANDED cosine >= 0.3 pair graph (see
+    ``embedding_near_dups_banded`` — candidates <= n·64 by construction,
+    worst-case linear; identical to the research twin while buckets hold
+    <= 65 vectors). Note the cluster IDs themselves stay exact whenever
+    the band covers each bucket, and degrade to a band-connected
+    APPROXIMATION of transitive closure beyond — declared, replayed
+    identically by the oracle."""
+    from reactivedb_spark.operators.graph import connected_components_star
+
+    pairs = similarity.banded_pairs(
+        dedup.widen(load(spark, sf, "embeddings")), "vec_id", "embedding",
+        band=64,
+    ).filter(F.col("cos_sim") >= 0.3).select("doc_a", "doc_b")
+    return connected_components_star(pairs).select(
+        F.col("node").alias("vec_id"), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+SQL_EMBEDDING_CLUSTERS_BANDED = (
+    "WITH RECURSIVE " + _ELEM_CTE + ", " + _BUCKETS_CTE + ", "
+    + _BANDED_CAND_CTE + """,
+n2 AS (SELECT vec_id, SUM(xl * xl) AS n2 FROM elem GROUP BY vec_id),
+dotp AS (
+  SELECT c.doc_a, c.doc_b, SUM(ea.xl * eb.xl) AS dot
+  FROM cand c
+  JOIN elem ea ON ea.vec_id = c.doc_a
+  JOIN elem eb ON eb.vec_id = c.doc_b AND eb.j = ea.j
+  GROUP BY c.doc_a, c.doc_b),
+edges AS (
+  SELECT d.doc_a, d.doc_b
+  FROM dotp d
+  JOIN n2 na ON na.vec_id = d.doc_a
+  JOIN n2 nb ON nb.vec_id = d.doc_b
+  WHERE round((CAST(d.dot AS DOUBLE) / 1e16)
+              / (sqrt(CAST(na.n2 AS DOUBLE) / 1e16)
+                 * sqrt(CAST(nb.n2 AS DOUBLE) / 1e16)), 9) >= 0.3),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+reach AS (
+  SELECT s AS v, s AS r FROM sym
+  UNION
+  SELECT y.d AS v, re.r FROM reach re JOIN sym y ON y.s = re.v)
+SELECT v AS vec_id, CAST(min(r) AS BIGINT) AS cluster
+FROM reach GROUP BY v
+"""
+)
+
+
 
 
 def q_dedup_transform(spark: SparkSession, sf: str) -> DataFrame:
@@ -2713,6 +2811,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_sq8_topk": q_ann_sq8_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_banded": q_embedding_near_dups_banded,
     "semantic_dedup": q_semantic_dedup,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -2745,6 +2844,7 @@ QUERIES = {
     "chunk_windows": q_chunk_windows,
     "source_orc": q_source_orc,
     "embedding_clusters": q_embedding_clusters,
+    "embedding_clusters_banded": q_embedding_clusters_banded,
     "dedup_transform": q_dedup_transform,
     "distinct_transform": q_distinct_transform,
     "join_transform": q_join_transform,
@@ -2780,6 +2880,7 @@ ORACLES = {
     "ann_sq8_topk": SQL_ANN_SQ8_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "embedding_near_dups_banded": SQL_EMBEDDING_NEAR_DUPS_BANDED,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "char_entropy": SQL_CHAR_ENTROPY,
@@ -2811,6 +2912,7 @@ ORACLES = {
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "source_orc": SQL_SOURCE_ORC,
     "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
+    "embedding_clusters_banded": SQL_EMBEDDING_CLUSTERS_BANDED,
     "dedup_transform": SQL_DEDUP_TRANSFORM,
     "distinct_transform": SQL_DISTINCT_TRANSFORM,
     "join_transform": SQL_JOIN_TRANSFORM,

@@ -264,6 +264,54 @@ def test_knn_join_matches_bruteforce_within_buckets(spark):
     assert got == want and len(got) > 0
 
 
+def test_knn_join_banded_equals_unbanded_below_band(spark):
+    """With every bucket holding <= band+1 vectors, the banded production
+    config is EXACTLY knn_join (the band covers the whole bucket — the
+    small-sf identity the oracle-parity gate relies on)."""
+    import math
+
+    from reactivedb_spark.operators import similarity
+
+    rows = [(i, [math.sin(i * 1.3 + d) for d in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = sorted(map(tuple, similarity.knn_join(
+        df, "vec_id", "embedding", k=3).collect()))
+    banded = sorted(map(tuple, similarity.knn_join_banded(
+        df, "vec_id", "embedding", k=3, band=64).collect()))
+    assert banded == full and len(banded) > 0
+
+
+def test_banded_pairs_linear_bound_on_one_bucket(spark):
+    """Adversarial skew: every vector in ONE bucket (same direction ⇒
+    same projection signs). The unbanded candidate relation is n(n-1)/2;
+    the banded one is capped at n·band by construction — and follows the
+    (md5(id), id) band rule exactly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from reactivedb_spark.operators import similarity
+
+    n, band = 60, 4
+    base = [0.31, -0.7, 0.22, 0.9, -0.11, 0.05, -0.4, 0.63]
+    rows = [(i, [x * (1.0 + i) for x in base]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert similarity.lsh_buckets(
+        df, "vec_id", "embedding").select("bucket").distinct().count() == 1
+
+    got = {(r["doc_a"], r["doc_b"]) for r in similarity.banded_pairs(
+        df, "vec_id", "embedding", band=band).collect()}
+    assert len(got) <= n * band
+    order = sorted(range(n), key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))
+    want = {(order[p], order[q])
+            for p in range(n) for q in range(p + 1, min(p + band + 1, n))}
+    assert got == want
+    # unbanded on the same data really is the quadratic relation
+    assert similarity.cosine_pairs(
+        df, "vec_id", "embedding").count() == n * (n - 1) // 2
+
+
 def test_new_ops_plan_shapes(spark):
     """Physical-plan audit: knn_join's candidate generation is a bucket
     equi-join (never a cartesian), and cms_estimate probes a BROADCAST
