@@ -233,8 +233,34 @@ def cms_topk(df: DataFrame, value_col: str, k: int = 20,
     (est desc, value asc) — deterministic total order. The candidate set
     here is the distinct value relation; a production pipeline at 100 TB
     feeds a pre-filtered candidate stream instead (the sketch itself
-    never stores values, which is the point)."""
-    sk = cms_sketch(df, value_col, depth, width)
-    items = df.select(value_col).distinct()
-    est = cms_estimate(sk, items, value_col, depth, width)
+    never stores values, which is the point).
+
+    Plan: the naive shape (``cms_sketch`` over the multiplicity stream
+    + a separate ``distinct`` for the probe side) pays ``depth`` md5s
+    per value OCCURRENCE plus a second pass over the stream. Since cell
+    counts are additive, the same sketch falls out of the (value, n)
+    word-count relation — one partial-aggregable groupBy over the
+    stream (the shuffle the probe side needed anyway; Catalyst reuses
+    the exchange for both branches), then ``depth`` md5s per DISTINCT
+    value and a Σn-weighted cell sum. Byte-identical estimates (Σ
+    occurrences landing in a cell == Σ n of the distinct values landing
+    there; every probe's cells exist by construction); the md5+explode
+    work drops by the occurrences/vocabulary ratio."""
+    counts = df.groupBy(value_col).agg(F.count("*").cast("long").alias("_n"))
+    pos_tab = counts.select(
+        value_col,
+        "_n",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     _cms_pos(F.col(value_col), i, width).alias("pos"))
+            for i in range(1, depth + 1)
+        ])).alias("c"),
+    ).select(value_col, "_n", F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    cells = pos_tab.groupBy("row", "pos").agg(F.sum("_n").cast("long").alias("cnt"))
+    est = (
+        pos_tab.drop("_n")
+        .join(F.broadcast(cells), ["row", "pos"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
     return est.orderBy(F.col("est").desc(), F.col(value_col)).limit(k)

@@ -218,6 +218,27 @@ def test_cms_overestimates_never_under(spark):
     assert [r["v"] for r in top] == ["a", "b"]
 
 
+def test_cms_topk_equals_sketch_path(spark):
+    """cms_topk's word-count-weighted plan is byte-identical to the
+    mergeable-sketch path it replaced (cms_sketch over the multiplicity
+    stream + cms_estimate over the distinct probes) — full ranking, all
+    distinct values, collisions and all."""
+    from pyspark.sql import functions as F
+
+    from reactivedb_spark.operators import sketch
+
+    df = spark.range(4000).select(
+        F.concat(F.lit("w"), (F.col("id") % 259) * (F.col("id") % 7)).alias("v"))
+    n_distinct = df.select("v").distinct().count()
+    got = sketch.cms_topk(df, "v", k=n_distinct).collect()
+    sk = sketch.cms_sketch(df, "v")
+    want = (
+        sketch.cms_estimate(sk, df.select("v").distinct(), "v")
+        .orderBy(F.col("est").desc(), F.col("v")).limit(n_distinct).collect()
+    )
+    assert list(map(tuple, got)) == list(map(tuple, want)) and len(got) == n_distinct
+
+
 def test_cms_cells_merge_by_sum(spark):
     """Sketch of a union == (row,pos)-summed union of sketches."""
     from pyspark.sql import functions as F
