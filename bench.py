@@ -61,6 +61,7 @@ RESEARCH_TWIN_SWAPS = {
     "dedup_jaccard": "dedup_jaccard_guarded",
     "dedup_clusters": "dedup_clusters_guarded",
     "dedup_ngram_jaccard": "dedup_ngram_jaccard_guarded",
+    "dedup_lsh_candidates": "dedup_lsh_candidates_guarded",
     "dedup_containment": "dedup_containment_zipf",
     "trigram_search": "trigram_search_bounded",
 }

@@ -173,6 +173,38 @@ FROM j WHERE n_inter > 0
 )
 
 
+def q_dedup_lsh_candidates_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """Production config of the raw LSH candidate relation: the same
+    ``max_bucket=100`` stop-band as the guarded Jaccard/cluster family,
+    applied to the candidate-pair query itself. The unguarded twin's
+    cost IS the pair materialization (88.7M pairs at sf1 — the
+    signature stages cost 1.5 s of its 17.4 s wall; profiled r13),
+    which densifies as Σ|bucket|² on a fixed-vocabulary corpus; the
+    stop-band bounds every bucket's contribution at 100² rows BEFORE
+    the self-join — the same linear-by-construction argument as the
+    banded ANN twins. The oracle replays the identical bucket-count
+    rule. The unguarded twin stays registered as the research config;
+    ``bench --scale`` measures this one."""
+    return dedup.lsh_candidates(
+        dedup.widen(load(spark, sf, "documents")), "doc_id", "text",
+        max_bucket=100,
+    )
+
+
+def _sql_dedup_lsh_candidates_guarded() -> str:
+    return (
+        "WITH " + _TOK_CTE + ", " + _SIG_CTE + ", " + _BANDED_CTE + ", "
+        + _LONG_CTE + """,
+kept AS (
+  SELECT doc_id, bi, bk FROM (
+    SELECT doc_id, bi, bk, count(*) OVER (PARTITION BY bi, bk) AS bn FROM lng)
+  WHERE bn <= 100)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM kept a JOIN kept b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+"""
+    )
+
+
 def q_dedup_containment_exact(spark: SparkSession, sf: str) -> DataFrame:
     """FULL-RECALL near-superset detection (round-5 answer to the
     advisor's recall finding on the LSH containment path): prefix-
@@ -2796,6 +2828,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "dedup_lsh_candidates_guarded": q_dedup_lsh_candidates_guarded,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
     "dedup_ngram_jaccard_guarded": q_dedup_ngram_jaccard_guarded,
@@ -2864,6 +2897,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
+    "dedup_lsh_candidates_guarded": _sql_dedup_lsh_candidates_guarded(),
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
     "dedup_ngram_jaccard_guarded": SQL_DEDUP_NGRAM_JACCARD_GUARDED,
