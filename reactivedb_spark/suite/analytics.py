@@ -39,6 +39,29 @@ def q_hll_users(spark: SparkSession, sf: str) -> DataFrame:
 SQL_HLL_USERS = sketch.oracle_sql("events", ["event_type"], "user_id")
 
 
+# -- histogram quantile sketch (portable, mergeable) --------------------------
+
+def q_quantile_sketch_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """p50/p95/p99 of order totalprice per priority via the mergeable
+    fixed-bin histogram sketch (operators/quantile.py): two
+    partial-aggregable groupBys, ≤1024 longs of state per group, no
+    sort — the 100 TB shape for percentiles. Pure IEEE-double algebra
+    (no libm), so the DuckDB oracle matches bit-for-bit."""
+    from reactivedb_spark.operators.quantile import approx_quantiles
+
+    return approx_quantiles(
+        load(spark, sf, "orders"), ["o_orderpriority"], "o_totalprice",
+        [0.5, 0.95, 0.99],
+    )
+
+
+def _sql_quantile_sketch_prices() -> str:
+    from reactivedb_spark.operators import quantile
+
+    return quantile.oracle_sql(
+        "orders", "o_orderpriority", "o_totalprice", [0.5, 0.95, 0.99])
+
+
 # -- banded range join (attribution) ------------------------------------------
 
 def q_range_join_attrib(spark: SparkSession, sf: str) -> DataFrame:
@@ -1351,6 +1374,7 @@ QUERIES = {
     "sample_weighted": q_sample_weighted,
     "streaming_tumbling": q_streaming_tumbling,
     "hll_users": q_hll_users,
+    "quantile_sketch_prices": q_quantile_sketch_prices,
     "streaming_dedup": q_streaming_dedup,
     "streaming_stream_join": q_streaming_stream_join,
     "streaming_stateful_totals": q_streaming_stateful_totals,
@@ -1384,6 +1408,7 @@ ORACLES = {
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "streaming_tumbling": SQL_STREAMING_TUMBLING,
     "hll_users": SQL_HLL_USERS,
+    "quantile_sketch_prices": _sql_quantile_sketch_prices(),
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_stream_join": SQL_STREAMING_STREAM_JOIN,
     "streaming_stateful_totals": SQL_STREAMING_STATEFUL_TOTALS,
