@@ -47,7 +47,10 @@ def histogram_sketch(df: DataFrame, group_cols: list[str], value_col: str,
     range — a second map-side-combinable aggregation whose post-shuffle
     state is ≤ ``bins`` rows per group. NULL values are excluded (both
     passes filter them identically — the same contract as percentile
-    aggregates). Degenerate groups (max == min) land everything in bin 0.
+    aggregates), and so are NULL GROUP KEYS (made explicit here rather
+    than left to the null-unsafe equi-join, which would drop them
+    silently on the range join). Degenerate groups (max == min) land
+    everything in bin 0.
 
     The (vmin, w, n) columns are constant within a group and carried on
     every row so the sketch is self-describing: union two sketch tables
@@ -59,6 +62,8 @@ def histogram_sketch(df: DataFrame, group_cols: list[str], value_col: str,
     grid — not provided here.
     """
     vals = df.filter(F.col(value_col).isNotNull())
+    for g in group_cols:
+        vals = vals.filter(F.col(g).isNotNull())
     rng = vals.groupBy(*group_cols).agg(
         F.min(value_col).cast("double").alias("vmin"),
         F.max(value_col).cast("double").alias("vmax"),
@@ -134,7 +139,8 @@ def oracle_sql(table: str, group_col: str, value_col: str,
     return f"""
 WITH vals AS (
   SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v
-  FROM {table} WHERE {value_col} IS NOT NULL),
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL),
 rng AS (
   SELECT g, CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
          CAST(count(*) AS BIGINT) AS n
