@@ -135,7 +135,11 @@ def approx_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
 def oracle_sql(table: str, group_col: str, value_col: str,
                qs: list[float], bins: int = HIST_BINS) -> str:
     """The DuckDB twin — identical binning and interpolation algebra."""
-    q_values = ", ".join(f"({q!r})" for q in qs)
+    # CAST each literal: a bare VALUES (0.95) row is typed DECIMAL in
+    # DuckDB, whose exact 0.95 compares UNEQUAL to the Spark side's
+    # double q column (fetchall() hands back Decimal, and only literals
+    # exactly representable in binary survive the numeric comparison)
+    q_values = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in qs)
     return f"""
 WITH vals AS (
   SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v
