@@ -284,10 +284,20 @@ def triangle_count(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
     closing = fwd.select(
         F.least("src", "dst").alias("p"), F.greatest("src", "dst").alias("q")
     )
-    tri = wedges.join(closing, ["p", "q"])
+    # one pass over the wedge relation for BOTH counts: closing is unique
+    # on (p, q) (oriented distinct edges), so a left join keeps exactly
+    # one row per wedge with a 0/1 match marker — count(*) is the wedge
+    # count and count(marker) the triangle count. The previous shape
+    # aggregated `wedges` and `wedges ⋈ closing` as two separate plan
+    # branches, materializing the m^{3/2}-sized wedge join twice.
+    tri_flag = wedges.join(
+        closing.withColumn("_hit", F.lit(1)), ["p", "q"], "left"
+    )
     return (
-        wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        tri_flag.agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("_hit").alias("n_triangles"),
+        )
         .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
         .select(
             F.col("n_edges").cast("long").alias("n_edges"),

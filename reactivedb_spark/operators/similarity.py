@@ -545,29 +545,31 @@ def banded_pairs(df: DataFrame, id_col: str, vec_col: str,
     EXACTLY as the research config; larger buckets trade recall for the
     linear bound — declared, and replayed identically by the oracle.
 
-    Plan: row_number over (bucket, hash-order) — one shuffle on the
-    bucket key; candidates come from an offset explode (1..band) joined
-    back on (bucket, position) — an equi-join whose build side is the
-    position relation itself, never a bucket×bucket self-join. Each
-    unordered pair appears exactly once (a precedes b in band order)."""
+    Plan: ONE window over (bucket, hash-order) whose frame is the
+    ``band`` FOLLOWING rows — ``collect_list(id) over rows between 1
+    and band`` exploded gives each vector exactly its following
+    band-mates, so the candidate relation falls out of a single
+    bucket-keyed exchange with no position self-join at all (the
+    earlier shape paid a second window pass plus a sort-merge join of
+    an offset-exploded probe relation back on (bucket, position) —
+    two extra exchanges and two sorts for the same pair set)."""
     from pyspark.sql.window import Window
 
-    buckets = cache.pin(lsh_buckets(df, id_col, vec_col))
-    order = buckets.withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("bucket")
-            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        ),
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(1, int(band))
     )
-    a = order.select(F.col(id_col).alias("doc_a"), "bucket",
-                     F.col("pos").alias("pa"))
-    probes = a.select(
-        "doc_a", "bucket", "pa",
-        F.explode(F.sequence(F.lit(1), F.lit(int(band)))).alias("off"),
-    ).select("doc_a", "bucket", (F.col("pa") + F.col("off")).alias("pos"))
-    b = order.select(F.col(id_col).alias("doc_b"), "bucket", "pos")
-    cand = probes.join(b, ["bucket", "pos"]).select("doc_a", "doc_b")
+    cand = (
+        lsh_buckets(df, id_col, vec_col)
+        # window first, generator second: explode() cannot wrap a window
+        # expression inside one projection
+        .withColumn("_next", F.collect_list(F.col(id_col)).over(w))
+        .select(
+            F.col(id_col).alias("doc_a"),
+            F.explode(F.col("_next")).alias("doc_b"),
+        )
+    )
     return _exact_cosine(cand, df, id_col, vec_col)
 
 
