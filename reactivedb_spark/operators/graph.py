@@ -25,27 +25,63 @@ from reactivedb_spark import cache
 
 
 @contextlib.contextmanager
-def _iteration_shuffle(df: DataFrame):
-    """Pin shuffle parallelism to the cluster's core count for the
-    label-propagation rounds. Iterative CC runs many SMALL keyed
-    shuffles over node/label relations; under the global default of 200
-    shuffle partitions each round pays 200-task fixed overhead
+def _iteration_shuffle(df: DataFrame, disable_aqe: bool = True):
+    """Pin shuffle parallelism to the cluster's core count AND disable
+    AQE for the label-propagation rounds. Iterative CC runs many SMALL
+    keyed shuffles over node/label relations; under the global default
+    of 200 shuffle partitions each round pays 200-task fixed overhead
     regardless of data size (measured: dedup_clusters 33→~20 s on a
     vanilla local[8] session at sf0.01). defaultParallelism tracks
     executor cores, so the pin scales with the cluster instead of being
     a magic constant; the expensive EDGE derivation is materialized by
     the caller BEFORE entering this scope, so only the iteration is
-    affected. The session value is restored on exit."""
+    affected. The session values are restored on exit.
+
+    AQE is off inside the scope because AQE wraps every cached plan in
+    an AdaptiveSparkPlan whose output partitioning reads as UNKNOWN to
+    consumers, so the :func:`_pin_by_key` static join side would be
+    re-exchanged and re-sorted EVERY round (measured: the exchange and
+    sort vanish from the round plan with AQE off, and reappear with it
+    on). The loop shuffles are already sized by the pin above — exactly
+    what AQE coalescing would have done — and skew inside a round is
+    bounded by each algorithm's own design (degree orientation, stop
+    bands), so AQE buys nothing here and costs an exchange+sort of the
+    edge relation per round."""
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(max(spark.sparkContext.defaultParallelism, 4)),
     )
+    if disable_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def _pin_by_key(df: DataFrame, key: str) -> DataFrame:
+    """Persist ``df`` hash-partitioned AND sorted by ``key``, sized to
+    the iteration shuffle width. A static relation that every iteration
+    round joins on ``key`` (the symmetrized edge list, a degree-annotated
+    edge list) then enters each round's sort-merge join with NO exchange
+    and NO sort — the per-round cost drops from re-shuffling the edge
+    relation every round to shuffling only the (much smaller) evolving
+    node relation. persist() (not localCheckpoint) is load-bearing: a
+    checkpointed RDD scan reports UnknownPartitioning, so every consumer
+    would re-exchange it; the cached plan keeps the repartition+sort in
+    its lineage where EnsureRequirements can see it. Must be called
+    inside :func:`_iteration_shuffle` (AQE off — see there — and the
+    partition count must match the round shuffles). MEMORY_AND_DISK
+    semantics of the default storage level keep this scale-safe: at
+    cluster scale the edge relation spills to local disk once, which is
+    no worse than the per-round shuffle writes it replaces."""
+    spark = df.sparkSession
+    p = max(spark.sparkContext.defaultParallelism, 4)
+    return cache.pin(df.repartition(p, key).sortWithinPartitions(key))
 
 
 def connected_components(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
@@ -59,9 +95,15 @@ def connected_components(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
     e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
     converged = False
     with _iteration_shuffle(e0):
-        sym = e0.unionByName(
-            e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        ).localCheckpoint()
+        # the static join side of every round: partition+sort by the
+        # corner ONCE (_pin_by_key) so the per-round join shuffles only
+        # the frontier, never the edge relation
+        sym = _pin_by_key(
+            e0.unionByName(
+                e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            ),
+            "s",
+        )
         labels = (
             sym.select(F.col("s").alias("node")).distinct()
             .withColumn("label", F.col("node"))
@@ -117,31 +159,38 @@ def pagerank(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
     # one-sided projection checkpointed first — see connected_components:
     # the union's branches must not recompute the edge derivation twice
     e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
-    sym = (
-        e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = sym.groupBy("s").agg(F.count("*").cast("long").alias("deg"))
-    n = deg.count()
-    base = (1.0 - damping) / n
-    ranks = deg.select(F.col("s").alias("node"), F.lit(1.0 / n).alias("pr"))
-    for _ in range(iters):
-        contrib = (
-            ranks.join(deg, ranks["node"] == deg["s"])
-            .select(F.col("node"), (F.col("pr") / F.col("deg").cast("double")).alias("share"))
-            .join(sym, F.col("node") == sym["s"])
-            .select(F.col("d").alias("node"), F.col("share").cast("decimal(28,14)").alias("c"))
-        )
-        ranks = (
-            contrib.groupBy("node")
-            .agg(F.sum("c").alias("csum"))
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.col("csum").cast("double")).alias("pr"),
-            )
+    with _iteration_shuffle(e0):
+        sym = (
+            e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .distinct()
             .localCheckpoint()
         )
+        deg = sym.groupBy("s").agg(F.count("*").cast("long").alias("deg"))
+        n = deg.count()
+        base = (1.0 - damping) / n
+        ranks = deg.select(F.col("s").alias("node"), F.lit(1.0 / n).alias("pr"))
+        # degree-annotated edges, partitioned+sorted by source ONCE: each
+        # round is then ONE join that shuffles only the rank relation
+        # (the old shape recomputed deg from sym — an edge-sized shuffle —
+        # and re-shuffled sym itself every round). Per-edge pr/deg uses
+        # the identical operands the per-node pre-division used, so the
+        # doubles (and their DECIMAL(28,14) casts) are bit-identical.
+        sym2 = _pin_by_key(sym.join(deg, "s").select("s", "d", "deg"), "s")
+        for _ in range(iters):
+            contrib = ranks.join(sym2, ranks["node"] == sym2["s"]).select(
+                F.col("d").alias("node"),
+                (F.col("pr") / F.col("deg").cast("double"))
+                .cast("decimal(28,14)").alias("c"),
+            )
+            ranks = (
+                contrib.groupBy("node")
+                .agg(F.sum("c").alias("csum"))
+                .select(
+                    "node",
+                    (F.lit(base) + F.lit(damping) * F.col("csum").cast("double")).alias("pr"),
+                )
+                .localCheckpoint()
+            )
     return ranks.select("node", F.round(F.col("pr"), 9).alias("pr"))
 
 
@@ -177,7 +226,13 @@ def connected_components_star(edges: DataFrame, a: str = "doc_a", b: str = "doc_
 
     prev_sig = signature(e)
     converged = False
-    with _iteration_shuffle(e):
+    # AQE stays ON here (disable_aqe=False): star contraction has no
+    # static pre-partitioned join side to protect, its edge relation
+    # SHRINKS geometrically across rounds, and AQE's coalescing of the
+    # later rounds' near-empty shuffles is load-bearing (measured at
+    # sf0.1 on the deep-chain graph: 27.9 s with AQE off in-loop vs
+    # 7.8 s with it on — ~19 rounds of 3 fixed-width shuffles each).
+    with _iteration_shuffle(e, disable_aqe=False):
         for _ in range(max_iter):
             # large-star: strictly-larger neighbors of each center attach to
             # the minimum of the closed neighborhood
@@ -330,28 +385,34 @@ def k_core(edges: DataFrame, k: int, a: str = "u", b: str = "v",
     checkpointed edge relation."""
     e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
     with _iteration_shuffle(e0):
-        spark = e0.sparkSession
-        # the caller's edge derivation may arrive in hundreds of tiny
-        # partitions (session default shuffle width); every peel round
-        # re-scans the live relation, so shrink it to core count ONCE
-        live = (
+        # live stays partitioned+sorted by ONE endpoint (_pin_by_key);
+        # because the relation is kept symmetric (both directions always
+        # present), degree-by-s equals degree-by-d, so each round reads
+        # degrees and runs the first semi-join on the CURRENT partition
+        # key with no exchange at all, and the second semi-join's
+        # sort-merge output comes out partitioned AND sorted by the
+        # OTHER endpoint — which simply becomes the next round's key.
+        # Net: exactly one edge-sized exchange per peel round (the old
+        # shape paid two plus a degree shuffle).
+        live = _pin_by_key(
             e0.unionByName(
                 e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
-            )
-            .repartition(spark.sparkContext.defaultParallelism, "s")
-            .localCheckpoint()
+            ),
+            "s",
         )
         n_live = live.count()
+        key, other = "s", "d"
         for _ in range(int(rounds)):
-            deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("_deg"))
-            keep = deg.filter(F.col("_deg") >= int(k)).select("s")
-            pruned = (
-                live.join(keep, "s", "left_semi")
-                .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
-                .localCheckpoint()
+            deg = live.groupBy(key).agg(F.count(F.lit(1)).alias("_deg"))
+            keep = deg.filter(F.col("_deg") >= int(k)).select(key)
+            pruned = cache.pin(
+                live.join(keep, key, "left_semi")
+                .join(keep.withColumnRenamed(key, other), other, "left_semi")
             )
             n_new = pruned.count()
+            live.unpersist()
             live = pruned
+            key, other = other, key
             if n_new == n_live:  # fixpoint: further rounds are no-ops
                 break
             n_live = n_new
@@ -385,10 +446,13 @@ def label_propagation(edges: DataFrame, a: str = "u", b: str = "v",
 
     e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
     with _iteration_shuffle(e0):
-        sym = (
-            e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
-            .distinct()
-            .localCheckpoint()
+        # static vote-join side: partitioned+sorted by the corner once,
+        # so each sweep shuffles only the evolving label relation
+        sym = _pin_by_key(
+            e0.unionByName(
+                e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            ).distinct(),
+            "s",
         )
         labels = (
             sym.select(F.col("s").alias("node")).distinct()
@@ -431,10 +495,13 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, a: str = "u", b: str = "v",
     """
     e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
     with _iteration_shuffle(e0):
-        sym = (
-            e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
-            .distinct()
-            .localCheckpoint()
+        # static expansion side: partitioned+sorted by the corner once,
+        # so each hop shuffles only the frontier
+        sym = _pin_by_key(
+            e0.unionByName(
+                e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            ).distinct(),
+            "s",
         )
         visited = sources.select(
             F.col(source_col).alias("node"), F.lit(0).alias("hops")

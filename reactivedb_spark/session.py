@@ -59,6 +59,13 @@ def get_spark(app_name: str = "reactivedb_spark", cpus: int | None = None) -> Sp
         # 16g heap GC-thrashes a 32-thread suite run into ~3x slowdowns)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
     )
+    # A/B hook: extra session confs from the environment
+    # ("k=v;k=v"), applied last so experiments can override any default
+    # without editing this file mid-measurement.
+    for kv in filter(None, os.environ.get("RDB_EXTRA_SPARK_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        if k.strip() and v.strip():
+            builder = builder.config(k.strip(), v.strip())
     if not os.environ.get("RDB_NO_PYDAEMON"):
         # Pre-import numpy/pandas/pyarrow in the worker daemon so forked
         # Arrow-UDF workers inherit them copy-on-write instead of paying
