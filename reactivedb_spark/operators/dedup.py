@@ -431,6 +431,43 @@ def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
+    if max_bucket is not None:
+        # GUARDED pair generation without a self-join: the a⋈b band join
+        # evaluates the whole upstream (scan → token explode → 6×md5
+        # minhash SortAggregate → bands) once PER SIDE — the most
+        # expensive compute in the pipeline, twice. With the stop-band
+        # guard active every bucket holds ≤ max_bucket ids, so one
+        # groupBy per bucket (sharing the guard window's (bi, bk)
+        # exchange) collects the bucket's ids sorted and pos-explode +
+        # tail-slice emits each unordered pair exactly once (array_sort
+        # ascending ⇒ doc_a < doc_b by construction — the same pair set
+        # as the join's a < b filter). Measured at sf0.1:
+        # dedup_jaccard_guarded 11.3 → 4.4 s min-of-3.
+        grouped = long.groupBy("bi", "bk").agg(
+            F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+        )
+        return (
+            grouped.select(F.posexplode("_ids").alias("_i", "doc_a"), "_ids")
+            .select(
+                "doc_a",
+                F.explode(
+                    F.slice("_ids", F.col("_i") + 2,
+                            F.size("_ids") - F.col("_i") - 1)
+                ).alias("doc_b"),
+            )
+            .distinct()
+        )
+    # UNGUARDED (research) configs keep the self-join: without the bucket
+    # bound a stop-band-sized bucket generates |bucket|² pairs, and the
+    # join formulation lets AQE's skew-join splitting spread that hot
+    # (bi, bk) key across tasks — the collect_list shape would pin the
+    # whole quadratic bucket onto one task (measured: dedup_clusters
+    # 11 → 18 s when collect-paired unguarded). Pin the band relation so
+    # the join's two sides read ONE computed copy: unpinned, each side
+    # re-ran the scan → explode → 6×md5 minhash upstream (broadcast
+    # conversion defeats exchange reuse — seen in the before-plan as two
+    # full identical subtrees).
+    long = cache.pin(long)
     a = long.select(F.col(id_col).alias("doc_a"), "bi", "bk")
     b = long.select(F.col(id_col).alias("doc_b"), "bi", "bk")
     return (
@@ -680,12 +717,21 @@ def simhash_pairs(sig: DataFrame, id_col: str = "doc_id",
     e = vals.select("_v", F.explode(bands).alias("b")).select(
         "_v", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
-    a = e.select(F.col("_v").alias("_va"), "band", "bv")
-    b = e.select(F.col("_v").alias("_vb"), "band", "bv")
+    # collect each band bucket's distinct signature values once and emit
+    # every unordered pair from the sorted array — the old a⋈b self-join
+    # evaluated the distinct+explode upstream once per side (see
+    # lsh_candidates for the same rewrite and its equivalence argument)
+    grouped = e.groupBy("band", "bv").agg(
+        F.array_sort(F.collect_list(F.col("_v"))).alias("_vs")
+    )
     vp = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("_va") < F.col("_vb"))
-        .select("_va", "_vb")
+        grouped.select(F.posexplode("_vs").alias("_i", "_va"), "_vs")
+        .select(
+            "_va",
+            F.explode(
+                F.slice("_vs", F.col("_i") + 2, F.size("_vs") - F.col("_i") - 1)
+            ).alias("_vb"),
+        )
         .distinct()  # a value pair may collide in several bands
         .withColumn(
             "hamming", F.bit_count(F.col("_va").bitwiseXOR(F.col("_vb"))).cast("long")
@@ -796,19 +842,28 @@ def simhash2_pairs(sig: DataFrame, id_col: str = "doc_id",
     e = vals.select("_ha", "_la", F.explode(F.array(*bands)).alias("b")).select(
         "_ha", "_la", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
-    a = e.select(F.col("_ha").alias("_haa"), F.col("_la").alias("_laa"), "band", "bv")
-    b = e.select(F.col("_ha").alias("_hab"), F.col("_la").alias("_lab"), "band", "bv")
     ham = (
         F.bit_count(F.col("_haa").bitwiseXOR(F.col("_hab")))
         + F.bit_count(F.col("_laa").bitwiseXOR(F.col("_lab")))
     ).cast("long")
+    # same self-join-free pair generation as simhash_pairs/lsh_candidates;
+    # array_sort on struct(_ha, _la) orders lexicographically by field,
+    # which is exactly the old (_haa < _hab) OR (== AND _laa < _lab) rule
+    grouped = e.groupBy("band", "bv").agg(
+        F.array_sort(F.collect_list(F.struct("_ha", "_la"))).alias("_vs")
+    )
     vp = (
-        a.join(b, ["band", "bv"])
-        .filter(
-            (F.col("_haa") < F.col("_hab"))
-            | ((F.col("_haa") == F.col("_hab")) & (F.col("_laa") < F.col("_lab")))
+        grouped.select(F.posexplode("_vs").alias("_i", "_a"), "_vs")
+        .select(
+            "_a",
+            F.explode(
+                F.slice("_vs", F.col("_i") + 2, F.size("_vs") - F.col("_i") - 1)
+            ).alias("_b"),
         )
-        .select("_haa", "_laa", "_hab", "_lab")
+        .select(
+            F.col("_a._ha").alias("_haa"), F.col("_a._la").alias("_laa"),
+            F.col("_b._ha").alias("_hab"), F.col("_b._la").alias("_lab"),
+        )
         .distinct()
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -487,12 +487,23 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ``zip_with``+``aggregate`` over those arrays — integer-exact (index
     order, same sums as any order) and ~dims× smaller on the wire than
     the earlier (pair × dimension) explode-join, whose intermediate was
-    |pairs|·dims rows through two shuffles. Buckets are persisted: the
-    candidate self-join reads them twice."""
-    buckets = cache.pin(lsh_buckets(df, id_col, vec_col))
-    a = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
-    b = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
-    cand = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    |pairs|·dims rows through two shuffles. Candidates come from ONE
+    groupBy over the bucket relation (sorted-id array, pos-explode +
+    tail-slice — each unordered pair once, doc_a < doc_b by sort order):
+    the earlier bucket self-join exchanged the bucket relation twice and
+    needed it persisted; this shape computes it once, uncached."""
+    grouped = lsh_buckets(df, id_col, vec_col).groupBy("bucket").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    cand = (
+        grouped.select(F.posexplode("_ids").alias("_i", "doc_a"), "_ids")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("_ids", F.col("_i") + 2, F.size("_ids") - F.col("_i") - 1)
+            ).alias("doc_b"),
+        )
+    )
     return _exact_cosine(cand, df, id_col, vec_col)
 
 
