@@ -247,14 +247,30 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
     return cosine_topk(cand, id_col, vec_col, query_id, k=k)
 
 
+def _seed_cents(df: DataFrame, id_col: str, vec_col: str, k: int) -> list:
+    """The ``k`` lowest-id vectors in fixed-point longs, collected to the
+    driver — k·d longs, bounded like :func:`seed_assignments2`'s seed
+    pull. One job with a limit, instead of deriving the centroid
+    relation by a full scan → explode → join of the corpus (which ran
+    once per consumer because broadcast builds defeat exchange reuse).
+    Returns [(cluster_idx, [xl, ...]), ...] in id order."""
+    rows = (
+        df.select(F.col(id_col), _xl_array(vec_col).alias("vl"))
+        .orderBy(id_col).limit(int(k)).collect()
+    )
+    return [(ci, [int(x) for x in r["vl"]]) for ci, r in enumerate(rows)]
+
+
 def seed_assignments(df: DataFrame, id_col: str, vec_col: str,
                      n_clusters: int = 16) -> tuple:
     """Cluster assignment against SEED centroids (the ``n_clusters``
     lowest-id vectors) in **exact int64 fixed-point squared L2**
     (elements are xl = round(x·10⁸); (xl−cl)² ≤ 4·10¹⁶ and ×64 dims
     ≤ 2.6·10¹⁸ < 2⁶³), so cluster membership is bit-reproducible in any
-    engine — no float k-means means in the compare path. Only the k seed
-    IDS come back to the driver.
+    engine — no float k-means means in the compare path. The k seed
+    VECTORS (k·d longs, bounded) come back to the driver and return as
+    a literal relation: the earlier shape derived the centroid side
+    from a second full scan+explode of the corpus.
 
     Returns (assign DataFrame [id, cluster], d2 DataFrame
     [id, cluster, d2]) — callers needing probe selection reuse d2."""
@@ -262,14 +278,11 @@ def seed_assignments(df: DataFrame, id_col: str, vec_col: str,
 
     spark = df.sparkSession
     elem = exploded(df, id_col, vec_col)
-    seed_ids = [r[0] for r in
-                df.select(id_col).orderBy(id_col).limit(n_clusters).collect()]
-    seed_map = spark.createDataFrame(
-        [(int(s), ci) for ci, s in enumerate(seed_ids)], "_sid long, cluster int"
+    cent = spark.createDataFrame(
+        [(ci, j + 1, xl) for ci, vl in _seed_cents(df, id_col, vec_col, n_clusters)
+         for j, xl in enumerate(vl)],
+        "cluster int, j int, cl long",
     )
-    cent = elem.join(
-        F.broadcast(seed_map), F.col(id_col) == F.col("_sid")
-    ).select("cluster", "j", F.col("xl").alias("cl"))
     d2 = (
         elem.join(F.broadcast(cent), "j")
         .groupBy(id_col, "cluster")
@@ -425,7 +438,11 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    vecs = (
+    # the (id, vl, n2, cluster) relation feeds BOTH sides of the
+    # within-cluster pair join — pin it so the scan + fixed-point cast +
+    # assignment join run once, not once per side (broadcast conversion
+    # defeats exchange reuse; the lsh_candidates lesson)
+    vecs = cache.pin(
         df.select(F.col(id_col), _xl_array(vec_col).alias("vl"))
         .withColumn("n2", n2)
         .join(pair_assign, id_col)
@@ -455,13 +472,45 @@ def ivf_seed_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
     oracle-able variant of ``ivf_topk`` (assignment math documented at
     :func:`seed_assignments`). Scan economics match ivf_topk:
     candidates ≈ nprobe/n_clusters of the corpus, then exact
-    fixed-point cosine top-k."""
-    assign, d2 = seed_assignments(df, id_col, vec_col, n_clusters)
-    probe = [
-        r["cluster"]
-        for r in d2.filter(F.col(id_col) == F.lit(query_id))
-        .orderBy("d2", "cluster").limit(nprobe).collect()
-    ]
+    fixed-point cosine top-k.
+
+    Probe selection runs on the DRIVER in the same exact int64 math:
+    query-to-centroid distances are nprobe·k·d integer ops over the
+    already-collected seed vectors plus the (pushdown-filtered) query
+    row — the earlier shape evaluated the full n·k distributed d2
+    relation a second time just to read its k query rows."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    cents = _seed_cents(df, id_col, vec_col, n_clusters)
+    qrow = (
+        df.filter(F.col(id_col) == F.lit(query_id))
+        .select(_xl_array(vec_col).alias("vl")).first()
+    )
+    if qrow is None:
+        probe: list[int] = []  # no query row ⇒ no probed clusters (as before)
+    else:
+        qvl = [int(x) for x in qrow["vl"]]
+        probe = [
+            ci
+            for _, ci in sorted(
+                (sum((a - b) * (a - b) for a, b in zip(vl, qvl)), ci)
+                for ci, vl in cents
+            )[: int(nprobe)]
+        ]
+    cent = spark.createDataFrame(
+        [(ci, j + 1, xl) for ci, vl in cents for j, xl in enumerate(vl)],
+        "cluster int, j int, cl long",
+    )
+    elem = exploded(df, id_col, vec_col)
+    d2 = (
+        elem.join(F.broadcast(cent), "j")
+        .groupBy(id_col, "cluster")
+        .agg(F.sum((F.col("xl") - F.col("cl")) * (F.col("xl") - F.col("cl"))).alias("d2"))
+    )
+    assign = d2.withColumn(
+        "rn", F.row_number().over(W.partitionBy(id_col).orderBy("d2", "cluster"))
+    ).filter(F.col("rn") == 1).select(id_col, "cluster")
     ids = (
         assign.filter(F.col("cluster").isin(probe)).select(id_col)
         .union(df.filter(F.col(id_col) == F.lit(query_id)).select(id_col))
@@ -660,22 +709,22 @@ def pq_codes(df: DataFrame, id_col: str, vec_col: str,
     """
     from pyspark.sql.window import Window as W
 
-    dim = len(df.select(vec_col).first()[0])
+    # the ksub seed codewords come back to the driver (ksub·d longs,
+    # bounded) and the codebook is a LITERAL relation: the earlier shape
+    # derived it from a second full scan → explode → join of the corpus
+    # (and a separate first() just for the dimensionality)
+    seeds = _seed_cents(df, id_col, vec_col, ksub)
+    if not seeds:
+        raise ValueError("pq_codes: empty input relation")
+    dim = len(seeds[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     elem = exploded(df, id_col, vec_col)
-    seed_ids = [r[0] for r in
-                df.select(id_col).orderBy(id_col).limit(ksub).collect()]
-    seed_map = df.sparkSession.createDataFrame(
-        [(int(s), c) for c, s in enumerate(seed_ids)], "_sid long, code int"
-    )
-    codebook = (
-        elem.join(F.broadcast(seed_map), F.col(id_col) == F.col("_sid"))
-        .select(
-            F.expr("(j - 1) div " + str(dsub)).cast("int").alias("s"),
-            "code", "j", F.col("xl").alias("cl"),
-        )
+    codebook = df.sparkSession.createDataFrame(
+        [(j // dsub, code, j + 1, xl)
+         for code, vl in seeds for j, xl in enumerate(vl)],
+        "s int, code int, j int, cl long",
     )
     d2 = (
         elem.join(F.broadcast(codebook), "j")
@@ -710,13 +759,24 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
     Returns (id, d2_fp) — fixed-point squared L2 (scale 10¹⁶), ascending.
     """
     codes, codebook = pq_codes(df, id_col, vec_col, m=m, ksub=ksub)
-    qelem = exploded(
-        df.filter(F.col(id_col) == F.lit(query_id)), id_col, vec_col
-    ).select("j", F.col("xl").alias("ql"))
-    lut = (
-        codebook.join(F.broadcast(qelem), "j")
-        .groupBy("s", "code")
-        .agg(F.sum((F.col("ql") - F.col("cl")) * (F.col("ql") - F.col("cl"))).alias("qd2"))
+    # the ADC lookup table is m×ksub cells over the (already driver-side)
+    # codebook and the one query vector — computed on the driver in the
+    # same exact int64 math and broadcast as a literal; the earlier shape
+    # spent a scan (query explode) + join + aggregation on it
+    qrow = (
+        df.filter(F.col(id_col) == F.lit(query_id))
+        .select(_xl_array(vec_col).alias("vl")).first()
+    )
+    lut_cells: dict[tuple, int] = {}
+    if qrow is not None:
+        ql = [int(x) for x in qrow["vl"]]
+        for r in codebook.collect():  # ksub·dim literal rows, no Spark job
+            key = (r["s"], r["code"])
+            d = ql[r["j"] - 1] - r["cl"]
+            lut_cells[key] = lut_cells.get(key, 0) + d * d
+    lut = df.sparkSession.createDataFrame(
+        [(s, c, qd2) for (s, c), qd2 in sorted(lut_cells.items())],
+        "s int, code int, qd2 long",
     )
     return (
         codes.filter(F.col(id_col) != F.lit(query_id))
@@ -786,15 +846,25 @@ def kmeans_assignments(df: DataFrame, id_col: str, vec_col: str,
 
     spark = df.sparkSession
     elem = cache.pin(exploded(df, id_col, vec_col))
-    seed_ids = [int(r[0]) for r in
-                df.select(id_col).orderBy(id_col).limit(k).collect()]
-    seed_map = spark.createDataFrame(
-        [(s, ci) for ci, s in enumerate(seed_ids)], "_sid long, cluster int"
-    )
-    cent = (
-        elem.join(F.broadcast(seed_map), F.col(id_col) == F.col("_sid"))
-        .select("cluster", "j", F.col("xl").alias("cl"))
-    )
+    # centroid state lives on the DRIVER as k·d longs (bounded): each
+    # update pulls the (cluster, j, Σxl, n) sums — k·d rows — and applies
+    # the SAME integer round-half-away-from-zero formula in exact Python
+    # int math, then re-broadcasts a literal relation. The earlier shape
+    # kept centroids distributed: every iteration pinned a new k·d-row
+    # relation whose lineage chained through the previous assignment, so
+    # the final plan nested T iterations of joins/windows and re-ran the
+    # assignment once per reference (jobs 30 → 6 at sf0.1, iters=2).
+    cent_state = {
+        (ci, j + 1): xl
+        for ci, vl in _seed_cents(df, id_col, vec_col, k)
+        for j, xl in enumerate(vl)
+    }
+
+    def _cent_df() -> DataFrame:
+        return spark.createDataFrame(
+            [(ci, j, xl) for (ci, j), xl in sorted(cent_state.items())],
+            "cluster int, j int, cl long",
+        )
 
     def assign(c: DataFrame) -> DataFrame:
         d2 = (
@@ -814,24 +884,22 @@ def kmeans_assignments(df: DataFrame, id_col: str, vec_col: str,
         )
 
     for _ in range(iters):
-        a = assign(cent)
+        a = assign(_cent_df())
         sums = (
             a.select(id_col, "cluster").join(elem, id_col)
             .groupBy("cluster", "j")
             .agg(F.sum("xl").alias("s"), F.count("*").cast("long").alias("n"))
-        )
-        newc = sums.select(
-            "cluster", "j",
-            F.when(
-                F.col("s") >= 0, F.expr("(s + (n div 2)) div n")
-            ).otherwise(-F.expr("((-s) + (n div 2)) div n"))
-            .cast("long").alias("ncl"),
-        )
-        cent = cache.pin(
-            cent.join(newc, ["cluster", "j"], "left")
-            .select("cluster", "j", F.coalesce("ncl", "cl").alias("cl"))
-        )
-    return assign(cent)
+        ).collect()  # k·d rows, bounded
+        for r in sums:
+            s, n = int(r["s"]), int(r["n"])
+            # integer round-half-away-from-zero mean, identical to the
+            # previous in-plan `(s + (n div 2)) div n` on nonnegative
+            # operands (empty clusters keep their previous centroid by
+            # simply not appearing in `sums`)
+            cent_state[(r["cluster"], r["j"])] = (
+                (s + n // 2) // n if s >= 0 else -((-s + n // 2) // n)
+            )
+    return assign(_cent_df())
 
 
 def sq8_codes(df: DataFrame, id_col: str, vec_col: str):
