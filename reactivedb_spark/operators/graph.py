@@ -384,35 +384,38 @@ def k_core(edges: DataFrame, k: int, a: str = "u", b: str = "v",
     to core count. Early-stop probe is a parquet-free count on the
     checkpointed edge relation."""
     e0 = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).localCheckpoint()
-    with _iteration_shuffle(e0):
-        # live stays partitioned+sorted by ONE endpoint (_pin_by_key);
-        # because the relation is kept symmetric (both directions always
-        # present), degree-by-s equals degree-by-d, so each round reads
-        # degrees and runs the first semi-join on the CURRENT partition
-        # key with no exchange at all, and the second semi-join's
-        # sort-merge output comes out partitioned AND sorted by the
-        # OTHER endpoint — which simply becomes the next round's key.
-        # Net: exactly one edge-sized exchange per peel round (the old
-        # shape paid two plus a degree shuffle).
-        live = _pin_by_key(
+    # AQE stays ON here and the rounds keep the original localCheckpoint
+    # shape: the r13 alternating-key pinned variant (one exchange per
+    # round, AQE off) measured CONSISTENTLY slower in-session — 14.1 →
+    # 19.5 s min-of-3 interleaved at sf0.1 — because the live relation
+    # SHRINKS every peel round, and AQE's right-sizing of the round
+    # shuffles beats saving one exchange on a relation that is about to
+    # be re-materialized anyway (same reasoning as
+    # connected_components_star). Unlike CC/pagerank there is no STATIC
+    # join side to protect here.
+    with _iteration_shuffle(e0, disable_aqe=False):
+        spark = e0.sparkSession
+        # the caller's edge derivation may arrive in hundreds of tiny
+        # partitions (session default shuffle width); every peel round
+        # re-scans the live relation, so shrink it to core count ONCE
+        live = (
             e0.unionByName(
                 e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
-            ),
-            "s",
+            )
+            .repartition(spark.sparkContext.defaultParallelism, "s")
+            .localCheckpoint()
         )
         n_live = live.count()
-        key, other = "s", "d"
         for _ in range(int(rounds)):
-            deg = live.groupBy(key).agg(F.count(F.lit(1)).alias("_deg"))
-            keep = deg.filter(F.col("_deg") >= int(k)).select(key)
-            pruned = cache.pin(
-                live.join(keep, key, "left_semi")
-                .join(keep.withColumnRenamed(key, other), other, "left_semi")
+            deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("_deg"))
+            keep = deg.filter(F.col("_deg") >= int(k)).select("s")
+            pruned = (
+                live.join(keep, "s", "left_semi")
+                .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+                .localCheckpoint()
             )
             n_new = pruned.count()
-            live.unpersist()
             live = pruned
-            key, other = other, key
             if n_new == n_live:  # fixpoint: further rounds are no-ops
                 break
             n_live = n_new
