@@ -298,10 +298,10 @@ def triangle_count(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
     bounded by ~√(2m), so the wedge relation is at most m^{3/2} overall
     regardless of hubs (the "last reducer" is cured).
 
-    Plan shape: two keyed shuffles — degrees (groupBy), wedge join on
-    the shared corner — then a semi-ish inner join of wedges against
-    oriented edges to close them. Degrees ride a broadcast when small;
-    all arithmetic integer-exact.
+    Plan shape: degrees (groupBy), orientation, then out-adjacency
+    lists grouped by source and intersected per oriented edge — the
+    wedge-sized relation never crosses an exchange as rows. Degrees
+    ride a broadcast when small; all arithmetic integer-exact.
 
     Emits ONE row (n_edges, n_wedges, n_triangles) — the wedge count is
     part of the contract so the oracle verifies the orientation (a
@@ -333,26 +333,49 @@ def triangle_count(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
                F.col("y")).otherwise(F.col("x")).alias("dst"),
     )
     fwd = cache.pin(fwd)
-    w1 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("p"))
-    w2 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("q"))
-    wedges = w1.join(w2, "c").filter(F.col("p") < F.col("q"))
-    closing = fwd.select(
-        F.least("src", "dst").alias("p"), F.greatest("src", "dst").alias("q")
+    # adjacency-intersect closing: instead of materializing the
+    # m^{3/2}-row wedge relation (w1 ⋈ w2 on the corner) and shuffling
+    # it again by (p, q) to probe the closing edges — two exchanges plus
+    # a sort of the biggest relation in the query — attach each oriented
+    # edge's out-neighbour lists and count |N+(src) ∩ N+(dst)| per edge.
+    # Equivalence (integer-exact, same three outputs):
+    #  - a triangle a<b<c in (degree, id) order is closed exactly once,
+    #    from its (a, b) edge: c ∈ N+(a) ∩ N+(b); the (a, c) and (b, c)
+    #    edges contribute nothing for it — identical to counting wedges
+    #    (p, q) from corner a that find a closing edge.
+    #  - n_wedges = Σ C(out-degree, 2), the same number the w1 ⋈ w2
+    #    pair join counted.
+    #  - nbrs lists are sets (fwd rows are distinct oriented edges), and
+    #    the intersection SIZE is order-independent, so no sort needed.
+    # The wedge-sized work is now per-row hash-set intersections inside
+    # one stage; the only wedge-sized bytes that still cross an exchange
+    # are the N+(src) arrays riding the dst-keyed join (bounded by
+    # out-degree ≤ ~√(2m) per row, no row-per-wedge overhead, no sort).
+    adj = cache.pin(
+        fwd.groupBy("src").agg(
+            F.collect_list("dst").alias("nbrs"),
+            F.count(F.lit(1)).alias("dout"),
+        )
     )
-    # one pass over the wedge relation for BOTH counts: closing is unique
-    # on (p, q) (oriented distinct edges), so a left join keeps exactly
-    # one row per wedge with a 0/1 match marker — count(*) is the wedge
-    # count and count(marker) the triangle count. The previous shape
-    # aggregated `wedges` and `wedges ⋈ closing` as two separate plan
-    # branches, materializing the m^{3/2}-sized wedge join twice.
-    tri_flag = wedges.join(
-        closing.withColumn("_hit", F.lit(1)), ["p", "q"], "left"
+    a_src = adj.select(F.col("src").alias("_js"), F.col("nbrs").alias("_nbrs_s"))
+    a_dst = adj.select(F.col("src").alias("_jd"), F.col("nbrs").alias("_nbrs_d"))
+    per_edge = (
+        fwd.join(a_src, F.col("src") == F.col("_js"))
+        .join(a_dst, F.col("dst") == F.col("_jd"), "left")
+        # legacy size(NULL) is -1, so guard the dst-side miss explicitly
+        .select(
+            F.when(F.col("_nbrs_d").isNull(), F.lit(0)).otherwise(
+                F.size(F.array_intersect(F.col("_nbrs_s"), F.col("_nbrs_d")))
+            ).alias("_tri")
+        )
     )
     return (
-        tri_flag.agg(
-            F.count(F.lit(1)).alias("n_wedges"),
-            F.count("_hit").alias("n_triangles"),
+        per_edge.agg(
+            F.coalesce(F.sum("_tri"), F.lit(0)).alias("n_triangles")
         )
+        .crossJoin(adj.agg(F.coalesce(
+            F.sum(F.expr("(dout * (dout - 1)) DIV 2")), F.lit(0)
+        ).alias("n_wedges")))
         .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
         .select(
             F.col("n_edges").cast("long").alias("n_edges"),
