@@ -50,24 +50,27 @@ def clean_corpus(
         .withColumn("pred_lang", textfns.lang_id(t))
         .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs))
     )
-    # exact dedup: min-id representative per normalized text. One
-    # row_number window on the text hash instead of groupBy(min) + a
-    # join back: the join shape shuffled the corpus twice AND evaluated
-    # `gated`'s expensive quality/lang-ID projection once per plan
-    # branch (the window keeps a single consumer, so the string scans
-    # run once); same survivors — ids are unique, so rank 1 by id IS
-    # the min-id row per hash.
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(F.md5(dedup.normalize_text(t))).orderBy(id_col)
+    # exact dedup: min-id representative per normalized text, as
+    # groupBy(min) + join back. The r13 row_number-window variant (one
+    # full-corpus exchange + SORT by the text hash, single consumer of
+    # the quality/lang-ID projection) measured consistently SLOWER in a
+    # calm-host interleaved A/B (r14: window 6.5-17.4 s vs join
+    # 5.2-6.6 s min-of-5 at sf0.1, r12 shape ahead in all five rounds;
+    # the driver's r13 bench read the same direction) — the groupBy
+    # shuffles only (md5, id) pairs (narrow rows, map-side partial agg)
+    # and the join-back re-shuffles the corpus WITHOUT sorting it,
+    # which beats sorting the full text relation even though the gate
+    # projection evaluates once per plan branch. Reverted per the
+    # measure-and-revert discipline (guide §1.1).
+    reps = (
+        gated.groupBy(F.md5(dedup.normalize_text(t)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
     # survivors are read by three downstream consumers (token relation,
     # pair verify, final anti-join): persist once instead of re-running
     # the gates + dedup scan per consumer
-    exact = cache.pin(
-        gated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    exact = cache.pin(gated.join(reps, id_col))
     # near-dup removal among survivors: drop the larger id of any pair
     # above the threshold. ONE token relation feeds minhash→LSH and the
     # Jaccard verify (min() is duplicate-insensitive, so the distinct
