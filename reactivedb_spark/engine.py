@@ -482,8 +482,23 @@ class Engine:
             return {}
 
         def work():
-            df = self._rows_to_df(prepared, st.schema)
-            delta, _n = self.store.append_delta(table, df)
+            # Row-list inserts are driver-latency-bound: the rows are
+            # already typed Python values with driver-generated entry
+            # ids/_seq, so the delta file can land via pyarrow directly —
+            # zero Spark jobs for the seed write (guide §2.1 fixed
+            # overhead; a one-row commit previously paid a full Spark
+            # write job). Bulk insert_df keeps the Spark write path.
+            delta = None
+            try:
+                import pyarrow as pa
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                tbl = pa.Table.from_pylist(
+                    prepared, schema=to_arrow_schema(st.schema))
+                delta, _n = self.store.append_rows(table, tbl)
+            except Exception:
+                df = self._rows_to_df(prepared, st.schema)
+                delta, _n = self.store.append_delta(table, df)
             if delta is None:
                 return {}
             return self._propagate({table: Delta(inserts=delta)})
@@ -562,7 +577,86 @@ class Engine:
         return self._commit(work)
 
     # -- propagation -------------------------------------------------------
+    @staticmethod
+    def _staged_bytes(d: "Delta") -> Optional[int]:
+        """Total staged parquet bytes of a delta (local file sizes, no
+        Spark job); None when any side is not file-backed."""
+        total = 0
+        for df in (d.inserts, d.deletes):
+            if df is None:
+                continue
+            try:
+                files = df.inputFiles()
+            except Exception:
+                return None
+            if not files:
+                return None
+            for f in files:
+                try:
+                    total += os.path.getsize(f.replace("file:", ""))
+                except OSError:
+                    return None
+        return total
+
+    def _propagation_shuffle(self, seed: dict[str, Delta]):
+        """Size the propagation wave's shuffles to the DELTA, not the
+        session default (guide §2.1/§2.2): a reactive commit's joins and
+        aggregations are delta-sized, but the session starts every
+        shuffle at ``initialPartitionNum`` (8x cores — sized for
+        full-table queries), so each small commit job pays hundreds of
+        tiny shuffle blocks plus AQE coalesce work. When every seed
+        delta's staged bytes fit the broadcast gate, pin the wave's
+        initial shuffle width to core count (AQE still coalesces below
+        it); a bulk ``insert_df`` above the gate keeps the data-sized
+        session default, so 100 TB fact loads are untouched. Restores on
+        exit; commits serialize on the engine lock, so the session-conf
+        scope cannot interleave with another commit."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            sizes = [self._staged_bytes(d) for d in seed.values()]
+            small = sizes and all(
+                s is not None and s <= _DELTA_BROADCAST_LIMIT for s in sizes
+            )
+            if not small:
+                yield
+                return
+            key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            conf = self.spark.conf
+            try:
+                old = conf.get(key)
+            except Exception:
+                old = None
+            conf.set(key, str(max(self.spark.sparkContext.defaultParallelism, 4)))
+            try:
+                yield
+            finally:
+                if old is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, old)
+
+        return scope()
+
+    @staticmethod
+    def _concurrent(*thunks):
+        """Run independent Spark actions concurrently (guide §2.6 —
+        actions are only sequential because driver code calls them
+        sequentially); returns their results in order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(thunks) == 1:
+            return (thunks[0](),)
+        with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+            futs = [ex.submit(t) for t in thunks]
+            return tuple(f.result() for f in futs)
+
     def _propagate(self, seed: dict[str, Delta]) -> dict[str, Delta]:
+        with self._propagation_shuffle(seed):
+            return self._propagate_inner(seed)
+
+    def _propagate_inner(self, seed: dict[str, Delta]) -> dict[str, Delta]:
         incoming: dict[str, Delta] = dict(seed)
         # JoinTransform children are WAVE-AWARE: a parent's delta is only
         # stashed here when the parent pops; the join applies ONCE when the
@@ -774,8 +868,16 @@ class Engine:
             merged = union_op.merge(
                 affected_old.drop(C.ENTRY_ID, C.PARTITION_BUCKET), normalized, op_schema
             )
-            staged = self._stage_nonempty(
-                child, self._with_bucket(self._with_entry_id(merged), C.MATCHING_KEY)
+            # merged-rows staging and replaced-rows staging are
+            # independent Spark actions — overlap them (guide §2.6);
+            # both read the PRE-replace state, and the replace below
+            # happens after both complete
+            staged, old = self._concurrent(
+                lambda: self._stage_nonempty(
+                    child,
+                    self._with_bucket(self._with_entry_id(merged), C.MATCHING_KEY),
+                ),
+                lambda: self._stage_nonempty(child, affected_old),
             )
             if staged is not None:
                 rest = state_aff.join(_keyset(keys), C.MATCHING_KEY, "left_anti")
@@ -787,7 +889,6 @@ class Engine:
                     buckets,
                 )
                 out.inserts = staged
-                old = self._stage_nonempty(child, affected_old)
                 out.deletes = old  # replaced rows (reference Update = delete+insert)
         if d.deletes is not None:
             dd = self._delete_by_provenance(child, d.deletes)
@@ -829,12 +930,17 @@ class Engine:
                 "left_semi",
             )
             new_groups = agg_op.compute_groups(tr, affected)
-        staged = self._stage_nonempty(
-            child,
-            self._with_bucket(self._with_entry_id(new_groups), C.AGGREGATED_COLUMN),
-        )
         old = state_aff.join(_keyset(keys), C.AGGREGATED_COLUMN, "left_semi")
-        old_staged = self._stage_nonempty(child, old)
+        # the new-groups staging and the replaced-rows staging are
+        # independent Spark actions — overlap them (guide §2.6)
+        staged, old_staged = self._concurrent(
+            lambda: self._stage_nonempty(
+                child,
+                self._with_bucket(
+                    self._with_entry_id(new_groups), C.AGGREGATED_COLUMN),
+            ),
+            lambda: self._stage_nonempty(child, old),
+        )
         rest = state_aff.join(_keyset(keys), C.AGGREGATED_COLUMN, "left_anti")
         new_state = rest.unionByName(staged) if staged is not None else rest
         self._replace_keyed(
@@ -947,7 +1053,15 @@ class Engine:
         out = Delta()
         # births: tuple unseen before, net > 0 → first arrival represents
         birth_keys = j.filter(F.col("_old").isNull() & (F.col("_net") > 0))
-        if d.inserts is not None:
+        # deaths: count reaches zero → the visible row disappears
+        death_keys = j.filter(
+            F.col("_old").isNotNull()
+            & (F.col("_old") + F.col("_net") <= 0)
+        ).select(C.DISTINCT_KEY)
+
+        def stage_births():
+            if d.inserts is None:
+                return None
             births = (
                 distinct_tr_op.representatives(tr, d.inserts)
                 .join(_keyset(birth_keys.select(C.DISTINCT_KEY)),
@@ -957,20 +1071,21 @@ class Engine:
                 .withColumn(C.REF_COUNT, F.col("_net"))
                 .drop("_net")
             )
-            staged_b = self._stage_nonempty(
+            return self._stage_nonempty(
                 child,
                 self._with_bucket(self._with_entry_id(births), C.DISTINCT_KEY),
             )
-            if staged_b is not None:
-                out.inserts = staged_b
-        # deaths: count reaches zero → the visible row disappears
-        death_keys = j.filter(
-            F.col("_old").isNotNull()
-            & (F.col("_old") + F.col("_net") <= 0)
-        ).select(C.DISTINCT_KEY)
-        staged_d = self._stage_nonempty(
-            child, old.join(_keyset(death_keys), C.DISTINCT_KEY, "left_semi")
-        )
+
+        def stage_deaths():
+            return self._stage_nonempty(
+                child, old.join(_keyset(death_keys), C.DISTINCT_KEY, "left_semi")
+            )
+
+        # birth and death stagings both read the checkpointed ledger —
+        # independent Spark actions, overlapped (guide §2.6)
+        staged_b, staged_d = self._concurrent(stage_births, stage_deaths)
+        if staged_b is not None:
+            out.inserts = staged_b
         if staged_d is not None:
             out.deletes = staged_d
         # survivors with a changed count: rewrite in place, emit NOTHING
@@ -1035,11 +1150,18 @@ class Engine:
             # state ∪ delta runs once, released before the commit
             r = topk_tr_op.ranked(tr, u).persist()
             try:
-                staged = self._stage_nonempty(
-                    child, r.filter((F.col("_rn") <= tr.k) & F.col("_new"))
-                )
-                evicted = self._stage_nonempty(
-                    child, r.filter((F.col("_rn") > tr.k) & ~F.col("_new"))
+                # both stagings read the persisted ranked relation —
+                # independent actions, overlapped (guide §2.6; cached
+                # blocks are computed once under the block manager's
+                # per-block lock, so the overlap never duplicates the
+                # window computation)
+                staged, evicted = self._concurrent(
+                    lambda: self._stage_nonempty(
+                        child, r.filter((F.col("_rn") <= tr.k) & F.col("_new"))
+                    ),
+                    lambda: self._stage_nonempty(
+                        child, r.filter((F.col("_rn") > tr.k) & ~F.col("_new"))
+                    ),
                 )
             finally:
                 r.unpersist()

@@ -234,6 +234,51 @@ class ParquetSnapshotStore:
                 total += pq.read_metadata(p).num_rows
         return total
 
+    def append_rows(self, name: str, tbl) -> tuple[DataFrame | None, int]:
+        """Append a driver-side pyarrow Table as one parquet file in the
+        current version dir — ZERO Spark jobs for the write (the file
+        lands via ``pyarrow.parquet.write_table``; entry ids / ``_seq``
+        were generated driver-side, so there is no nondeterminism to
+        pin). The returned delta DataFrame reads exactly the new file,
+        same contract as :meth:`append_delta`. Row-list ``insert()``
+        commits are driver-latency-bound (a one-row commit paid a full
+        Spark write job, ~0.3-0.5 s); this is the per-row write path's
+        fixed-overhead fix (guide §2.1) — bulk ``insert_df`` stays on
+        :meth:`append_delta`."""
+        if tbl.num_rows == 0:
+            return None, 0
+        path = self._dir(name)
+        os.makedirs(path, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        # write outside the version dir, then rename in: a failed write
+        # must not leave a half-file that a fallback append would
+        # double-count (readers glob *.parquet in the version dir)
+        fname = f"part-pa-{_uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(path, fname + ".tmp")
+        try:
+            pq.write_table(tbl, tmp)
+        except Exception:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
+        os.replace(tmp, os.path.join(path, fname))
+        delta = self.spark.read.schema(self._schemas[name]).parquet(
+            os.path.join(path, fname)
+        )
+        n_files = sum(
+            1 for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if n_files > self.compact_threshold:
+            if self._txn is None:
+                self.replace(name, self.read(name).coalesce(
+                    max(1, n_files // 32)))
+            else:
+                self._txn["compact"].add(name)
+        return delta, tbl.num_rows
+
     def append_delta(self, name: str, df: DataFrame) -> tuple[DataFrame | None, int]:
         """Write a delta directly into the table's current version dir (one
         write job — no staging double-write) and return (materialized

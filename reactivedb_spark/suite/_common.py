@@ -109,6 +109,28 @@ def rocksdb_state(spark: SparkSession):
             spark.conf.set(key, old)
 
 
+def release_stream_state(spark: SparkSession) -> None:
+    """Unload the session's loaded state-store providers and stop the
+    state maintenance pool after a FINISHED streaming replay.
+
+    Measured motivation (r14 probe): 15 suite replays left ~4 GB of
+    committed keyed state live on the driver-executor heap — the
+    HDFS-backed provider retains up to ``minBatchesToRetain`` versions
+    of every store's map per loaded provider, and the providers stay
+    registered (plus a 60 s maintenance timer each) for the session's
+    lifetime. ``StateStore.stop()`` released it (heap 5.3 → 0.2 GB).
+    Each suite query uses a FRESH checkpoint, so no later query ever
+    rereads this state — unloading is semantics-free; a subsequent
+    streaming query transparently restarts the pool and reloads its own
+    providers from its checkpoint. Local-mode only by construction (the
+    singleton lives in the driver JVM; on a cluster providers live on
+    executors and age out via their own maintenance)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # hygiene must never fail the query
+
+
 _REPLAY_LEFTOVERS: list = []  # (root dir, memory-sink view name) pairs
 
 
@@ -176,5 +198,6 @@ def replay_batches(spark: SparkSession, dfs: list, schema: str,
         finally:
             dump_stream_progress(q, name)
             q.stop()
+            release_stream_state(spark)
     _REPLAY_LEFTOVERS.append((root, name))
     return spark.table(name)

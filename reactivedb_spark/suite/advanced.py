@@ -382,7 +382,7 @@ def q_streaming_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
     from reactivedb_spark.sources import stream_parquet_dir
     from reactivedb_spark.suite._common import (
-        dump_stream_progress, streaming_shuffle)
+        dump_stream_progress, release_stream_state, streaming_shuffle)
 
     ev = load(spark, sf, "events").select(
         "user_id",
@@ -419,6 +419,7 @@ def q_streaming_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             dump_stream_progress(q, "streaming_windowed_distinct")
             q.stop()
+            release_stream_state(spark)
     return spark.table(name).select(
         F.unix_micros(F.col("hour_start")).alias("hour_start_us"),
         "distinct_users",
@@ -1007,7 +1008,7 @@ def q_streaming_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     from reactivedb_spark.operators.cdc import apply_changelog
     from reactivedb_spark.sources import stream_parquet_dir
     from reactivedb_spark.suite._common import (
-        dump_stream_progress, streaming_shuffle)
+        dump_stream_progress, release_stream_state, streaming_shuffle)
 
     snap = load(spark, sf, "customer").select(
         F.col("c_custkey").cast("long").alias("acct"),
@@ -1068,6 +1069,7 @@ def q_streaming_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             dump_stream_progress(q, "streaming_merge_upsert")
             q.stop()
+            release_stream_state(spark)
     return spark.read.parquet(
         _os.path.join(state_dir, f"v{ptr['v']}")).select(
         F.col("acct").cast("long").alias("acct"), "balance")

@@ -20,7 +20,8 @@ from reactivedb_spark.engine import Engine
 from reactivedb_spark.operators import rangejoin, sketch
 from reactivedb_spark.sources.readers import read_table
 from reactivedb_spark.suite._common import (
-    dump_stream_progress, load, rocksdb_state, spread, streaming_shuffle)
+    dump_stream_progress, load, release_stream_state, rocksdb_state,
+    spread, streaming_shuffle)
 
 NS_PER_WEEK = 7 * 24 * 3600 * 1_000_000_000
 NS_PER_DAY = 24 * 3600 * 1_000_000_000
@@ -673,6 +674,7 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             dump_stream_progress(q, "streaming_dedup")
             q.stop()
+            release_stream_state(spark)
     return spark.table(name)
 
 
@@ -743,6 +745,7 @@ def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             dump_stream_progress(q, "streaming_stream_join")
             q.stop()
+            release_stream_state(spark)
     return spark.table(name)
 
 
@@ -804,6 +807,7 @@ def q_streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             dump_stream_progress(q, "streaming_stateful_totals")
             q.stop()
+            release_stream_state(spark)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1352,6 +1356,7 @@ def q_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             dump_stream_progress(q, "streaming_tumbling")
             q.stop()
+            release_stream_state(spark)
     return spark.table(name).select(
         F.unix_micros(F.col("window.start")).alias("hour_start_us"), "n", "uid_sum"
     )

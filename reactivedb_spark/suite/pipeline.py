@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from reactivedb_spark.operators import dedup, numeric, retrieval, timeseries
 from reactivedb_spark.operators.similarity import pq_topk
 from reactivedb_spark.suite._common import (
-    dump_stream_progress, load, streaming_shuffle)
+    dump_stream_progress, load, release_stream_state, streaming_shuffle)
 
 NS_PER_HOUR = 3600 * 1_000_000_000
 RESAMPLE_NS = 6 * NS_PER_HOUR
@@ -247,6 +247,7 @@ def q_streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             dump_stream_progress(q, "streaming_sliding")
             q.stop()
+            release_stream_state(spark)
     return spark.table(name).select(
         (F.unix_timestamp("window.start") * F.lit(1_000_000)).cast("long")
         .alias("win_start_us"),

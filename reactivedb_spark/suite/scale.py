@@ -16,8 +16,8 @@ from reactivedb_spark.functions import multimodal, text as textfns
 from reactivedb_spark.functions.text import LANG_MARKERS, LANG_ORDER
 from reactivedb_spark.operators import dedup, similarity
 from reactivedb_spark.suite._common import (
-    dump_stream_progress, load, replay_batches, rocksdb_state, spread,
-    streaming_shuffle)
+    dump_stream_progress, load, release_stream_state, replay_batches,
+    rocksdb_state, spread, streaming_shuffle)
 
 EMB_DIM = 64
 HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
@@ -1910,6 +1910,7 @@ def q_streaming_aggregate(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         dump_stream_progress(q, "streaming_aggregate")
         q.stop()
+        release_stream_state(spark)
     return eng.table("per_user").select(
         F.col("aggregatedColumn").alias("user_id"), "n",
         F.col("total").cast("double").alias("total"),
@@ -1982,6 +1983,7 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             dump_stream_progress(q, "streaming_sessionize")
             q.stop()
+            release_stream_state(spark)
     return spark.table(name).select(
         "user_id",
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
